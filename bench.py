@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is fully materialized via the noop sink (no driver collect, no
+result serialization) so the measured time is plan execution, not IO to the
+driver — the honest analog of a cluster job."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from breweries_case_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (scan, filter, join shapes, agg
+# shapes, windows, top-k, set ops, flagship). Extended-op ids are appended
+# dynamically when their modules are present.
+HEADLINE = [
+    "q_flagship",
+    "q_groupby_count",
+    "q_count_distinct",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_window_rank",
+    "q_dedup_keep_latest",
+    "q_window_running_sum",
+    "q_topk",
+    "q_rollup",
+    "q_partition_pruned_scan",
+]
+EXTENDED = [
+    "q_json_extract",
+    "q_clean_normalize",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_stats",
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_sim_topk",
+    "q_stream_tumbling_batch",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from __spark_entry__ import queries
+
+    qs = queries()
+    names = [q for q in HEADLINE if q in qs] + [q for q in EXTENDED if q in qs]
+
+    spark = get_session(app_name="bench")
+    per_query: dict[str, float] = {}
+    # one warm-up scan so JVM/codegen startup isn't billed to the first query
+    _materialize(qs["q_groupby_count"](spark, SF_DIR))
+
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, SF_DIR))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Parquet table reader over the driver's star-schema testdata.
+
+The reference reads catalog tables via ``spark.table`` (SURVEY §2.1 S3,
+reference ``src/processors/breweries_silver_processors.py:30``); here the
+catalog analog is a directory of parquet files per scale factor
+(``/root/testdata/sf*/{table}.parquet``, TESTDATA.md).
+
+Scale note: ``spark.read.parquet`` gives vectorized scans with predicate
+pushdown + column pruning for free; at 100 TB the same call pattern works
+over partitioned directories / Iceberg tables — callers never hand-roll
+file listings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table (SURVEY §2.1 S3). Schema comes from parquet footers —
+    explicit and stable, no inference pass."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long (runtime conf, honored per-scan)
+        # and truncate to a microsecond timestamp with exact integer
+        # division — identical to what duckdb/python yield for the same ns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works against the
+    same names the DuckDB oracle uses."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,606 @@
+"""Relational operator surface (SURVEY.md §2.1-§2.6).
+
+Each query id is a function ``(spark, sf_dir) -> DataFrame`` with a DuckDB
+oracle SQL twin in ``ORACLES``. Column aliases match between the two —
+the driver's compare hashes values under sorted column names.
+
+Determinism rules applied throughout (SURVEY §7.3 hard part 5):
+- every computed column aliased identically on both sides;
+- double sums go through ``decimal_sum`` (order-insensitive — see
+  ``functions.numeric``);
+- arrays returned from ``collect_set`` are ``array_sort``-ed;
+- top-k / window orderings carry a unique-key tie-break.
+
+Scale notes are inline per operator; the general stance: declare the plan,
+let Catalyst/AQE pick physical strategy, force ``broadcast`` only for
+genuinely small dimensions (region: 5 rows, nation: 25 — broadcastable at
+any scale factor since they're fixed-size dims).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from breweries_case_spark.functions import decimal_sum
+from breweries_case_spark.io.reader import load_table
+
+
+# --- Sources / scans (S3, S4, S7) ------------------------------------------
+
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog table scan (reference spark.table(),
+    breweries_silver_processors.py:30)."""
+    return load_table(spark, sf_dir, "nation")
+
+
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan restricted by a date predicate (reference S4: filter on the
+    partition column right after the scan,
+    breweries_silver_processors.py:30-32). On a date-partitioned lakehouse
+    table this prunes partitions; on raw parquet it rides min/max row-group
+    stats. Either way the filter reaches the scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+def q_select_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive SELECT ... LIMIT (reference Trino exploration,
+    README.md:133-134). Ordered by key so the limited set is deterministic."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .orderBy("c_custkey")
+        .limit(10)
+    )
+
+
+# --- Projections (P1) -------------------------------------------------------
+
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with column pruning + rename (reference P1,
+    breweries_silver_processors.py:35-49). Catalyst pushes the 3-column
+    ReadSchema into the parquet scan."""
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+# --- Filters (F1-F3) --------------------------------------------------------
+
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter (reference F1: extraction_date == d)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_filter_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive equality predicates (reference F3,
+    tests/unit/test_gold.py:78-81)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity gate: id NOT NULL **and** non-empty — the reference's tested
+    semantics (tests/integration/test_performance.py:108-116), stricter than
+    its written code which only drops nulls (SURVEY §2.3 F2)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & (F.col("lang") != ""))
+        .select("doc_id", "lang")
+    )
+
+
+# --- Joins (J1-J6) ----------------------------------------------------------
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join; Catalyst/AQE picks broadcast vs sort-merge by size.
+    At 100 TB orders⋈customer is a shuffle join on the key — both sides
+    hash-partition on custkey; co-locating via bucketing on o_custkey/
+    c_custkey removes the shuffle entirely for repeated joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicitly broadcast dims (region 5 rows, nation 25) —
+    no shuffle of the fact side at any scale (reference J2 pattern)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("customer_count"))
+    )
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — customers keep a row even with no orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi (EXISTS): customers with at least one urgent order.
+    Semi-join ships only the join key of the right side — at scale prefer it
+    over inner+distinct."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti (NOT EXISTS): customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join: equi key + non-equi residual (customer richer than
+    the suppliers of its nation). The equi part keeps it a hash/merge join
+    with the band as a post-join residual filter — NOT a cartesian product;
+    this is the scale-safe shape for band joins (SURVEY §2.4 J5)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cond = (customer.c_nationkey == supplier.s_nationkey) & (
+        customer.c_acctbal > supplier.s_acctbal
+    )
+    return (
+        customer.join(F.broadcast(supplier), cond, "inner")
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("richer_customers"))
+    )
+
+
+def q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join pairing for dedup candidates, blocked by a key (lang) so the
+    quadratic blow-up is per-block, not global — the blocking idiom every
+    scalable dedup uses (SURVEY §2.4 J6)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.lang").alias("lang"))
+        .agg(F.count("*").alias("candidate_pairs"))
+    )
+
+
+# --- Aggregations (A1-A6 + extensions) -------------------------------------
+
+def q_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key hash aggregate + count (reference A1/A2,
+    breweries_gold_processors.py:28-35). Partial (map-side) agg then a
+    single exchange on the grouping keys — the reference pipeline's only
+    shuffle shape (SURVEY §3.3)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("line_count"))
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group. The reference materializes
+    size(collect_set(id)) (breweries_gold_processors.py:36,43); countDistinct
+    is the same result without shipping arrays through the shuffle — the
+    100 TB-safe formulation (SURVEY §7.3 hard part 1)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+        )
+    )
+
+
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set where the array itself is the feature (reference A3).
+    array_sort for deterministic comparison; at scale only safe for
+    low-cardinality sets like these status codes."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"))
+    )
+
+
+def q_sum_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global no-key aggregate (reference A5: grand-total audit,
+    breweries_gold_processors.py:55)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        decimal_sum(F.col("l_quantity")).alias("total_qty"),
+        F.count("*").alias("line_count"),
+    )
+
+
+def q_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregate (reference A6, tests/unit/test_gold.py:116-122)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .agg(
+            decimal_sum(F.col("l_extendedprice")).alias("returned_value"),
+            F.count("*").alias("returned_lines"),
+        )
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — free Spark built-in the reference lacks
+    (SURVEY §2.5 note)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("line_count"),
+            decimal_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct — the 100 TB substitute for exact distinct
+    (SURVEY §2.5). No oracle: Spark's HLL++ estimate differs from DuckDB's
+    HLL by construction; checked rows-only. A batch exactness test lives in
+    tests/ (estimate within 5% of exact at sf0.001)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )
+
+
+# --- Windows, sort, top-k, set ops (W1-W2, O1-O2, U1-U2) --------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-2 orders per customer (reference-missing W1).
+    Tie-broken by o_orderkey so row_number is deterministic. At scale this
+    shuffles once on the partition key; a partial top-k per map task
+    (AQE + window group limit pushdown in Spark 3.5+) bounds state."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup — row_number idiom (SURVEY W1 note), the
+    engine's replacement for the reference's partition-overwrite idempotency
+    when upstream re-delivers. Tie-break on event_id for determinism."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with a running frame (reference-missing W2). Decimal
+    accumulation keeps the running values engine-independent."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+    )
+
+
+def q_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort (O1). Spark range-partitions (sampled bounds) then sorts
+    per partition — the scalable global sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (O2): Catalyst plans TakeOrderedAndProject — per-partition
+    heaps, no global sort. Tie-break on key for determinism."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all by name (U1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = orders.filter(F.col("o_totalprice") > 400000.0)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return top.select("o_orderkey", "o_totalprice").unionByName(
+        urgent.select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersect-distinct (U2): nations having both customers and suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Except-distinct (U2): nations with customers but no suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+# --- Flagship (SURVEY §7.1) -------------------------------------------------
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's gold aggregation transplanted onto the star schema:
+    count + exact-distinct + sum by (nation, orderpriority) over
+    orders ⋈ customer ⋈ nation — S3, F1, J1/J2, A1-A5, P1 in one plan
+    (mirrors breweries_gold_processors.py:28-45 semantics).
+
+    Plan shape at scale: fact-fact shuffle join orders⋈customer on custkey,
+    25-row nation broadcast, partial aggs before the final exchange on the
+    two grouping keys."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "X")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_orderpriority")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            decimal_sum(F.col("o_totalprice")).alias("total_revenue"),
+        )
+    )
+
+
+# --- Registry ---------------------------------------------------------------
+
+QUERIES = {
+    "q_scan": q_scan,
+    "q_partition_pruned_scan": q_partition_pruned_scan,
+    "q_select_limit": q_select_limit,
+    "q_project": q_project,
+    "q_filter_eq": q_filter_eq,
+    "q_filter_and": q_filter_and,
+    "q_filter_notnull": q_filter_notnull,
+    "q_join_inner": q_join_inner,
+    "q_join_broadcast": q_join_broadcast,
+    "q_join_left": q_join_left,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_join_range": q_join_range,
+    "q_dedup_pairs": q_dedup_pairs,
+    "q_groupby_count": q_groupby_count,
+    "q_count_distinct": q_count_distinct,
+    "q_collect_set": q_collect_set,
+    "q_sum_global": q_sum_global,
+    "q_filter_agg": q_filter_agg,
+    "q_rollup": q_rollup,
+    "q_approx_count_distinct": q_approx_count_distinct,
+    "q_window_rank": q_window_rank,
+    "q_dedup_keep_latest": q_dedup_keep_latest,
+    "q_window_running_sum": q_window_running_sum,
+    "q_orderby": q_orderby,
+    "q_topk": q_topk,
+    "q_union": q_union,
+    "q_intersect": q_intersect,
+    "q_except": q_except,
+    "q_flagship": q_flagship,
+}
+
+ORACLES = {
+    "q_scan": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_partition_pruned_scan": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+          AND l_shipdate <  TIMESTAMP '1995-07-01'
+    """,
+    "q_select_limit": "SELECT * FROM customer ORDER BY c_custkey LIMIT 10",
+    "q_project": """
+        SELECT c_custkey AS custkey, c_name AS customer_name,
+               c_mktsegment AS segment
+        FROM customer
+    """,
+    "q_filter_eq": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "q_filter_and": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+    """,
+    "q_filter_notnull": """
+        SELECT doc_id, lang FROM documents
+        WHERE lang IS NOT NULL AND lang <> ''
+    """,
+    "q_join_inner": """
+        SELECT o_orderkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "q_join_broadcast": """
+        SELECT r_name, count(*) AS customer_count
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q_join_left": """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    "q_join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    "q_join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q_join_range": """
+        SELECT s_suppkey, count(*) AS richer_customers
+        FROM customer JOIN supplier
+          ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+        GROUP BY s_suppkey
+    """,
+    "q_dedup_pairs": """
+        SELECT a.lang AS lang, count(*) AS candidate_pairs
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.lang
+    """,
+    "q_groupby_count": """
+        SELECT l_returnflag, l_linestatus, count(*) AS line_count
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_count_distinct": """
+        SELECT o_orderpriority, count(*) AS order_count,
+               count(DISTINCT o_custkey) AS unique_customers
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_collect_set": """
+        SELECT o_orderpriority,
+               list_sort(list(DISTINCT o_orderstatus)) AS statuses
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_sum_global": """
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+               count(*) AS line_count
+        FROM lineitem
+    """,
+    "q_filter_agg": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS returned_value,
+               count(*) AS returned_lines
+        FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    "q_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) AS line_count,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    # q_approx_count_distinct: intentionally no oracle (HLL estimates are
+    # implementation-specific); rows-only check + exactness-bound unit test.
+    "q_window_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders) WHERE rn <= 2
+    """,
+    "q_dedup_keep_latest": """
+        SELECT user_id, event_id, ts, event_type FROM (
+            SELECT user_id, event_id, ts, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    """,
+    "q_window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+    "q_orderby": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    "q_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q_union": """
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    """,
+    "q_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "q_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "q_flagship": """
+        SELECT n_name AS nation, o_orderpriority,
+               count(*) AS order_count,
+               count(DISTINCT o_custkey) AS unique_customers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus <> 'X'
+        GROUP BY n_name, o_orderpriority
+    """,
+}
