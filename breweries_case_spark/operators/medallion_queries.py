@@ -1,0 +1,109 @@
+"""Silver-path scalar operators (SURVEY §2.2 P2-P4, §2.7 C1-C7) expressed
+over the driver's star schema: ``events.props`` plays bronze ``raw_json``
+(JSON-in-string), part/customer strings play the normalization targets.
+
+The full bronze→silver→gold medallion semantics over brewery-shaped data
+live in ``pipelines.medallion`` (exercised by unit tests against the
+reference's own fixtures, FIXTURES.md §§3-5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from breweries_case_spark.functions import clean_text, digits_only
+from breweries_case_spark.io.reader import load_table
+
+# props payload schema — one declared parse, not N get_json_object calls
+# (SURVEY §2.2 P2: from_json preferred over 12 JSONPath extractions because
+# it parses the string ONCE; at 100 TB the 12x reparse is pure waste).
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.StringType(), True)])
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (reference P2,
+    breweries_silver_processors.py:36-47)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", PROPS_SCHEMA))
+    return parsed.select("event_id", F.col("p.k").alias("k"))
+
+
+def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→double cast of a JSON-extracted field (reference P3,
+    breweries_silver_processors.py:44-45 longitude/latitude)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", PROPS_SCHEMA))
+    return parsed.select(
+        "event_id", F.col("p.k").cast(T.DoubleType()).alias("k_double")
+    )
+
+
+def q_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct→JSON-string serialization — the distributed form of the
+    reference's driver-side json.dumps per record (reference P4,
+    breweries_bronze_processors.py:145)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.to_json(F.struct("n_nationkey", "n_name")).alias("raw_json"),
+    )
+
+
+def q_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trim / lower(trim) / upper(trim) normalization (reference C1-C3,
+    breweries_silver_processors.py:53-59)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        clean_text(F.col("p_name")).alias("name_clean"),
+        clean_text(F.col("p_type"), case="lower").alias("type_norm"),
+        clean_text(F.col("p_brand"), case="upper").alias("brand_norm"),
+    )
+
+
+def q_regexp_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digits-only normalization (reference C4: phone regexp_replace,
+    breweries_silver_processors.py:62)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey", digits_only(F.col("c_name")).alias("name_digits")
+    )
+
+
+QUERIES = {
+    "q_json_extract": q_json_extract,
+    "q_cast": q_cast,
+    "q_to_json": q_to_json,
+    "q_clean_normalize": q_clean_normalize,
+    "q_regexp_replace": q_regexp_replace,
+}
+
+ORACLES = {
+    "q_json_extract": """
+        SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
+    """,
+    "q_cast": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double
+        FROM events
+    """,
+    "q_to_json": """
+        SELECT n_nationkey,
+               to_json(struct_pack(n_nationkey := n_nationkey,
+                                   n_name := n_name)) AS raw_json
+        FROM nation
+    """,
+    "q_clean_normalize": """
+        SELECT p_partkey,
+               trim(p_name) AS name_clean,
+               lower(trim(p_type)) AS type_norm,
+               upper(trim(p_brand)) AS brand_norm
+        FROM part
+    """,
+    "q_regexp_replace": """
+        SELECT c_custkey,
+               regexp_replace(c_name, '[^0-9]', '', 'g') AS name_digits
+        FROM customer
+    """,
+}

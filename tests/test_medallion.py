@@ -1,0 +1,195 @@
+"""Medallion pipeline tests reproducing the reference suite's semantics
+(FIXTURES.md; reference tests/unit/test_{bronze,silver,gold}.py and
+tests/integration/*). Structure mirrors SURVEY §5's engine test plan."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from breweries_case_spark.io.writer import read_partitioned, write_partition_overwrite
+from breweries_case_spark.pipelines import (
+    bronze_to_silver,
+    ingest_to_bronze,
+    silver_to_gold,
+)
+
+TEST_DATE = datetime.date(2024, 1, 15)
+
+# canonical 3-row fixture (FIXTURES.md §3)
+SAMPLE = [
+    {
+        "id": "brewery-1",
+        "name": "Brewery One",
+        "brewery_type": "  MICRO  ",
+        "city": " Portland ",
+        "state_province": "oregon",
+        "postal_code": "97201",
+        "country": "united states",
+        "longitude": "-122.6784",
+        "latitude": "45.5152",
+        "phone": "(503) 555-0001",
+        "website_url": "http://one.example",
+    },
+    {
+        "id": "brewery-2",
+        "name": "Brewery Two",
+        "brewery_type": "brewpub",
+        "city": "Portland",
+        "state_province": "Oregon",
+        "postal_code": "97202",
+        "country": "United States",
+        "longitude": "-122.6",
+        "latitude": "45.5",
+        "phone": "555-0002",
+        "website_url": None,
+    },
+    {
+        "id": "brewery-3",
+        "name": "Brewery Three",
+        "brewery_type": "nano",
+        "city": "Seattle",
+        "state_province": "Washington",
+        "postal_code": "98101",
+        "country": "United States",
+        "longitude": None,
+        "latitude": None,
+        "phone": "abc",  # cleans to ""
+        "website_url": None,
+    },
+]
+
+
+@pytest.fixture()
+def silver(spark):
+    bronze = ingest_to_bronze(spark, SAMPLE, TEST_DATE)
+    return bronze_to_silver(bronze, TEST_DATE)
+
+
+def test_bronze_schema_and_roundtrip(spark):
+    bronze = ingest_to_bronze(spark, SAMPLE, TEST_DATE)
+    assert bronze.count() == 3
+    assert [f.name for f in bronze.schema.fields] == ["raw_json", "extraction_date"]
+    # raw payload preserved verbatim (reference test_bronze.py:63-87)
+    row = bronze.filter(F.get_json_object("raw_json", "$.id") == "brewery-1").first()
+    assert '"Brewery One"' in row.raw_json
+
+
+def test_silver_normalization(silver):
+    # reference test_silver.py:49-58,108-116 golden semantics
+    one = silver.filter(F.col("id") == "brewery-1").first()
+    assert one.brewery_type == "micro"
+    assert one.city == "Portland"
+    assert one.state == "OREGON"
+    assert one.country == "UNITED STATES"
+    assert one.phone == "5035550001"
+    assert one.longitude == pytest.approx(-122.6784)
+    three = silver.filter(F.col("id") == "brewery-3").first()
+    assert three.longitude is None and three.latitude is None
+    assert three.phone == ""  # cleaned-to-empty, not null
+
+
+def test_silver_validity_gate(spark):
+    # null AND empty ids dropped (reference test_performance.py:108-116)
+    bad = SAMPLE + [
+        {**SAMPLE[0], "id": None},
+        {**SAMPLE[0], "id": "   "},  # trims to empty
+    ]
+    silver = bronze_to_silver(ingest_to_bronze(spark, bad, TEST_DATE), TEST_DATE)
+    assert silver.count() == 3
+
+
+def test_gold_groups_and_counts(spark):
+    # 5-row fixture → known groups with counts 2/2/1 (reference test_gold.py:41-99)
+    rows = [
+        {**SAMPLE[0], "id": f"p{i}", "brewery_type": "micro"} for i in range(2)
+    ] + [
+        {**SAMPLE[2], "id": f"s{i}", "brewery_type": "brewpub"} for i in range(2)
+    ] + [
+        {**SAMPLE[2], "id": "s9", "brewery_type": "regional"}
+    ]
+    silver = bronze_to_silver(ingest_to_bronze(spark, rows, TEST_DATE), TEST_DATE)
+    gold = silver_to_gold(silver, TEST_DATE)
+    assert gold.count() == 3  # micro/Portland, brewpub/Seattle, regional/Seattle
+    micro = gold.filter(F.col("brewery_type") == "micro").first()
+    assert micro.brewery_count == 2 and micro.unique_brewery_count == 2
+    # conservation (reference test_integration.py:99-100)
+    assert gold.agg(F.sum("brewery_count")).first()[0] == 5
+
+
+def test_gold_duplicate_ids(spark):
+    # two rows sharing an id → count 2, unique 1 (reference test_performance.py:118-149)
+    rows = [SAMPLE[0], dict(SAMPLE[0])]
+    silver = bronze_to_silver(ingest_to_bronze(spark, rows, TEST_DATE), TEST_DATE)
+    gold = silver_to_gold(silver, TEST_DATE, include_ids=True)
+    row = gold.first()
+    assert row.brewery_count == 2
+    assert row.unique_brewery_count == 1
+    assert row.brewery_ids == ["brewery-1"]
+
+
+def test_gold_empty_partition(spark):
+    # empty input → 0 rows, no crash (reference test_gold.py:124-150)
+    silver = bronze_to_silver(ingest_to_bronze(spark, [], TEST_DATE), TEST_DATE)
+    assert silver_to_gold(silver, TEST_DATE).count() == 0
+
+
+def test_partition_overwrite_idempotency(spark, tmp_path):
+    # rerun with fewer rows REPLACES the partition, 3→2
+    # (reference test_bronze.py:89-109)
+    path = str(tmp_path / "bronze")
+    d1, d2 = TEST_DATE, TEST_DATE + datetime.timedelta(days=1)
+    write_partition_overwrite(ingest_to_bronze(spark, SAMPLE, d1), path)
+    write_partition_overwrite(ingest_to_bronze(spark, SAMPLE, d2), path)
+    assert read_partitioned(spark, path).count() == 6
+    # rerun day 1 with only 2 rows: day 1 → 2 rows, day 2 untouched
+    write_partition_overwrite(ingest_to_bronze(spark, SAMPLE[:2], d1), path)
+    out = read_partitioned(spark, path)
+    assert out.count() == 5
+    assert out.filter(F.col("extraction_date") == F.lit(d1)).count() == 2
+    assert out.filter(F.col("extraction_date") == F.lit(d2)).count() == 3
+
+
+def test_multi_date_isolation(spark, tmp_path):
+    # 3 dates x 3 rows stay isolated (reference test_integration.py:144-190)
+    path = str(tmp_path / "silver")
+    dates = [TEST_DATE + datetime.timedelta(days=i) for i in range(3)]
+    for d in dates:
+        silver = bronze_to_silver(ingest_to_bronze(spark, SAMPLE, d), d)
+        write_partition_overwrite(silver, path)
+    out = read_partitioned(spark, path)
+    for d in dates:
+        assert out.filter(F.col("extraction_date") == F.lit(d)).count() == 3
+
+
+def test_e2e_conservation_100(spark):
+    # 100 generated rows through all layers; sum(brewery_count)==100
+    # (reference test_integration.py:20-108, FIXTURES.md §4)
+    types = ["micro", "nano", "regional", "brewpub", "large", "planning"]
+    locs = [
+        ("Portland", "OR"), ("Seattle", "WA"), ("San Francisco", "CA"),
+        ("Austin", "TX"), ("Denver", "CO"),
+    ]
+    rows = []
+    for i in range(100):
+        city, state = locs[i % 5]
+        rows.append({
+            "id": f"brewery-{i:04d}", "name": f"B{i}",
+            "brewery_type": types[i % 6], "city": city,
+            "state_province": state, "postal_code": str(90000 + i),
+            "country": "United States",
+            "longitude": f"-122.{i:04d}", "latitude": f"45.{i:04d}",
+            "phone": f"555-{i:04d}", "website_url": None,
+        })
+    silver = bronze_to_silver(ingest_to_bronze(spark, rows, TEST_DATE), TEST_DATE)
+    gold = silver_to_gold(silver, TEST_DATE)
+    assert silver.count() == 100
+    assert gold.agg(F.sum("brewery_count")).first()[0] == 100
+    assert gold.count() <= 30
+    per_state = {
+        r.state: r.cnt
+        for r in silver.groupBy("state").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert all(v == 20 for v in per_state.values())
