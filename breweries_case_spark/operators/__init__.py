@@ -20,7 +20,14 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from breweries_case_spark.operators import relational
 
     modules = [relational]
-    for name in ("medallion_queries", "dedup", "similarity", "text", "streaming_queries"):
+    for name in (
+        "medallion_queries",
+        "dedup",
+        "similarity",
+        "text",
+        "multimodal",
+        "streaming_queries",
+    ):
         try:
             mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
             modules.append(mod)

@@ -1,0 +1,335 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` (north-star
+X1/X2 + training-data-pipeline surface).
+
+Five strategies, one blocking discipline:
+
+- **exact** — md5 content fingerprint, hash-groupBy keep-min (oracle-checked);
+- **n-gram Jaccard** — exact pairwise token-3-gram Jaccard within lang
+  blocks (oracle-checked; the ground truth the probabilistic methods
+  approximate);
+- **SimHash** — 64-bit per-doc signature, near-dups = small Hamming
+  distance within blocks (rows-only: xxhash64 is Spark-side);
+- **MinHash + LSH banding** — shingle → k minhashes → band buckets →
+  bucket-join candidates → exact-Jaccard verification (rows-only);
+- **embedding cosine** — exact cosine pairs ≥ threshold within label
+  blocks (oracle-checked against DuckDB list_dot_product; dot products
+  are bit-identical across engines — verified).
+
+Scale stance: NOTHING here is globally quadratic. Every pairwise step is
+blocked (lang / label / LSH bucket) so the blow-up is per-block; at 100 TB
+block sizes are controlled by the banding parameters (more bands → smaller
+buckets), and the verification join only touches candidate pairs. The
+O(n²)-within-block exact variants exist as oracle-checkable ground truth
+at test scale."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from breweries_case_spark.io.reader import load_table
+
+# --- shared fragments -------------------------------------------------------
+
+
+def _norm_tokens(col):
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _shingles(tokens, n: int = 3):
+    """Distinct n-gram shingles of a token array (built-ins only: sequence +
+    transform + element_at — no explode needed at this stage)."""
+    count = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + k) for k in range(n)]
+            ),
+        )
+    )
+
+
+def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", _shingles(_norm_tokens(F.col("text"))).alias("sh")
+    )
+
+
+# --- X1: exact dedup --------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the md5 content fingerprint, keep the
+    smallest doc_id (deterministic keeper). One shuffle on the fingerprint;
+    at 100 TB this is the cheapest dedup and runs first in any pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("copies"))
+    )
+
+
+# --- X2a: exact n-gram Jaccard (ground truth) -------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for all same-lang pairs ≥ 0.5.
+    Jaccard computed as inter/(|a|+|b|-inter) — the same arithmetic shape
+    as the oracle so doubles match bitwise."""
+    docs = _docs_with_shingles(spark, sf_dir)
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jacc = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.round(jacc, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# --- X2b: SimHash -----------------------------------------------------------
+
+SIMHASH_BITS = 64
+HAMMING_MAX = 6
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: explode distinct tokens, xxhash64 each,
+    per-bit majority vote, recompose. One shuffle (groupBy doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(_norm_tokens(F.col("text")))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = ex.groupBy("doc_id", "lang").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    simhash = reduce(lambda x, y: x.bitwiseOR(y), bits)
+    return agg.select("doc_id", "lang", simhash.alias("simhash"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: same-lang pairs with Hamming(sig_a, sig_b)
+    ≤ 6. Rows-only check (xxhash64 has no DuckDB twin); the semantics are
+    covered by unit tests (identical docs → distance 0; token-disjoint
+    docs → large distance)."""
+    sigs = simhash_signatures(spark, sf_dir)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+# --- X2c: MinHash + LSH banding --------------------------------------------
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # 4 bands x 4 rows → catches jaccard ≳ 0.5 with high prob
+JACCARD_THRESHOLD = 0.5
+
+
+def minhash_signatures(docs_with_shingles: DataFrame) -> DataFrame:
+    """k min-hashes per doc: explode shingles once, hash with k seeds,
+    min-aggregate. One explode + one shuffle regardless of k."""
+    ex = docs_with_shingles.select(
+        "doc_id", "lang", F.explode("sh").alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#seed{s}")))).alias(
+            f"mh{s}"
+        )
+        for s in range(MINHASH_K)
+    ]
+    return ex.groupBy("doc_id", "lang").agg(*mins)
+
+
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band bucket are
+    candidates. Bucket join is equi (band_idx, band_hash) — shuffle on the
+    bucket key, never all-pairs."""
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.xxhash64(
+                    *[F.col(f"mh{j * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_hash"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup: candidates from band buckets, then exact-Jaccard
+    verification of ONLY the candidates. Rows-only check (probabilistic
+    recall); precision is exact because of the verification join — every
+    returned pair genuinely clears the threshold, which the unit test
+    cross-checks against q_dedup_ngram_jaccard's exact output."""
+    docs = _docs_with_shingles(spark, sf_dir)
+    cands = lsh_candidates(minhash_signatures(docs))
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- X2d: embedding-cosine near-dup ----------------------------------------
+
+# The driver's synthetic embeddings are near-uniform (max same-label cosine
+# ≈ 0.45), so the threshold is set where this data actually has pairs; on a
+# real corpus near-dup is 0.9+. The operator is threshold-parametric.
+COSINE_THRESHOLD = 0.4
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: exact cosine ≥ COSINE_THRESHOLD for same-label pairs.
+    Label is the blocking key (the ANN-bucket analog); dot products are
+    computed with zip_with+aggregate — bit-identical to DuckDB's
+    list_dot_product (verified empirically)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dot_self = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    emb = emb.withColumn("norm", F.sqrt(dot_self))
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(COSINE_THRESHOLD))
+    )
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_embedding": q_dedup_embedding,
+}
+
+ORACLES = {
+    "q_dedup_exact": """
+        SELECT md5(lower(trim(text))) AS fingerprint,
+               min(doc_id) AS keeper_doc_id, count(*) AS copies
+        FROM documents GROUP BY 1
+    """,
+    "q_dedup_ngram_jaccard": r"""
+        WITH sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+                       i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
+            FROM documents)
+        SELECT doc_a, doc_b, lang, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                   ROUND(len(list_intersect(a.sh, b.sh)) /
+                         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                         6) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5
+    """,
+    "q_dedup_embedding": """
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings)
+        SELECT vec_a, vec_b, label, cosine FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                   ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+                       AS cosine
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE cosine >= 0.4
+    """,
+    # q_dedup_simhash / q_dedup_minhash: rows-only (xxhash64 is Spark-side;
+    # LSH recall is probabilistic). Precision of minhash is pinned by a unit
+    # test against q_dedup_ngram_jaccard's exact output.
+}

@@ -1,0 +1,154 @@
+"""Multimodal column plumbing (north-star X5).
+
+Media is an opaque ``binary`` column plus a typed metadata struct
+(schemas.MEDIA_SCHEMA) — the lakehouse-native layout: bytes stay in
+parquet/Iceberg, metadata is queryable columns, decode happens ONLY inside
+Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
+Python row objects.
+
+The container has no image/audio codecs, so the real decode is stubbed
+behind ``NotImplementedError`` (import-gated on PIL/soundfile); the
+deterministic fake path keeps the Spark-side contract — schema, batch
+shape, partitioning — real and tested. The driver's testdata has no binary
+table, so media is derived from ``documents`` (text bytes as payload),
+which also makes the metadata query oracle-checkable."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from breweries_case_spark.io.reader import load_table
+
+MODALITIES = ("image", "audio", "video")
+
+try:  # pragma: no cover - codec libs absent in this container
+    import PIL.Image  # noqa: F401
+
+    _HAS_CODECS = True
+except ImportError:
+    _HAS_CODECS = False
+
+
+def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a MEDIA_SCHEMA-shaped table from documents: text bytes play
+    the opaque payload; modality assigned round-robin; metadata filled with
+    deterministic values."""
+    d = load_table(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.concat(F.lit("application/x-fake-"), modality).alias("mime"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def _decode_real(content: bytes, modality: str) -> list[float]:
+    """Real decode/feature-extract — requires codec libs not present in
+    this container. STUB: wire PIL/soundfile/av here when available."""
+    raise NotImplementedError(
+        "media decode requires codec libraries (PIL/soundfile/av) that are "
+        "not installed; the deterministic fake path exercises the plumbing"
+    )
+
+
+def _decode_fake(content: bytes, modality: str) -> list[float]:
+    """Deterministic fake 4-dim feature: byte stats. Keeps batch shapes and
+    types identical to what a real extractor would emit."""
+    if not content:
+        return [0.0, 0.0, 0.0, 0.0]
+    return [
+        float(len(content)),
+        float(content[0]),
+        float(content[-1]),
+        float(sum(content[:32]) % 997),
+    ]
+
+
+def extract_features(media: DataFrame, use_real_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    mapInPandas: each batch arrives as a pandas DataFrame with the binary
+    payload as bytes objects — the decode loop is per-batch Python, the
+    transfer is Arrow. Partitioning of the input is preserved; at scale,
+    repartition upstream so batches are ~workable-memory-sized
+    (content bytes dominate)."""
+    decode = _decode_real if use_real_decode else _decode_fake
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "features": [
+                        decode(c, m)
+                        for c, m in zip(pdf["content"], pdf["modality"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only query over the media table: modality counts + payload
+    byte totals. Never touches the binary column contents — the scan prunes
+    it (columnar layout pays off exactly here)."""
+    media = build_media_table(spark, sf_dir)
+    return media.groupBy("modality").agg(
+        F.count("*").alias("media_count"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.max("meta.duration_ms").alias("max_duration_ms"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction pipeline (fake decode): binary in, typed feature
+    array out. Rows-only check; shape/determinism pinned by unit tests."""
+    return extract_features(build_media_table(spark, sf_dir)).select(
+        "media_id", "modality", "n_bytes", "features"
+    )
+
+
+QUERIES = {
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "q_multimodal_meta": """
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS modality,
+               count(*) AS media_count,
+               SUM(octet_length(encode(text))) AS total_bytes,
+               MAX(n_chars * 10) AS max_duration_ms
+        FROM documents GROUP BY 1
+    """,
+    # q_multimodal_features: rows-only (fake decode is Spark-side plumbing).
+}

@@ -1,0 +1,178 @@
+"""Similarity search over the ``embeddings`` table (north-star X3).
+
+Two tiers behind the same result shape (vec_id, score):
+
+- ``q_sim_topk`` — brute-force exact cosine top-k against a query vector
+  (oracle-checked). O(n) per query: fine as the ground-truth baseline and
+  for one-off queries even at scale (a 100 TB scan, but embarrassingly
+  parallel with a TakeOrderedAndProject top-k — no shuffle of the data,
+  only k rows per partition reach the driver-side merge).
+- ``q_sim_ann_lsh`` — random-hyperplane LSH: 16-bit sign bucket per
+  vector, candidates = query's bucket ∪ 1-bit-flip neighbor buckets, exact
+  re-rank of candidates only. The IVF-style scale path: bucket build is one
+  narrow pass + small shuffle; queries touch ~n/2^16-sized buckets.
+  Rows-only check; recall vs the exact top-k is pinned by a unit test.
+
+Hyperplanes are deterministic pseudo-random (seeded from md5 of the plane
+index — public-knowledge construction, no RNG state), so results are stable
+across runs and engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from breweries_case_spark.io.reader import load_table
+
+TOP_K = 10
+QUERY_VEC_ID = 0
+LSH_PLANES = 8  # 256 buckets; with ≤2-bit multi-probe ≈ 0.9 recall @ cos 0.9
+EMB_DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _query_vector(
+    spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID
+) -> list[float]:
+    """Driver-side lookup of the query vector — a query PARAMETER, not a
+    distributed dataset (one indexed row; at scale this is a key-value
+    lookup, not a scan)."""
+    row = (
+        _embeddings_double(spark, sf_dir)
+        .filter(F.col("vec_id") == vec_id)
+        .select("v")
+        .first()
+    )
+    return list(row.v)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the query vector (vec_id=0), excluding itself.
+    Plans as scan → narrow per-row cosine → TakeOrderedAndProject."""
+    qv = _query_vector(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    emb = _embeddings_double(spark, sf_dir)
+    dot = _dot(F.col("v"), qlit)
+    norm_v = F.sqrt(_dot(F.col("v"), F.col("v")))
+    norm_q = F.sqrt(_dot(qlit, qlit))
+    cos = dot / (norm_v * norm_q)
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+# --- ANN: random-hyperplane LSH --------------------------------------------
+
+
+def _hyperplanes() -> list[list[float]]:
+    """LSH_PLANES deterministic pseudo-random hyperplanes in EMB_DIM dims.
+    Component (p, d) = centered md5-derived value in [-1, 1)."""
+    import hashlib
+
+    planes = []
+    for p in range(LSH_PLANES):
+        comps = []
+        for d in range(EMB_DIM):
+            h = hashlib.md5(f"plane{p}:dim{d}".encode()).hexdigest()
+            comps.append((int(h[:8], 16) / 0x8000_0000) - 1.0)
+        planes.append(comps)
+    return planes
+
+
+def _bucket_expr(vec_col):
+    """16-bit sign bucket: bit p set iff dot(v, plane_p) >= 0."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(_hyperplanes()):
+        plane_lit = F.array(*[F.lit(c) for c in plane])
+        bucket = bucket + F.when(
+            _dot(vec_col, plane_lit) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+) -> DataFrame:
+    """ANN top-k: hash all vectors to sign buckets, probe the query's bucket
+    plus all ≤2-bit-flip neighbor buckets (multi-probe LSH), exact-cosine
+    re-rank of candidates only. Same output shape as q_sim_topk.
+
+    At scale the bucket assignment is precomputed/persisted (bucketBy on
+    `bucket`), so a query reads ~37 of 256 buckets instead of the table."""
+    qv = _query_vector(spark, sf_dir, query_vec_id)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    emb = _embeddings_double(spark, sf_dir).withColumn(
+        "bucket", _bucket_expr(F.col("v"))
+    )
+
+    # query bucket + multi-probe neighbors, computed driver-side (small)
+    q_bucket = 0
+    for p, plane in enumerate(_hyperplanes()):
+        if sum(a * b for a, b in zip(qv, plane)) >= 0:
+            q_bucket |= 1 << p
+    probes = {q_bucket}
+    for p in range(LSH_PLANES):
+        probes.add(q_bucket ^ (1 << p))
+        for p2 in range(p + 1, LSH_PLANES):
+            probes.add(q_bucket ^ (1 << p) ^ (1 << p2))
+
+    dot = _dot(F.col("v"), qlit)
+    norm_v = F.sqrt(_dot(F.col("v"), F.col("v")))
+    norm_q = F.sqrt(_dot(qlit, qlit))
+    cos = dot / (norm_v * norm_q)
+    return (
+        emb.filter(F.col("bucket").isin(sorted(probes)))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered ANN entry: default query vector, default k."""
+    return ann_topk(spark, sf_dir)
+
+
+QUERIES = {
+    "q_sim_topk": q_sim_topk,
+    "q_sim_ann_lsh": q_sim_ann_lsh,
+}
+
+ORACLES = {
+    "q_sim_topk": f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id,
+               ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id
+        LIMIT {TOP_K}
+    """,
+    # q_sim_ann_lsh: rows-only (probabilistic recall); recall vs exact
+    # top-k pinned by unit test.
+}

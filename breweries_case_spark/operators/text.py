@@ -1,0 +1,187 @@
+"""Text-analysis operators over the ``documents`` table (north-star X4 +
+training-data-pipeline surface): token counting, language-ID heuristic,
+quality scoring, content fingerprinting, per-slice stats.
+
+Everything here is built-in Column expressions (JVM, codegen) except the
+deliberately-UDF ``q_pandas_udf_textlen`` which exists to exercise the
+Arrow-vectorized UDF path with an oracle twin.
+
+Determinism: ratios are single IEEE divisions (identical in both engines);
+no transcendental functions (exp/log differ in last ulp across libm
+implementations); md5 is the cross-engine hash.
+
+Scale: all per-row narrow ops — no shuffle except the stats aggregation;
+at 100 TB these pipeline into the scan stage."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from breweries_case_spark.functions import decimal_avg
+from breweries_case_spark.io.reader import load_table
+
+# shared expression fragments -------------------------------------------------
+
+#: whitespace tokens of the trimmed text
+def _ws_tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+#: BPE-ish lexer: words OR single non-word-non-space symbols — the classic
+#: pre-tokenizer shape (public GPT-2/tiktoken-style regex, simplified)
+BPEISH = r"\w+|[^\w\s]"
+
+#: tiny English marker set for the language-ID heuristic
+EN_MARKERS = r"\b(the|a|of|is|and|to|in)\b"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex token counts per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_ws_tokens(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPEISH)).alias("re_tokens"),
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source) slice — the gold-layer shape applied
+    to documents (doc counts + char-length distribution)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("doc_count"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        decimal_avg(F.col("n_chars").cast("double"), scale=4).alias("avg_chars"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic: the fraction of tokens that are
+    high-frequency English function words. Real corpora would use an n-gram
+    profile model; the heuristic keeps the operator oracle-checkable and the
+    plumbing (per-doc score + thresholded class) identical."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_ws_tokens(F.col("text")))
+    n_mark = F.regexp_count(F.col("text"), F.lit(EN_MARKERS))
+    ratio = n_mark / n_tok  # single IEEE division — engine-identical
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_marker_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias(
+            "predicted_lang"
+        ),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features + linear score: mean token length,
+    punctuation density, stopword ratio (the pretraining-filter trio)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_ws_tokens(F.col("text")))
+    n_chars = F.length(F.col("text"))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(F.col("text"), F.lit(EN_MARKERS))
+    mean_tok_len = n_chars / n_tok
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tok
+    score = F.round(
+        stop_ratio * 0.5 + punct_ratio * -0.25 + mean_tok_len * 0.05, 6
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of case/whitespace-normalized text — the
+    exact-dedup key (md5 chosen because it is the hash both engines share;
+    xxhash64 is Spark-only). Rolling/shingle hashing lives in
+    operators.dedup (minhash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _textlen_udf(s: pd.Series) -> pd.Series:
+    return s.str.len().astype("int64")
+
+
+def q_pandas_udf_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized Pandas UDF demonstrator with an oracle twin
+    (SURVEY §2.8) — the template for custom Python ops: batch in, batch
+    out, no per-row serialization."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _textlen_udf(F.col("text")).alias("text_len"))
+
+
+QUERIES = {
+    "q_token_count": q_token_count,
+    "q_text_stats": q_text_stats,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+    "q_fingerprint": q_fingerprint,
+    "q_pandas_udf_textlen": q_pandas_udf_textlen,
+}
+
+ORACLES = {
+    "q_token_count": r"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+               len(regexp_extract_all(text, '\w+|[^\w\s]')) AS re_tokens
+        FROM documents
+    """,
+    "q_text_stats": r"""
+        SELECT lang, source, count(*) AS doc_count,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               CAST(ROUND(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(18,6)))
+                          / COUNT(n_chars), 4) AS DOUBLE) AS avg_chars
+        FROM documents GROUP BY lang, source
+    """,
+    "q_lang_id": r"""
+        SELECT doc_id, lang,
+               ROUND(len(regexp_extract_all(text, '\b(the|a|of|is|and|to|in)\b'))
+                     / len(string_split_regex(trim(text), '\s+')), 6)
+                   AS en_marker_ratio,
+               CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|is|and|to|in)\b'))
+                         / len(string_split_regex(trim(text), '\s+')) >= 0.05
+                    THEN 'en' ELSE 'other' END AS predicted_lang
+        FROM documents
+    """,
+    "q_quality_score": r"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               ROUND(length(text) / len(string_split_regex(trim(text), '\s+')), 6)
+                   AS mean_token_len,
+               ROUND(len(regexp_extract_all(text, '[^\w\s]')) / length(text), 6)
+                   AS punct_ratio,
+               ROUND(len(regexp_extract_all(text, '\b(the|a|of|is|and|to|in)\b'))
+                     / len(string_split_regex(trim(text), '\s+')), 6)
+                   AS stopword_ratio,
+               ROUND(len(regexp_extract_all(text, '\b(the|a|of|is|and|to|in)\b'))
+                         / len(string_split_regex(trim(text), '\s+')) * 0.5
+                     + len(regexp_extract_all(text, '[^\w\s]')) / length(text) * -0.25
+                     + length(text) / len(string_split_regex(trim(text), '\s+')) * 0.05,
+                     6) AS quality_score
+        FROM documents
+    """,
+    "q_fingerprint": """
+        SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+    """,
+    "q_pandas_udf_textlen": """
+        SELECT doc_id, length(text) AS text_len FROM documents
+    """,
+}
