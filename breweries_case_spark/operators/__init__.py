@@ -28,11 +28,11 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "multimodal",
         "streaming_queries",
     ):
-        try:
-            mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
-            modules.append(mod)
-        except ImportError:
-            pass
+        mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
+        modules.append(mod)
+    from breweries_case_spark.io import rest_source
+
+    modules.append(rest_source)
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}

@@ -1,0 +1,195 @@
+"""Streaming window queries + their batch mirrors (SURVEY §2.8, §7.3 hard
+part 4).
+
+``*_batch`` variants run the identical window expression as a batch query —
+DuckDB-oracle-checkable (bucket arithmetic spelled out so both engines
+floor identically from the epoch). The ``q_stream_*`` variants execute a
+REAL Structured Streaming query (readStream file source → watermark →
+windowed agg → memory sink, deterministic replay) and are checked
+rows-only; a unit test asserts stream output == batch-mirror output."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from breweries_case_spark.io.reader import load_table
+from breweries_case_spark.streaming.windows import (
+    run_stream_to_memory,
+    session_counts,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+# --- batch mirrors (oracle-checkable) ---------------------------------------
+
+
+def q_stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows per event_type — batch twin of the
+    streaming aggregation (same F.window expression, no watermark needed
+    on bounded input)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5 — each event lands in two windows;
+    the oracle reproduces this with an explicit 2-offset union."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def q_stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user via F.session_window (batch mode).
+    Oracle: classic gaps-and-islands SQL — proves the dynamic-window
+    semantics against a fully independent formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative-sum-of-gap-flags — the windowed
+    batch idiom. Identical output to q_stream_session_batch; kept as a
+    distinct operator because the window formulation lets arbitrary
+    per-event columns ride along through the session. Gap compared in
+    microseconds — full timestamp precision, same as session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us, 1).over(w)
+    gap_flag = F.when(
+        prev_us.isNull() | (us - prev_us >= SESSION_GAP_US), 1
+    ).otherwise(0)
+    flagged = ev.select("user_id", "ts", "event_id", gap_flag.alias("new_session"))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+# --- true streaming (rows-only) ---------------------------------------------
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real readStream → watermark → tumbling agg → memory sink replay."""
+    return run_stream_to_memory(
+        tumbling_counts(stream_events(spark, sf_dir)),
+        "stream_tumbling_out",
+        output_mode="complete",
+    )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        sliding_counts(stream_events(spark, sf_dir)),
+        "stream_sliding_out",
+        output_mode="complete",
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        session_counts(stream_events(spark, sf_dir)),
+        "stream_session_out",
+        output_mode="complete",
+    )
+
+
+QUERIES = {
+    "q_stream_tumbling_batch": q_stream_tumbling_batch,
+    "q_stream_sliding_batch": q_stream_sliding_batch,
+    "q_stream_session_batch": q_stream_session_batch,
+    "q_sessionize_lag": q_sessionize_lag,
+    "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_sliding": q_stream_sliding,
+    "q_stream_session": q_stream_session,
+}
+
+# Spark's F.window floors from the Unix epoch; spell the same arithmetic in
+# DuckDB (time_bucket has a different default origin).
+_BUCKET5 = "make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000)"
+
+# Gaps-and-islands sessionization, full microsecond precision — shared by
+# both session query oracles. Spark's session_window treats an event at
+# exactly start+gap as a NEW session (window end is exclusive), hence >=.
+_SESSIONS_CTE = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged)
+"""
+
+ORACLES = {
+    "q_stream_tumbling_batch": f"""
+        SELECT {_BUCKET5} AS window_start, event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_stream_sliding_batch": f"""
+        WITH buck AS (SELECT {_BUCKET5} AS b5, event_type FROM events)
+        SELECT window_start, event_type, count(*) AS n_events FROM (
+            SELECT b5 AS window_start, event_type FROM buck
+            UNION ALL
+            SELECT b5 - INTERVAL 5 MINUTE AS window_start, event_type FROM buck)
+        GROUP BY 1, 2
+    """,
+    "q_stream_session_batch": _SESSIONS_CTE
+    + """
+        SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "q_sessionize_lag": _SESSIONS_CTE
+    + """
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    # q_stream_*: rows-only — real streaming runs; equality with the batch
+    # mirrors is pinned by tests/test_streaming.py.
+}

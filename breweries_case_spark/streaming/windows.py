@@ -1,0 +1,123 @@
+"""Structured Streaming over the ``events`` table (SURVEY §2.8 — additive
+surface; the reference is daily batch with partition-overwrite as its
+late-data story).
+
+Design: every streaming aggregation here is the SAME logical window
+expression as its batch mirror in ``operators.streaming_queries`` — the
+mirrors are DuckDB-oracle-checkable, the streaming versions add watermarks
+and run through a real ``readStream`` → memory-sink replay (deterministic:
+file source + processAllAvailable). This is SURVEY §7.3 hard part 4's
+resolution: DuckDB can't replay watermarks, so correctness is pinned on the
+batch twin and the streaming path is checked rows-only + unit-tested for
+late-data semantics.
+
+Scale: file-source streaming here stands in for Kafka; the window state is
+keyed by (window, event_type) / (user, session) and bounded by the
+watermark — state store size is O(active windows), not O(stream)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.ts is TIMESTAMP(NANOS) in parquet; streaming reader uses the same
+# nanos-as-long + exact-truncate trick as io.reader.load_table.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+WATERMARK = "10 minutes"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file source = the deterministic
+    local stand-in for Kafka; same DataFrame surface either way)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        # glob the events file specifically — sf_dir holds ALL tables, and a
+        # bare directory path would stream every parquet (name-matched
+        # columns → silent null rows); the glob form keeps basePath a
+        # directory, which the file source requires
+        .option("path", f"{sf_dir}/events.*")
+        .format("parquet")
+        .load()
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling-window counts + value sums per event_type, watermarked."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding-window counts per event_type (each event lands in
+    width/slide windows)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other merge
+    into one session (F.session_window — dynamic-length windows)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion against the available input
+    (deterministic replay) and return the materialized result.
+
+    Memory sink is the local harness; production sinks swap in
+    ``foreachBatch`` + io.writer.write_partition_overwrite for exactly-once
+    idempotent partition updates."""
+    spark = streaming_df.sparkSession
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,169 @@
+"""Streaming semantics: real readStream replays must equal the batch
+mirrors; watermark drops late data; REST source pagination/retry contract
+(mirrors reference tests/integration/test_connectivity.py:57-116)."""
+
+from __future__ import annotations
+
+import pytest
+
+from breweries_case_spark.io.rest_source import (
+    DEFAULT_MAX_PAGES,
+    RetryableHTTPError,
+    fetch_paginated,
+    synthetic_page_fetcher,
+    with_retries,
+)
+from breweries_case_spark.operators.streaming_queries import (
+    q_sessionize_lag,
+    q_stream_session,
+    q_stream_session_batch,
+    q_stream_tumbling,
+    q_stream_tumbling_batch,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(cols).collect())
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    stream = _rows(q_stream_tumbling(spark, sf_dir), cols)
+    batch = _rows(q_stream_tumbling_batch(spark, sf_dir), cols)
+    assert stream == batch
+
+
+def test_stream_session_equals_batch(spark, sf_dir):
+    cols = ["session_start", "user_id", "n_events"]
+    stream = _rows(q_stream_session(spark, sf_dir), cols)
+    batch = _rows(q_stream_session_batch(spark, sf_dir), cols)
+    assert stream == batch
+
+
+def test_sessionize_lag_equals_session_window(spark, sf_dir):
+    cols = ["session_start", "user_id", "n_events"]
+    assert _rows(q_sessionize_lag(spark, sf_dir), cols) == _rows(
+        q_stream_session_batch(spark, sf_dir), cols
+    )
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode with watermark: an event older than watermark arriving in
+    a later batch is dropped from its (already emitted) window."""
+    import pyspark.sql.functions as F
+
+    from breweries_case_spark.streaming.windows import tumbling_counts
+
+    path = str(tmp_path / "stream_in")
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        ).write.mode(mode).parquet(path)
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    write_batch([(ts(1), "a", 1.0), (ts(2), "a", 1.0)], "overwrite")
+
+    events = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .parquet(path)
+    )
+    agg = tumbling_counts(events)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: an event far ahead (advances watermark past window 0-5)
+        write_batch([(ts(60), "a", 1.0)], "append")
+        q.processAllAvailable()
+        # batch 3: a LATE event for the now-closed 0-5 window + fresh event
+        write_batch([(ts(3), "a", 99.0), (ts(61), "a", 1.0)], "append")
+        q.processAllAvailable()
+        # batch 4: push watermark far enough to close the 60-65 window
+        write_batch([(ts(120), "a", 1.0)], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {
+        (r.window_start.minute, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("wm_out").collect()
+    }
+    # window 00:00-00:05 emitted with the two on-time events only; the late
+    # 99.0 event never appears
+    assert out[(0, "a")] == (2, 2.0)
+    assert all(v[1] < 99.0 for v in out.values())
+
+
+# --- REST source contract ----------------------------------------------------
+
+
+def test_pagination_stops_on_partial_page():
+    fetcher = synthetic_page_fetcher(total_rows=450)
+    calls = []
+
+    def counting(page, per_page):
+        calls.append(page)
+        return fetcher(page, per_page)
+
+    records = fetch_paginated(counting, per_page=200)
+    assert len(records) == 450
+    assert calls == [1, 2, 3]  # partial page 3 stops the loop
+
+
+def test_pagination_stops_on_empty_page():
+    fetcher = synthetic_page_fetcher(total_rows=400)
+    records = fetch_paginated(fetcher, per_page=200)
+    assert len(records) == 400  # page 3 empty → stop, no phantom rows
+
+
+def test_pagination_respects_page_cap():
+    def infinite(page, per_page):
+        return [{"id": f"x{page}-{i}"} for i in range(per_page)]
+
+    records = fetch_paginated(infinite, per_page=200)
+    assert len(records) == 200 * DEFAULT_MAX_PAGES
+
+
+def test_retry_backoff_and_retry_after():
+    attempts = []
+    sleeps = []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) == 1:
+            raise RetryableHTTPError(429, retry_after=7.5)
+        if len(attempts) == 2:
+            raise RetryableHTTPError(503)
+        return [{"ok": True}]
+
+    out = with_retries(flaky, retries=5, backoff=0.6, sleep=sleeps.append)
+    assert out == [{"ok": True}]
+    assert sleeps[0] == 7.5  # Retry-After honored
+    assert sleeps[1] == 0.6 * 2  # exponential backoff, attempt 1
+
+
+def test_retry_exhaustion_raises():
+    def always_500():
+        raise RetryableHTTPError(500)
+
+    with pytest.raises(RetryableHTTPError):
+        with_retries(always_500, retries=2, sleep=lambda _s: None)
+
+
+def test_ingest_rest_to_bronze(spark):
+    from breweries_case_spark.io.rest_source import q_ingest_rest
+
+    bronze = q_ingest_rest(spark, "")
+    assert bronze.count() == 450
+    assert bronze.columns == ["raw_json", "extraction_date"]
