@@ -71,12 +71,60 @@ def q_regexp_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_write_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: dynamic partition overwrite idempotency (reference S5,
+    breweries_bronze_processors.py:133,149-153; idempotency proven by
+    reference tests/unit/test_bronze.py:89-109). Writes 3 date partitions,
+    reruns ONE with half the rows, and returns per-partition counts read
+    back from disk — the rerun partition shrinks, the others are untouched.
+    Result is materialized to a local relation so the scratch dir can be
+    cleaned up before the driver collects."""
+    import shutil
+    import tempfile
+
+    from breweries_case_spark.io.writer import (
+        read_partitioned,
+        write_partition_overwrite,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    dates = [
+        r[0]
+        for r in orders.select("o_orderdate")
+        .distinct()
+        .orderBy("o_orderdate")
+        .limit(3)
+        .collect()
+    ]
+    subset = orders.filter(F.col("o_orderdate").isin(dates))
+    tmp = tempfile.mkdtemp(prefix="q_write_dyn_")
+    try:
+        write_partition_overwrite(subset, tmp, "o_orderdate")
+        rerun = subset.filter(
+            (F.col("o_orderdate") == dates[0]) & (F.col("o_orderkey") % 2 == 0)
+        )
+        write_partition_overwrite(rerun, tmp, "o_orderdate")
+        summary = (
+            read_partitioned(spark, tmp)
+            .groupBy("o_orderdate")
+            .agg(F.count("*").alias("n_orders"))
+            .orderBy("o_orderdate")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(summary, "o_orderdate date, n_orders long")
+
+
 QUERIES = {
     "q_json_extract": q_json_extract,
     "q_cast": q_cast,
     "q_to_json": q_to_json,
     "q_clean_normalize": q_clean_normalize,
     "q_regexp_replace": q_regexp_replace,
+    "q_write_dynamic_overwrite": q_write_dynamic_overwrite,
 }
 
 ORACLES = {

@@ -193,3 +193,30 @@ def test_e2e_conservation_100(spark):
         for r in silver.groupBy("state").agg(F.count("*").alias("cnt")).collect()
     }
     assert all(v == 20 for v in per_state.values())
+
+
+def test_q_write_dynamic_overwrite_registered(spark, sf_dir):
+    from breweries_case_spark.operators.medallion_queries import (
+        q_write_dynamic_overwrite,
+    )
+
+    rows = {r.o_orderdate: r.n_orders for r in q_write_dynamic_overwrite(spark, sf_dir).collect()}
+    assert len(rows) == 3
+    dates = sorted(rows)
+    # rerun partition shrank (half the rows); others untouched vs a fresh scan
+    from breweries_case_spark.io.reader import load_table
+    import pyspark.sql.functions as F
+
+    orig = {
+        r.o_orderdate: r.n
+        for r in load_table(spark, sf_dir, "orders")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+        .filter(F.col("o_orderdate").isin(list(dates)))
+        .groupBy("o_orderdate")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # rerun partition kept only even orderkeys; the other two are untouched
+    assert rows[dates[0]] < orig[dates[0]] or orig[dates[0]] == 1
+    assert rows[dates[1]] == orig[dates[1]]
+    assert rows[dates[2]] == orig[dates[2]]
