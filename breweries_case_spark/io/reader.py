@@ -50,6 +50,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a SMALL scan so CPU-heavy per-row work uses every core.
+
+    Local parquet testdata arrives as one split per file, which serializes
+    compute-bound expressions (shingling, hashing) onto one core. At 100 TB
+    a scan has thousands of splits — more than ``defaultParallelism`` — so
+    this returns the input unchanged and never injects a full-table shuffle
+    at scale; the guard is what makes it safe to use unconditionally."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works against the
     same names the DuckDB oracle uses."""

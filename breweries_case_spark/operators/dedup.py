@@ -29,7 +29,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from breweries_case_spark.io.reader import load_table
+from breweries_case_spark.io.reader import load_table, spread
 
 # --- shared fragments -------------------------------------------------------
 
@@ -41,19 +41,25 @@ def _norm_tokens(col):
 def _shingles(tokens, n: int = 3):
     """Distinct n-gram shingles of a token array (built-ins only: sequence +
     transform + element_at — no explode needed at this stage)."""
-    count = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, i + k) for k in range(n)]
-            ),
+    count = F.size(tokens) - (n - 1)
+    # sequence(1, 0) is DESCENDING in Spark — guard short docs explicitly
+    # so they yield an empty shingle set instead of an index-0 error
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tokens, i + k) for k in range(n)]
+                ),
+            )
         )
     )
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread: shingling is compute-bound; parallelize the small local scan
+    # (no-op at scale where splits >> cores)
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", "lang", _shingles(_norm_tokens(F.col("text"))).alias("sh")
     )
@@ -110,29 +116,34 @@ HAMMING_MAX = 6
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: explode distinct tokens, xxhash64 each,
-    per-bit majority vote, recompose. One shuffle (groupBy doc)."""
-    d = load_table(spark, sf_dir, "documents")
-    ex = d.select(
+    """64-bit SimHash per document, fully NARROW: hash distinct tokens into
+    an array once, then per-bit majority vote with size(filter(...)) —
+    bit b is set iff more than half the token hashes have bit b set
+    (identical to the ±1-vote-sum formulation, sum > 0 ⟺ 2·count > n).
+    No explode, no shuffle: at 100 TB each doc is touched once in the scan
+    stage instead of shuffling one row per (doc, token)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.select(
         "doc_id",
         "lang",
-        F.explode(F.array_distinct(_norm_tokens(F.col("text")))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = ex.groupBy("doc_id", "lang").agg(*votes)
+        F.transform(
+            F.array_distinct(_norm_tokens(F.col("text"))), lambda t: F.xxhash64(t)
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    ntok = F.size("hs")
+
+    def _bit_set(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
     bits = [
-        F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
-        )
+        F.when(
+            F.size(F.filter(F.col("hs"), _bit_set(b))) * 2 > ntok,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
         for b in range(SIMHASH_BITS)
     ]
     simhash = reduce(lambda x, y: x.bitwiseOR(y), bits)
-    return agg.select("doc_id", "lang", simhash.alias("simhash"))
+    return base.select("doc_id", "lang", simhash.alias("simhash"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,19 +176,39 @@ LSH_BANDS = 4  # 4 bands x 4 rows → catches jaccard ≳ 0.5 with high prob
 JACCARD_THRESHOLD = 0.5
 
 
+# Universal-hash family over a Mersenne prime: h_i(x) = (a_i*x + b_i) mod P.
+# a_i odd and < P, x < P → the product stays < 2^62, so LongType arithmetic
+# never overflows (Spark 4 runs ANSI mode: long overflow would THROW, not
+# wrap — the modular family is what makes k hashes safe AND cheap).
+_MERSENNE_P = (1 << 31) - 1
+_HASH_AB = [
+    (((s * 0x9E3779B1) % _MERSENNE_P) | 1, (s * 0x85EBCA77 + 17) % _MERSENNE_P)
+    for s in range(1, MINHASH_K + 1)
+]
+
+
 def minhash_signatures(docs_with_shingles: DataFrame) -> DataFrame:
-    """k min-hashes per doc: explode shingles once, hash with k seeds,
-    min-aggregate. One explode + one shuffle regardless of k."""
-    ex = docs_with_shingles.select(
-        "doc_id", "lang", F.explode("sh").alias("shingle")
+    """k min-hashes per doc, fully NARROW: hash each shingle once
+    (xxhash64 → [0, P)), then derive the k signature slots with integer
+    mixing + array_min — no explode, no shuffle, no string concat per seed.
+    Replaces the explode+groupBy formulation: at 100 TB that shuffled one
+    row per (doc, shingle); this touches each doc exactly once in the scan
+    stage. Docs with no shingles (< n tokens) yield null slots and are
+    dropped, matching the explode semantics."""
+    hashed = docs_with_shingles.withColumn(
+        "hs", F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
     )
+    def _mix(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+
     mins = [
-        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#seed{s}")))).alias(
-            f"mh{s}"
-        )
-        for s in range(MINHASH_K)
+        F.array_min(F.transform(F.col("hs"), _mix(a, b))).alias(f"mh{s}")
+        for s, (a, b) in enumerate(_HASH_AB)
     ]
-    return ex.groupBy("doc_id", "lang").agg(*mins)
+    return (
+        hashed.select("doc_id", "lang", *mins)
+        .filter(F.col("mh0").isNotNull())
+    )
 
 
 def lsh_candidates(sigs: DataFrame) -> DataFrame:
@@ -218,7 +249,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall); precision is exact because of the verification join — every
     returned pair genuinely clears the threshold, which the unit test
     cross-checks against q_dedup_ngram_jaccard's exact output."""
-    docs = _docs_with_shingles(spark, sf_dir)
+    # persist: the shingled docs feed three consumers (signatures + both
+    # verification sides); without it the shingle expression re-evaluates
+    # per consumer. At 100 TB the same role is played by checkpointing the
+    # (much smaller) signature table and semi-joining shingles back.
+    docs = _docs_with_shingles(spark, sf_dir).persist()
     cands = lsh_candidates(minhash_signatures(docs))
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
