@@ -47,6 +47,7 @@ EXTENDED = [
     "q_quality_score",
     "q_sim_topk",
     "q_stream_tumbling_batch",
+    "q_join_asof",
 ]
 
 

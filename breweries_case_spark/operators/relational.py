@@ -384,6 +384,67 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the LATEST view event at
+    or before it for the same user (inner: purchases with no prior view are
+    dropped). Spark lacks a native as-of join; the scalable formulation is
+    union-tag + window, ONE shuffle on the key:
+
+    union both sides with a side tag → sort within user by (ts, side) with
+    views ordering before purchases on ts ties → last_value(ignorenulls)
+    carries the most recent view forward → keep purchase rows.
+
+    At 100 TB this beats the range-join alternative (shuffle-explode on
+    inequality) by construction: cost is a single hash exchange on user_id
+    plus a sort, identical to any windowed aggregation over the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    tagged = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("view_event_id"),
+            F.lit(None).cast("timestamp").alias("view_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "view_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "side",
+        "purchase_id",
+        "purchase_value",
+        F.last("view_event_id", ignorenulls=True).over(w).alias("view_event_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return carried.filter(
+        (F.col("side") == 1) & F.col("view_event_id").isNotNull()
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+        "view_event_id",
+        "view_ts",
+    )
+
+
 # --- Flagship (SURVEY §7.1) -------------------------------------------------
 
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,10 +503,19 @@ QUERIES = {
     "q_union": q_union,
     "q_intersect": q_intersect,
     "q_except": q_except,
+    "q_join_asof": q_join_asof,
     "q_flagship": q_flagship,
 }
 
 ORACLES = {
+    "q_join_asof": """
+        SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+               p.ts AS purchase_ts, p.value AS purchase_value,
+               v.event_id AS view_event_id, v.ts AS view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
     "q_scan": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_partition_pruned_scan": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate

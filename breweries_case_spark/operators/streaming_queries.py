@@ -130,6 +130,29 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (count, sum) state, replayed to completion — the final row per user
+    must equal the batch groupBy, which tests/test_streaming.py pins.
+    Rows-only: arbitrary-stateful ops are the canonical non-SQL surface."""
+    from pyspark.sql.window import Window as W
+
+    from breweries_case_spark.streaming.stateful import running_user_totals
+
+    updates = run_stream_to_memory(
+        running_user_totals(stream_events(spark, sf_dir)),
+        "stream_stateful_out",
+        output_mode="update",
+    )
+    # update mode emits one row per (user, micro-batch); keep the final state
+    latest = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
 QUERIES = {
     "q_stream_tumbling_batch": q_stream_tumbling_batch,
     "q_stream_sliding_batch": q_stream_sliding_batch,
@@ -138,6 +161,7 @@ QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
+    "q_stream_stateful": q_stream_stateful,
 }
 
 # Spark's F.window floors from the Unix epoch; spell the same arithmetic in

@@ -167,3 +167,84 @@ def test_ingest_rest_to_bronze(spark):
     bronze = q_ingest_rest(spark, "")
     assert bronze.count() == 450
     assert bronze.columns == ["raw_json", "extraction_date"]
+
+
+def test_stateful_running_totals_equal_batch(spark, sf_dir):
+    """Final applyInPandasWithState state per user == batch groupBy."""
+    import pyspark.sql.functions as F
+
+    from breweries_case_spark.io.reader import load_table
+    from breweries_case_spark.operators.streaming_queries import q_stream_stateful
+
+    stateful = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in q_stream_stateful(spark, sf_dir).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(stateful) == set(batch)
+    for uid, (n, total) in batch.items():
+        assert stateful[uid][0] == n
+        assert abs(stateful[uid][1] - total) < 1e-6
+
+
+def test_stateful_state_accumulates_across_batches(spark, tmp_path):
+    """State carries across micro-batches: totals after batch 2 include
+    batch 1 (the property a stateless per-batch agg would get wrong)."""
+    from breweries_case_spark.streaming.stateful import running_user_totals
+
+    path = str(tmp_path / "stateful_in")
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, "user_id long, value double").write.mode(
+            mode
+        ).parquet(path)
+
+    write([(1, 1.0), (1, 2.0), (2, 5.0)], "overwrite")
+    events = spark.readStream.schema("user_id long, value double").parquet(path)
+    q = (
+        running_user_totals(events)
+        .writeStream.format("memory")
+        .queryName("stateful_acc")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([(1, 10.0)], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("stateful_acc").collect()
+    final_u1 = max(
+        (r for r in rows if r.user_id == 1), key=lambda r: r.n_events
+    )
+    assert (final_u1.n_events, final_u1.total_value) == (3, 13.0)
+
+
+def test_asof_join_matches_per_row_semantics(spark, sf_dir):
+    """Every purchase matches the max view_ts <= purchase_ts for its user
+    (spot-checked row-wise against a collect-side computation)."""
+    import pyspark.sql.functions as F
+
+    from breweries_case_spark.io.reader import load_table
+    from breweries_case_spark.operators.relational import q_join_asof
+
+    out = q_join_asof(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "ts")
+        .collect()
+    )
+    views_by_user = {}
+    for r in ev:
+        views_by_user.setdefault(r.user_id, []).append(r.ts)
+    for r in out[:200]:
+        best = max(t for t in views_by_user[r.user_id] if t <= r.purchase_ts)
+        assert r.view_ts == best
