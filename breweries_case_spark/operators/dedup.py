@@ -65,6 +65,47 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MERSENNE_P = (1 << 31) - 1
+_SHINGLE_MIX = 2654435761 % _MERSENNE_P
+
+
+def _docs_with_hashed_shingles(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """Integer shingles for the probabilistic dedup path: hash each token
+    ONCE (xxhash64 → [0, P)), then roll n-gram hashes with modular mixing —
+    no per-shingle string building. Same distinct-shingle semantics as the
+    string form (collision probability ~n²/P per doc, negligible), at a
+    fraction of the CPU; the string form stays as the DuckDB-checkable
+    ground truth in q_dedup_ngram_jaccard. Token hashes land in a
+    materialized column so CollapseProject can't inline the token-hash
+    array into each of its ~doc_len uses."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = _norm_tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE_P))
+        ).alias("th"),
+    )
+    count = F.size(F.col("th")) - (n - 1)
+
+    def roll(i):
+        acc = F.element_at(F.col("th"), i)
+        for k in range(1, n):
+            acc = F.pmod(
+                acc * F.lit(_SHINGLE_MIX) + F.element_at(F.col("th"), i + k),
+                F.lit(_MERSENNE_P),
+            )
+        return acc
+
+    sh = F.when(count < 1, F.array().cast("array<long>")).otherwise(
+        F.array_distinct(F.transform(F.sequence(F.lit(1), count), roll))
+    )
+    return base.select("doc_id", "lang", sh.alias("sh"))
+
+
 # --- X1: exact dedup --------------------------------------------------------
 
 
@@ -180,34 +221,30 @@ JACCARD_THRESHOLD = 0.5
 # a_i odd and < P, x < P → the product stays < 2^62, so LongType arithmetic
 # never overflows (Spark 4 runs ANSI mode: long overflow would THROW, not
 # wrap — the modular family is what makes k hashes safe AND cheap).
-_MERSENNE_P = (1 << 31) - 1
 _HASH_AB = [
     (((s * 0x9E3779B1) % _MERSENNE_P) | 1, (s * 0x85EBCA77 + 17) % _MERSENNE_P)
     for s in range(1, MINHASH_K + 1)
 ]
 
 
-def minhash_signatures(docs_with_shingles: DataFrame) -> DataFrame:
-    """k min-hashes per doc, fully NARROW: hash each shingle once
-    (xxhash64 → [0, P)), then derive the k signature slots with integer
-    mixing + array_min — no explode, no shuffle, no string concat per seed.
-    Replaces the explode+groupBy formulation: at 100 TB that shuffled one
-    row per (doc, shingle); this touches each doc exactly once in the scan
-    stage. Docs with no shingles (< n tokens) yield null slots and are
-    dropped, matching the explode semantics."""
-    hashed = docs_with_shingles.withColumn(
-        "hs", F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-    )
+def minhash_signatures(docs_with_hashed_shingles: DataFrame) -> DataFrame:
+    """k min-hashes per doc, fully NARROW: input shingles are already
+    integers in [0, P) (``_docs_with_hashed_shingles``); the k signature
+    slots are integer mixing + array_min — no explode, no shuffle, no
+    string hashing per seed. Replaces the explode+groupBy formulation: at
+    100 TB that shuffled one row per (doc, shingle); this touches each doc
+    exactly once in the scan stage. Docs with no shingles (< n tokens)
+    yield null slots and are dropped, matching the explode semantics."""
+
     def _mix(a: int, b: int):
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
 
     mins = [
-        F.array_min(F.transform(F.col("hs"), _mix(a, b))).alias(f"mh{s}")
+        F.array_min(F.transform(F.col("sh"), _mix(a, b))).alias(f"mh{s}")
         for s, (a, b) in enumerate(_HASH_AB)
     ]
-    return (
-        hashed.select("doc_id", "lang", *mins)
-        .filter(F.col("mh0").isNotNull())
+    return docs_with_hashed_shingles.select("doc_id", "lang", *mins).filter(
+        F.col("mh0").isNotNull()
     )
 
 
@@ -253,7 +290,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification sides); without it the shingle expression re-evaluates
     # per consumer. At 100 TB the same role is played by checkpointing the
     # (much smaller) signature table and semi-joining shingles back.
-    docs = _docs_with_shingles(spark, sf_dir).persist()
+    docs = _docs_with_hashed_shingles(spark, sf_dir).persist()
     cands = lsh_candidates(minhash_signatures(docs))
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -269,6 +269,92 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys — all 4 grouping combinations in one pass (Spark
+    expands grouping sets before the single hash aggregate; one shuffle,
+    same as a plain groupBy at scale)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("line_count"),
+            decimal_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize.
+    Spark plans one Expand + one aggregate (single shuffle)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("line_count"),
+            decimal_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status → columns, sum(totalprice) per priority. The
+    value list is EXPLICIT — at scale an implicit pivot first runs a
+    distinct job over the pivot column and can blow the column budget;
+    declaring values keeps it a single one-shuffle aggregate."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(decimal_sum(F.col("o_totalprice")))
+    )
+
+
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group; at 100 TB
+    the same query swaps F.percentile → F.percentile_approx (t-digest,
+    mergeable sketch) — declared as q_percentile_approx, rows-only."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("p50_qty"),
+            F.round(F.percentile(F.col("l_quantity"), F.lit(0.95)), 6).alias("p95_qty"),
+        )
+    )
+
+
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate percentile — the 100 TB path (single pass,
+    fixed-size sketch per group, no global sort). Rows-only: sketch
+    estimates differ across engines by construction."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(F.col("l_quantity"), F.lit(0.5), F.lit(10000)).alias(
+                "p50_qty_approx"
+            )
+        )
+    )
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of customers by balance within market segment."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct — the 100 TB substitute for exact distinct
     (SURVEY §2.5). No oracle: Spark's HLL++ estimate differs from DuckDB's
@@ -504,6 +590,12 @@ QUERIES = {
     "q_intersect": q_intersect,
     "q_except": q_except,
     "q_join_asof": q_join_asof,
+    "q_cube": q_cube,
+    "q_grouping_sets": q_grouping_sets,
+    "q_pivot": q_pivot,
+    "q_percentile": q_percentile,
+    "q_percentile_approx": q_percentile_approx,
+    "q_window_ntile": q_window_ntile,
     "q_flagship": q_flagship,
 }
 
@@ -515,6 +607,40 @@ ORACLES = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "q_cube": """
+        SELECT l_returnflag, l_linestatus, count(*) AS line_count,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_grouping_sets": """
+        SELECT l_returnflag, l_linestatus, count(*) AS line_count,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q_pivot": """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+               CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+               CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_percentile": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+               ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_window_ntile": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey)
+                   AS balance_quartile
+        FROM customer
     """,
     "q_scan": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_partition_pruned_scan": """
