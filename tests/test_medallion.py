@@ -220,3 +220,46 @@ def test_q_write_dynamic_overwrite_registered(spark, sf_dir):
     assert rows[dates[0]] < orig[dates[0]] or orig[dates[0]] == 1
     assert rows[dates[1]] == orig[dates[1]]
     assert rows[dates[2]] == orig[dates[2]]
+
+
+def test_layer_wallclock_at_10k_rows(spark):
+    """Reference's only published perf envelope: < 30 s/layer at 10,000
+    rows (reference tests/integration/test_performance.py:71-73); BASELINE
+    operative target is 2x that. Each layer is materialized separately so
+    the bound applies per layer, as in the reference."""
+    import time
+
+    rows = [
+        {
+            "id": f"brewery-{i:05d}",
+            "name": f"  Brewery {i}  ",
+            "brewery_type": ["micro", "nano", "regional"][i % 3].upper(),
+            "city": f"City{i % 50}",
+            "state_province": f"state{i % 20}",
+            "postal_code": str(90000 + i),
+            "country": "united states",
+            "longitude": f"-122.{i:04d}",
+            "latitude": f"45.{i % 10000:04d}",
+            "phone": f"(503) 555-{i:04d}",
+            "website_url": None,
+        }
+        for i in range(10_000)
+    ]
+
+    t0 = time.perf_counter()
+    bronze = ingest_to_bronze(spark, rows, TEST_DATE)
+    assert bronze.count() == 10_000
+    t_bronze = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    silver = bronze_to_silver(bronze, TEST_DATE)
+    assert silver.count() == 10_000
+    t_silver = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    gold = silver_to_gold(silver, TEST_DATE)
+    assert gold.agg(F.sum("brewery_count")).first()[0] == 10_000
+    t_gold = time.perf_counter() - t0
+
+    for layer, t in (("bronze", t_bronze), ("silver", t_silver), ("gold", t_gold)):
+        assert t < 60.0, f"{layer} took {t:.1f}s at 10k rows (bound 60s)"

@@ -248,3 +248,43 @@ def test_asof_join_matches_per_row_semantics(spark, sf_dir):
     for r in out[:200]:
         best = max(t for t in views_by_user[r.user_id] if t <= r.purchase_ts)
         assert r.view_ts == best
+
+
+def test_foreachbatch_partition_overwrite_sink(spark, tmp_path):
+    """Stream → foreachBatch → dynamic partition overwrite: replaying a
+    full partition converges (no duplicates), other partitions untouched."""
+    import datetime
+
+    from breweries_case_spark.streaming.sinks import stream_to_partitioned_parquet
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, "ts timestamp, user_id long").write.mode(
+            mode
+        ).parquet(src)
+
+    d1 = datetime.datetime(2024, 3, 1, 10, 0)
+    d2 = datetime.datetime(2024, 3, 2, 10, 0)
+    write([(d1, 1), (d1, 2), (d2, 3)], "overwrite")
+    events = spark.readStream.schema("ts timestamp, user_id long").parquet(src)
+    q = stream_to_partitioned_parquet(events, out, ckpt)
+    try:
+        q.processAllAvailable()
+        first = spark.read.parquet(out).groupBy("event_date").count().collect()
+        assert {(str(r.event_date), r["count"]) for r in first} == {
+            ("2024-03-01", 2),
+            ("2024-03-02", 1),
+        }
+        # redelivery of day 1 as a FULL partition (1 row now) → overwrite
+        write([(d1, 9)], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(out).groupBy("event_date").count().collect()
+    assert {(str(r.event_date), r["count"]) for r in final} == {
+        ("2024-03-01", 1),
+        ("2024-03-02", 1),
+    }
