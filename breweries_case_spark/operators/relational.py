@@ -342,6 +342,29 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the skew pattern: l_returnflag has 3
+    values over the whole fact table, so a plain groupBy lands all rows on
+    3 reducers no matter how many executors exist. Salting fans the partial
+    aggregate across (key, salt) — 64× the reducers — then merges the tiny
+    partials. Result is EXACTLY the plain groupBy (oracle is the unsalted
+    SQL). Salt is a deterministic hash, not rand(): reproducible plans,
+    no re-execution hazard. AQE's skew handling covers joins; agg-side
+    skew on low-cardinality keys is what this pattern is for."""
+    salt_buckets = 64
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(salt_buckets))
+    )
+    partial = li.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("line_count"),
+        F.sum("_qty").cast("double").alias("sum_qty"),
+    )
+
+
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quartiles of customers by balance within market segment."""
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -595,6 +618,7 @@ QUERIES = {
     "q_pivot": q_pivot,
     "q_percentile": q_percentile,
     "q_percentile_approx": q_percentile_approx,
+    "q_agg_salted": q_agg_salted,
     "q_window_ntile": q_window_ntile,
     "q_flagship": q_flagship,
 }
@@ -628,6 +652,11 @@ ORACLES = {
                CAST(SUM(CASE WHEN o_orderstatus = 'P'
                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
         FROM orders GROUP BY o_orderpriority
+    """,
+    "q_agg_salted": """
+        SELECT l_returnflag, count(*) AS line_count,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
     """,
     "q_percentile": """
         SELECT l_returnflag,

@@ -153,9 +153,56 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(spark, sf_dir)
 
 
+KNN_K = 5
+
+
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN self-join: every vector's top-5 cosine neighbors within its
+    label block (the batch "find neighbors for ALL rows" shape that powers
+    near-dup clustering and retrieval eval; q_sim_topk is the one-query
+    variant). Blocked pairwise + per-query window rank — at 100 TB the
+    label block is replaced by LSH/IVF buckets (same plan shape, bucket
+    key instead of label), keeping the pair count per block bounded.
+    Ranking uses the UNROUNDED cosine (bit-identical across engines for
+    the same doubles) with vec_id tiebreak, so the oracle's window agrees
+    row-for-row."""
+    emb = _embeddings_double(spark, sf_dir)
+    dot_self = _dot(F.col("v"), F.col("v"))
+    emb = emb.withColumn("norm", F.sqrt(dot_self))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    from pyspark.sql.window import Window
+
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("a.label").alias("label"),
+        cos.alias("cos_exact"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_exact").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(F.col("cos_exact"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
+    "q_sim_knn_join": q_sim_knn_join,
 }
 
 ORACLES = {
@@ -175,4 +222,23 @@ ORACLES = {
     """,
     # q_sim_ann_lsh: rows-only (probabilistic recall); recall vs exact
     # top-k pinned by unit test.
+    "q_sim_knn_join": f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS norm
+            FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   a.label AS label,
+                   list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos_exact
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id <> b.vec_id)
+        SELECT query_id, neighbor_id, label,
+               ROUND(cos_exact, 6) AS cosine, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_exact DESC, neighbor_id) AS rank
+              FROM pairs)
+        WHERE rank <= {KNN_K}
+    """,
 }
