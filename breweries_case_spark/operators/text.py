@@ -115,6 +115,37 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF with a RATIO idf (tf · N/df) instead of the
+    log form — same ranking monotonicity, zero transcendentals (module
+    determinism rule: log/exp differ in last ulp across libm builds, a
+    plain division does not). Corpus size N is a driver-side metadata
+    count (query parameter, not a single-partition global agg).
+
+    Plan: tokenize+explode pipelines into the scan; two hash aggregates
+    (tf on (doc,term), df on term) + one equi-join on term — all
+    shuffle-partitioned, nothing global. At 100 TB the df table is the
+    vocabulary (small) and AQE broadcasts the join side automatically."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = float(d.count())
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tfidf = (
+        F.col("tf").cast("double") * F.lit(n_docs) / F.col("df").cast("double")
+    )
+    return tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(tfidf, 6).alias("tfidf_ratio"),
+    )
+
+
 @F.pandas_udf(T.LongType())
 def _textlen_udf(s: pd.Series) -> pd.Series:
     return s.str.len().astype("int64")
@@ -134,10 +165,27 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
     "q_fingerprint": q_fingerprint,
+    "q_tfidf": q_tfidf,
     "q_pandas_udf_textlen": q_pandas_udf_textlen,
 }
 
 ORACLES = {
+    "q_tfidf": r"""
+        WITH toks AS (
+            SELECT doc_id, t.term
+            FROM documents,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+            WHERE t.term <> ''),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               ROUND(CAST(tf.tf AS DOUBLE) * n.n_docs / CAST(dfreq.df AS DOUBLE),
+                     6) AS tfidf_ratio
+        FROM tf JOIN dfreq USING (term), n
+    """,
     "q_token_count": r"""
         SELECT doc_id,
                len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
