@@ -179,6 +179,42 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-inequality interval join done the scalable way: purchases
+    within [0, 60 s] AFTER any signup. With no equi key Spark would plan a
+    broadcast-nested-loop (O(n·m) comparisons); binning converts it to an
+    EQUI join: bucket ts into 60 s bins, explode the signup side to
+    (bin, bin+1) — because the interval length equals the bin width every
+    qualifying pair shares one of those bins, each exactly once (no dedup
+    pass) — then apply the interval as a residual filter. Cost: one 2×
+    explode + one hash join on the bin key. The oracle is the naive
+    inequality join, proving the rewrite exact."""
+    ev = load_table(spark, sf_dir, "events")
+    window_us = 60 * 1_000_000
+    bin_of = lambda c: F.unix_micros(c).cast("long") / F.lit(window_us)  # noqa: E731
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+        F.explode(
+            F.array(
+                F.floor(bin_of(F.col("ts"))),
+                F.floor(bin_of(F.col("ts"))) + 1,
+            )
+        ).alias("bin"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.floor(bin_of(F.col("ts"))).alias("bin"),
+    )
+    delta_us = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("s_ts"))
+    return (
+        signups.join(purchases, "bin")
+        .filter((delta_us >= 0) & (delta_us <= window_us))
+        .select("signup_id", "purchase_id", delta_us.alias("delta_us"))
+    )
+
+
 def q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join pairing for dedup candidates, blocked by a key (lang) so the
     quadratic blow-up is per-block, not global — the blocking idiom every
@@ -596,6 +632,7 @@ QUERIES = {
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
     "q_join_range": q_join_range,
+    "q_join_range_binned": q_join_range_binned,
     "q_dedup_pairs": q_dedup_pairs,
     "q_groupby_count": q_groupby_count,
     "q_count_distinct": q_count_distinct,
@@ -652,6 +689,13 @@ ORACLES = {
                CAST(SUM(CASE WHEN o_orderstatus = 'P'
                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
         FROM orders GROUP BY o_orderpriority
+    """,
+    "q_join_range_binned": """
+        SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(s.ts) AS delta_us
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.ts >= s.ts AND epoch_us(p.ts) - epoch_us(s.ts) <= 60000000
     """,
     "q_agg_salted": """
         SELECT l_returnflag, count(*) AS line_count,
