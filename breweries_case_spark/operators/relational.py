@@ -179,6 +179,58 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: orders and lineitem written
+    bucketed-by-orderkey into the same bucket count, then joined — Spark
+    matches bucket layouts and plans the join with NO shuffle exchange on
+    either side (SortMergeJoin over pre-bucketed files; a unit test pins
+    the exchange-free plan). This is the amortize-the-shuffle pattern: at
+    100 TB you pay the partitioning once at write time and every
+    subsequent orderkey join is exchange-free. Oracle is the plain join —
+    bucketing is plan-only. Result: revenue per order priority."""
+    import shutil
+    import tempfile
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    tag = uuid.uuid4().hex[:8]
+    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    t_orders, t_lineitem = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    try:
+        for df, name, key in (
+            (orders, t_orders, "o_orderkey"),
+            (lineitem, t_lineitem, "l_orderkey"),
+        ):
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{tmp}/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        joined = (
+            spark.table(t_orders)
+            .join(
+                spark.table(t_lineitem),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("line_count"),
+                decimal_sum(F.col("l_extendedprice")).alias("revenue"),
+            )
+        )
+        result = joined.collect()
+    finally:
+        for name in (t_orders, t_lineitem):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        result, "o_orderpriority string, line_count long, revenue double"
+    )
+
+
 def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-inequality interval join done the scalable way: purchases
     within [0, 60 s] AFTER any signup. With no equi key Spark would plan a
@@ -633,6 +685,7 @@ QUERIES = {
     "q_join_anti": q_join_anti,
     "q_join_range": q_join_range,
     "q_join_range_binned": q_join_range_binned,
+    "q_join_bucketed": q_join_bucketed,
     "q_dedup_pairs": q_dedup_pairs,
     "q_groupby_count": q_groupby_count,
     "q_count_distinct": q_count_distinct,
@@ -689,6 +742,13 @@ ORACLES = {
                CAST(SUM(CASE WHEN o_orderstatus = 'P'
                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
         FROM orders GROUP BY o_orderpriority
+    """,
+    "q_join_bucketed": """
+        SELECT o_orderpriority, count(*) AS line_count,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
     """,
     "q_join_range_binned": """
         SELECT s.event_id AS signup_id, p.event_id AS purchase_id,

@@ -263,3 +263,41 @@ def test_layer_wallclock_at_10k_rows(spark):
 
     for layer, t in (("bronze", t_bronze), ("silver", t_silver), ("gold", t_gold)):
         assert t < 60.0, f"{layer} took {t:.1f}s at 10k rows (bound 60s)"
+
+
+def test_bucketed_join_plan_has_no_shuffle(spark, sf_dir):
+    """The point of bucketing: the orderkey join over the two bucketed
+    tables must plan WITHOUT a shuffle exchange on either join input
+    (broadcast exchanges / agg exchanges elsewhere are fine)."""
+    import re
+    import shutil
+    import tempfile
+    import uuid
+
+    from breweries_case_spark.io.reader import load_table
+
+    tag = uuid.uuid4().hex[:8]
+    tmp = tempfile.mkdtemp(prefix="bucketed_test_")
+    to, tl = f"orders_bt_{tag}", f"lineitem_bt_{tag}"
+    try:
+        for table, name, key in (
+            ("orders", to, "o_orderkey"),
+            ("lineitem", tl, "l_orderkey"),
+        ):
+            (
+                load_table(spark, sf_dir, table)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{tmp}/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        joined = spark.table(to).join(
+            spark.table(tl), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning", plan), plan
+    finally:
+        for name in (to, tl):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(tmp, ignore_errors=True)
