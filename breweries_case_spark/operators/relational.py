@@ -105,6 +105,33 @@ def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Joins (J1-J6) ----------------------------------------------------------
 
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-pattern predicate (pushed to the scan as StartsWith/Contains
+    where the pattern allows)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("%BRASS%"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+def q_date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic + calendar rollup: monthly order revenue. The
+    date_trunc lands in the scan stage; one shuffle for the month agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("order_month")
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            decimal_sum(F.col("o_totalprice")).alias("monthly_revenue"),
+        )
+    )
+
+
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join; Catalyst/AQE picks broadcast vs sort-merge by size.
     At 100 TB orders⋈customer is a shuffle join on the key — both sides
@@ -678,6 +705,8 @@ QUERIES = {
     "q_filter_eq": q_filter_eq,
     "q_filter_and": q_filter_and,
     "q_filter_notnull": q_filter_notnull,
+    "q_filter_like": q_filter_like,
+    "q_date_trunc_agg": q_date_trunc_agg,
     "q_join_inner": q_join_inner,
     "q_join_broadcast": q_join_broadcast,
     "q_join_left": q_join_left,
@@ -742,6 +771,17 @@ ORACLES = {
                CAST(SUM(CASE WHEN o_orderstatus = 'P'
                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
         FROM orders GROUP BY o_orderpriority
+    """,
+    "q_filter_like": """
+        SELECT p_partkey, p_name, p_type
+        FROM part WHERE p_type LIKE '%BRASS%'
+    """,
+    "q_date_trunc_agg": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+               count(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monthly_revenue
+        FROM orders GROUP BY 1
     """,
     "q_join_bucketed": """
         SELECT o_orderpriority, count(*) AS line_count,
