@@ -58,6 +58,25 @@ def q_select_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_interactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interactive-SQL surface (reference S7: Trino over the same
+    tables, README.md:118-137 — replaced here by spark.sql over registered
+    views, SURVEY §3.4). Same Catalyst plan as the DataFrame API; this
+    entry proves the SQL-string front end end-to-end."""
+    from breweries_case_spark.io.reader import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name AS nation, count(*) AS customer_count
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY customer_count DESC, nation
+        LIMIT 10
+        """
+    )
+
+
 # --- Projections (P1) -------------------------------------------------------
 
 def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,6 +720,7 @@ QUERIES = {
     "q_scan": q_scan,
     "q_partition_pruned_scan": q_partition_pruned_scan,
     "q_select_limit": q_select_limit,
+    "q_sql_interactive": q_sql_interactive,
     "q_project": q_project,
     "q_filter_eq": q_filter_eq,
     "q_filter_and": q_filter_and,
@@ -823,6 +843,13 @@ ORACLES = {
           AND l_shipdate <  TIMESTAMP '1995-07-01'
     """,
     "q_select_limit": "SELECT * FROM customer ORDER BY c_custkey LIMIT 10",
+    "q_sql_interactive": """
+        SELECT n_name AS nation, count(*) AS customer_count
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY customer_count DESC, nation
+        LIMIT 10
+    """,
     "q_project": """
         SELECT c_custkey AS custkey, c_name AS customer_name,
                c_mktsegment AS segment
