@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from breweries_case_spark.io.reader import load_table
 from breweries_case_spark.streaming.windows import (
+    dedup_events,
     run_stream_to_memory,
     session_counts,
     sliding_counts,
@@ -130,6 +131,21 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup replay: per-(user, event_type) counts of the
+    deduplicated stream — every count is 1 by construction; the key set
+    must equal the batch distinct, which tests/test_streaming.py pins.
+    Rows-only (streaming execution)."""
+    deduped = run_stream_to_memory(
+        dedup_events(stream_events(spark, sf_dir)),
+        "stream_dedup_out",
+        output_mode="append",
+    )
+    return deduped.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     (count, sum) state, replayed to completion — the final row per user
@@ -162,6 +178,7 @@ QUERIES = {
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
     "q_stream_stateful": q_stream_stateful,
+    "q_stream_dedup": q_stream_dedup,
 }
 
 # Spark's F.window floors from the Unix epoch; spell the same arithmetic in

@@ -100,6 +100,18 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each (user_id,
+    event_type) wins; duplicates arriving within the watermark horizon are
+    dropped (dropDuplicatesWithinWatermark — state per key is retained
+    only until the watermark passes, so state is bounded by the horizon,
+    not the stream length; plain dropDuplicates on a stream would grow
+    state forever). The streaming face of the operators.dedup family."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -288,3 +288,24 @@ def test_foreachbatch_partition_overwrite_sink(spark, tmp_path):
         ("2024-03-01", 1),
         ("2024-03-02", 1),
     }
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    """Streaming dedup key set == batch distinct; every kept key exactly
+    once."""
+    import pyspark.sql.functions as F
+
+    from breweries_case_spark.io.reader import load_table
+    from breweries_case_spark.operators.streaming_queries import q_stream_dedup
+
+    out = q_stream_dedup(spark, sf_dir).collect()
+    assert all(r.n_rows == 1 for r in out)
+    stream_keys = {(r.user_id, r.event_type) for r in out}
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert stream_keys == batch_keys
