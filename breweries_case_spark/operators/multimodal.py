@@ -116,6 +116,94 @@ def extract_features(media: DataFrame, use_real_decode: bool = False) -> DataFra
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize over the binary column (mapInPandas). Real path needs
+    PIL (absent here — STUB raises NotImplementedError); the deterministic
+    fake emits a payload of exactly width*height bytes cycled from the
+    source so batch shapes, sizes, and types match a real resizer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            pdf = pdf[pdf["modality"] == "image"]
+            if _HAS_CODECS:  # pragma: no cover - codec libs absent here
+                raise NotImplementedError("wire PIL.Image.resize here")
+            resized = [
+                bytes(c[i % len(c)] for i in range(n)) if c else bytes(n)
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": resized,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling (mapInPandas, 1→N rows per video): one frame
+    per ``every_ms`` of duration_ms. Real path needs a video codec (STUB);
+    the fake emits a 16-byte slice per sampled timestamp. The 1→N batch
+    shape (output rows ≠ input rows) is exactly what a real frame sampler
+    produces — mapInPandas is the right tool because a pandas_udf cannot
+    change cardinality."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["modality"] == "video"]
+            if _HAS_CODECS:  # pragma: no cover
+                raise NotImplementedError("wire av/ffmpeg frame extraction here")
+            out = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
+            for mid, content, dur in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"].map(lambda m: m["duration_ms"])
+            ):
+                n_frames = max(1, int(dur) // every_ms)
+                for i in range(n_frames):
+                    start = (i * 16) % max(1, len(content))
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(i * every_ms)
+                    out["frame"].append(bytes(content[start : start + 16]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline over image-modality media (rows-only; shape and
+    determinism pinned by unit tests)."""
+    return resize_images(build_media_table(spark, sf_dir))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline over video-modality media (rows-only)."""
+    return sample_frames(build_media_table(spark, sf_dir))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only query over the media table: modality counts + payload
     byte totals. Never touches the binary column contents — the scan prunes
@@ -139,6 +227,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_resize": q_multimodal_resize,
+    "q_multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES = {

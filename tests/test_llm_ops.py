@@ -151,3 +151,40 @@ def test_approx_count_distinct_bound(spark, sf_dir):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) / v <= 0.1, (k, approx[k], v)
+
+
+def test_multimodal_resize_shapes(spark, sf_dir):
+    from breweries_case_spark.operators.multimodal import q_multimodal_resize
+
+    rows = q_multimodal_resize(spark, sf_dir).limit(20).collect()
+    assert rows, "image-modality media must exist"
+    assert all(len(r.resized) == r.width * r.height == 1024 for r in rows)
+
+
+def test_multimodal_frame_sampling_cardinality(spark, sf_dir):
+    """1→N: every video yields duration_ms // 1000 frames (min 1), frames
+    indexed from 0 with 1000 ms spacing."""
+    import pyspark.sql.functions as F
+
+    from breweries_case_spark.operators.multimodal import (
+        build_media_table,
+        q_multimodal_frames,
+    )
+
+    frames = q_multimodal_frames(spark, sf_dir)
+    per_video = {
+        r.media_id: r.n
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    videos = {
+        r.media_id: r["meta"]["duration_ms"]
+        for r in build_media_table(spark, sf_dir)
+        .filter(F.col("modality") == "video")
+        .select("media_id", "meta")
+        .collect()
+    }
+    assert set(per_video) == set(videos)
+    for mid, dur in videos.items():
+        assert per_video[mid] == max(1, dur // 1000)
+    sample = frames.filter(F.col("media_id") == min(videos)).orderBy("frame_idx").collect()
+    assert [r.frame_ms for r in sample] == [i * 1000 for i in range(len(sample))]
