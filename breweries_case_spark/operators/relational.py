@@ -609,6 +609,18 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-distinct (U1 variant): union-all + one dedup shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = orders.filter(F.col("o_totalprice") > 400000.0)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        top.select("o_orderkey", "o_totalprice")
+        .unionByName(urgent.select("o_orderkey", "o_totalprice"))
+        .distinct()
+    )
+
+
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intersect-distinct (U2): nations having both customers and suppliers."""
     customer = load_table(spark, sf_dir, "customer")
@@ -749,6 +761,7 @@ QUERIES = {
     "q_orderby": q_orderby,
     "q_topk": q_topk,
     "q_union": q_union,
+    "q_union_distinct": q_union_distinct,
     "q_intersect": q_intersect,
     "q_except": q_except,
     "q_join_asof": q_join_asof,
@@ -974,6 +987,12 @@ ORACLES = {
     "q_union": """
         SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
         UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    """,
+    "q_union_distinct": """
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+        UNION
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_orderpriority = '1-URGENT'
     """,

@@ -78,6 +78,44 @@ def bronze_to_silver(bronze: DataFrame, extraction_date: _dt.date) -> DataFrame:
     return cleaned.filter(F.col("id").isNotNull() & (F.col("id") != ""))
 
 
+def run_medallion(
+    spark: SparkSession,
+    records: Iterable[Mapping],
+    extraction_date: _dt.date,
+    base_path: str,
+) -> dict[str, int]:
+    """One daily run end-to-end: ingest → bronze → silver → gold, each
+    layer PERSISTED with dynamic partition overwrite and the next layer
+    reading the committed files back — the reference's three Airflow tasks
+    (`dags/01..03`, sequenced by ExternalTaskSensor) as one idempotent
+    callable; rerunning a date replaces exactly that date's partitions in
+    all three layers. Returns the per-layer row counts the reference logs
+    as its audit (``breweries_bronze_processors.py:155`` — computed here
+    from the written data, not by re-running the plan)."""
+    from breweries_case_spark.io.writer import (
+        read_partitioned,
+        write_partition_overwrite,
+    )
+
+    bronze = ingest_to_bronze(spark, records, extraction_date)
+    write_partition_overwrite(bronze, f"{base_path}/bronze")
+    bronze_t = read_partitioned(spark, f"{base_path}/bronze")
+
+    silver = bronze_to_silver(bronze_t, extraction_date)
+    write_partition_overwrite(silver, f"{base_path}/silver")
+    silver_t = read_partitioned(spark, f"{base_path}/silver")
+
+    gold = silver_to_gold(silver_t, extraction_date)
+    write_partition_overwrite(gold, f"{base_path}/gold")
+
+    flt = F.col("extraction_date") == F.lit(extraction_date)
+    return {
+        "bronze": read_partitioned(spark, f"{base_path}/bronze").filter(flt).count(),
+        "silver": read_partitioned(spark, f"{base_path}/silver").filter(flt).count(),
+        "gold": read_partitioned(spark, f"{base_path}/gold").filter(flt).count(),
+    }
+
+
 def silver_to_gold(
     silver: DataFrame,
     extraction_date: _dt.date,

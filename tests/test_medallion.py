@@ -301,3 +301,32 @@ def test_bucketed_join_plan_has_no_shuffle(spark, sf_dir):
         for name in (to, tl):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_run_medallion_end_to_end_idempotent(spark, tmp_path):
+    """The three-layer daily run persisted end-to-end: conservation on the
+    first run; a rerun of the SAME date with fewer records replaces the
+    date's partitions in every layer (reference's daily idempotency,
+    tests/integration/test_integration.py:110-142)."""
+    from breweries_case_spark.pipelines.medallion import run_medallion
+
+    def mk(n):
+        return [
+            {
+                "id": f"b-{i:03d}", "name": f"B{i}",
+                "brewery_type": "micro", "city": "Portland",
+                "state_province": "Oregon", "postal_code": "97201",
+                "country": "United States", "longitude": "-122.0",
+                "latitude": "45.0", "phone": "5035550001",
+                "website_url": None,
+            }
+            for i in range(n)
+        ]
+
+    base = str(tmp_path / "lake")
+    first = run_medallion(spark, mk(30), TEST_DATE, base)
+    assert first == {"bronze": 30, "silver": 30, "gold": 1}
+    rerun = run_medallion(spark, mk(12), TEST_DATE, base)
+    assert rerun == {"bronze": 12, "silver": 12, "gold": 1}
+    gold = spark.read.parquet(f"{base}/gold")
+    assert gold.agg(F.sum("brewery_count")).first()[0] == 12
