@@ -610,15 +610,8 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union-distinct (U1 variant): union-all + one dedup shuffle."""
-    orders = load_table(spark, sf_dir, "orders")
-    top = orders.filter(F.col("o_totalprice") > 400000.0)
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    return (
-        top.select("o_orderkey", "o_totalprice")
-        .unionByName(urgent.select("o_orderkey", "o_totalprice"))
-        .distinct()
-    )
+    """Union-distinct (U1 variant): q_union + one dedup shuffle."""
+    return q_union(spark, sf_dir).distinct()
 
 
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:

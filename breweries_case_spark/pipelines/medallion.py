@@ -19,22 +19,34 @@ semantics its tests pin down (FIXTURES.md), re-expressed Spark-first:
   part 1); ``include_ids=True`` restores the array form where the set
   itself is wanted.
 
-Orchestration is the caller's concern (the reference wraps these in thin
-Airflow DAGs; any scheduler works — the functions are side-effect-free
-until a writer is applied).
+The three stage functions are side-effect-free plan builders; persistence
+and sequencing live only in ``run_medallion``, the one entry that writes
+(the reference wraps the equivalent stages in thin Airflow DAGs; any
+scheduler works).
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 import json
+import os
+import shutil
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from breweries_case_spark.functions import clean_text, digits_only
-from breweries_case_spark.schemas import BREWERY_PAYLOAD_SCHEMA, BRONZE_SCHEMA
+from breweries_case_spark.io.writer import (
+    read_partitioned,
+    write_partition_overwrite,
+)
+from breweries_case_spark.schemas import (
+    BREWERY_PAYLOAD_SCHEMA,
+    BRONZE_SCHEMA,
+    GOLD_SCHEMA,
+    SILVER_SCHEMA,
+)
 
 
 def ingest_to_bronze(
@@ -78,6 +90,40 @@ def bronze_to_silver(bronze: DataFrame, extraction_date: _dt.date) -> DataFrame:
     return cleaned.filter(F.col("id").isNotNull() & (F.col("id") != ""))
 
 
+def _persist_layer(
+    df: DataFrame, path: str, extraction_date: _dt.date
+) -> None:
+    """Replace the date's partition with ``df``. Dynamic overwrite only
+    rewrites partitions PRESENT in the written data — so an empty rerun
+    (e.g. every record failed the validity gate) would silently leave the
+    previous run's partition on disk. Deleting the partition directory
+    explicitly in that case keeps the rerun-replaces-the-date contract
+    unconditional. (The Iceberg writer gets this for free:
+    overwritePartitions of an empty frame is an explicit delete.)"""
+    if df.isEmpty():
+        part_dir = os.path.join(
+            path, f"extraction_date={extraction_date.isoformat()}"
+        )
+        shutil.rmtree(part_dir, ignore_errors=True)
+    else:
+        write_partition_overwrite(df, path)
+
+
+def _count_partition(
+    spark: SparkSession, path: str, extraction_date: _dt.date
+) -> int:
+    from pyspark.errors import AnalysisException
+
+    if not os.path.exists(path):
+        return 0
+    try:
+        table = read_partitioned(spark, path)
+    except AnalysisException:
+        # directory exists but holds no data files (every partition cleared)
+        return 0
+    return table.filter(F.col("extraction_date") == F.lit(extraction_date)).count()
+
+
 def run_medallion(
     spark: SparkSession,
     records: Iterable[Mapping],
@@ -89,30 +135,34 @@ def run_medallion(
     reading the committed files back — the reference's three Airflow tasks
     (`dags/01..03`, sequenced by ExternalTaskSensor) as one idempotent
     callable; rerunning a date replaces exactly that date's partitions in
-    all three layers. Returns the per-layer row counts the reference logs
-    as its audit (``breweries_bronze_processors.py:155`` — computed here
-    from the written data, not by re-running the plan)."""
-    from breweries_case_spark.io.writer import (
-        read_partitioned,
-        write_partition_overwrite,
-    )
-
+    all three layers, including replacing them with NOTHING when the rerun
+    yields no valid rows (see _persist_layer). Returns the per-layer row
+    counts the reference logs as its audit
+    (``breweries_bronze_processors.py:155`` — computed here from the
+    written data, not by re-running the plan)."""
     bronze = ingest_to_bronze(spark, records, extraction_date)
-    write_partition_overwrite(bronze, f"{base_path}/bronze")
-    bronze_t = read_partitioned(spark, f"{base_path}/bronze")
+    _persist_layer(bronze, f"{base_path}/bronze", extraction_date)
+    bronze_n = _count_partition(spark, f"{base_path}/bronze", extraction_date)
 
-    silver = bronze_to_silver(bronze_t, extraction_date)
-    write_partition_overwrite(silver, f"{base_path}/silver")
-    silver_t = read_partitioned(spark, f"{base_path}/silver")
+    if bronze_n:
+        bronze_t = read_partitioned(spark, f"{base_path}/bronze")
+        silver = bronze_to_silver(bronze_t, extraction_date)
+    else:
+        silver = spark.createDataFrame([], SILVER_SCHEMA)
+    _persist_layer(silver, f"{base_path}/silver", extraction_date)
+    silver_n = _count_partition(spark, f"{base_path}/silver", extraction_date)
 
-    gold = silver_to_gold(silver_t, extraction_date)
-    write_partition_overwrite(gold, f"{base_path}/gold")
+    if silver_n:
+        silver_t = read_partitioned(spark, f"{base_path}/silver")
+        gold = silver_to_gold(silver_t, extraction_date)
+    else:
+        gold = spark.createDataFrame([], GOLD_SCHEMA)
+    _persist_layer(gold, f"{base_path}/gold", extraction_date)
 
-    flt = F.col("extraction_date") == F.lit(extraction_date)
     return {
-        "bronze": read_partitioned(spark, f"{base_path}/bronze").filter(flt).count(),
-        "silver": read_partitioned(spark, f"{base_path}/silver").filter(flt).count(),
-        "gold": read_partitioned(spark, f"{base_path}/gold").filter(flt).count(),
+        "bronze": bronze_n,
+        "silver": silver_n,
+        "gold": _count_partition(spark, f"{base_path}/gold", extraction_date),
     }
 
 

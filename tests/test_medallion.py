@@ -330,3 +330,29 @@ def test_run_medallion_end_to_end_idempotent(spark, tmp_path):
     assert rerun == {"bronze": 12, "silver": 12, "gold": 1}
     gold = spark.read.parquet(f"{base}/gold")
     assert gold.agg(F.sum("brewery_count")).first()[0] == 12
+
+
+def test_run_medallion_empty_rerun_clears_stale_partitions(spark, tmp_path):
+    """A rerun whose records all fail the validity gate (empty-string ids)
+    must CLEAR the date's silver/gold partitions, not leave the previous
+    run's data behind (dynamic overwrite alone would write nothing)."""
+    from breweries_case_spark.pipelines import run_medallion
+
+    good = [
+        {
+            "id": f"b-{i}", "name": f"B{i}", "brewery_type": "micro",
+            "city": "Portland", "state_province": "Oregon",
+            "postal_code": "97201", "country": "US", "longitude": "-122.0",
+            "latitude": "45.0", "phone": "5035550001", "website_url": None,
+        }
+        for i in range(5)
+    ]
+    bad = [dict(r, id="") for r in good]
+
+    base = str(tmp_path / "lake")
+    assert run_medallion(spark, good, TEST_DATE, base) == {
+        "bronze": 5, "silver": 5, "gold": 1,
+    }
+    assert run_medallion(spark, bad, TEST_DATE, base) == {
+        "bronze": 5, "silver": 0, "gold": 0,
+    }
