@@ -187,18 +187,57 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("doc_id", "lang", simhash.alias("simhash"))
 
 
+_SIMHASH_CHUNKS = HAMMING_MAX + 1  # pigeonhole: ≤6 differing bits over 7 chunks
+
+
+def _simhash_chunks(sig):
+    """Split the 64-bit signature into HAMMING_MAX+1 disjoint bit chunks.
+    Pigeonhole: two signatures within Hamming distance HAMMING_MAX must
+    agree EXACTLY on at least one chunk — so a chunk-equality join has
+    100% recall for the ≤HAMMING_MAX band, no all-pairs blow-up."""
+    widths = [SIMHASH_BITS // _SIMHASH_CHUNKS] * _SIMHASH_CHUNKS
+    for i in range(SIMHASH_BITS % _SIMHASH_CHUNKS):
+        widths[i] += 1
+    chunks, off = [], 0
+    for idx, w in enumerate(widths):
+        chunks.append(
+            F.struct(
+                F.lit(idx).alias("chunk_idx"),
+                F.shiftright(sig, off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("chunk_val"),
+            )
+        )
+        off += w
+    return F.array(*chunks)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: same-lang pairs with Hamming(sig_a, sig_b)
-    ≤ 6. Rows-only check (xxhash64 has no DuckDB twin); the semantics are
-    covered by unit tests (identical docs → distance 0; token-disjoint
-    docs → large distance)."""
+    ≤ 6, found by PIGEONHOLE BLOCKING — the signature is split into 7
+    disjoint chunks and candidate pairs come from an equi-join on
+    (lang, chunk_idx, chunk_val); any pair within distance 6 shares a
+    chunk, so recall is exact while the join never goes all-pairs (the
+    lang-only self-join it replaces was O(n²/|langs|)). The full signature
+    rides along with each exploded chunk row, so verification is a column
+    expression, not another join. Rows-only check (xxhash64 has no DuckDB
+    twin); unit tests pin identical docs → distance 0 and token-disjoint
+    docs → large distance."""
     sigs = simhash_signatures(spark, sf_dir)
-    a, b = sigs.alias("a"), sigs.alias("b")
+    banded = sigs.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.explode(_simhash_chunks(F.col("simhash"))).alias("c"),
+    ).select("doc_id", "lang", "simhash", "c.chunk_idx", "c.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -207,6 +246,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )
 
 
@@ -243,7 +283,10 @@ def minhash_signatures(docs_with_hashed_shingles: DataFrame) -> DataFrame:
         F.array_min(F.transform(F.col("sh"), _mix(a, b))).alias(f"mh{s}")
         for s, (a, b) in enumerate(_HASH_AB)
     ]
-    return docs_with_hashed_shingles.select("doc_id", "lang", *mins).filter(
+    # no lang column: the LSH path is deliberately NOT lang-blocked (bucket
+    # membership is the blocking key), so carrying lang would be dead
+    # weight through the banding explode
+    return docs_with_hashed_shingles.select("doc_id", *mins).filter(
         F.col("mh0").isNotNull()
     )
 
@@ -286,12 +329,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall); precision is exact because of the verification join — every
     returned pair genuinely clears the threshold, which the unit test
     cross-checks against q_dedup_ngram_jaccard's exact output."""
-    # persist: the shingled docs feed three consumers (signatures + both
-    # verification sides); without it the shingle expression re-evaluates
-    # per consumer. At 100 TB the same role is played by checkpointing the
-    # (much smaller) signature table and semi-joining shingles back.
-    docs = _docs_with_hashed_shingles(spark, sf_dir).persist()
-    cands = lsh_candidates(minhash_signatures(docs))
+    # persist the SIGNATURES, not the shingles: the LSH band self-join
+    # consumes the signature table twice (sides a and b), and recomputing
+    # it means redoing the k-hash derivation over every shingle — measured
+    # 4x slower uncached at sf0.1. The signature table is k longs per doc
+    # (orders of magnitude smaller than the shingle arrays), which is
+    # exactly what one would checkpoint at 100 TB; the two verification
+    # sides below recompute the narrow shingle expression instead of
+    # pinning the full shingled corpus in cache.
+    docs = _docs_with_hashed_shingles(spark, sf_dir)
+    cands = lsh_candidates(minhash_signatures(docs).persist())
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -318,27 +365,21 @@ COSINE_THRESHOLD = 0.4
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: exact cosine ≥ COSINE_THRESHOLD for same-label pairs.
-    Label is the blocking key (the ANN-bucket analog); dot products are
-    computed with zip_with+aggregate — bit-identical to DuckDB's
-    list_dot_product (verified empirically)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    Label is the blocking key (the ANN-bucket analog). Dot products reuse
+    operators.similarity's _dot (zip_with+aggregate) — ONE implementation
+    of the arithmetic that is bit-identical to DuckDB's list_dot_product
+    (verified empirically); duplicating it would let the two copies drift
+    and silently break cross-engine bit-parity."""
+    from breweries_case_spark.operators.similarity import (
+        _dot,
+        _embeddings_double,
     )
-    dot_self = F.aggregate(
-        F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+    emb = _embeddings_double(spark, sf_dir).withColumn(
+        "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
-    emb = emb.withColumn("norm", F.sqrt(dot_self))
     a, b = emb.alias("a"), emb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(
             b,

@@ -7,11 +7,13 @@ Two tiers behind the same result shape (vec_id, score):
   for one-off queries even at scale (a 100 TB scan, but embarrassingly
   parallel with a TakeOrderedAndProject top-k — no shuffle of the data,
   only k rows per partition reach the driver-side merge).
-- ``q_sim_ann_lsh`` — random-hyperplane LSH: 16-bit sign bucket per
-  vector, candidates = query's bucket ∪ 1-bit-flip neighbor buckets, exact
-  re-rank of candidates only. The IVF-style scale path: bucket build is one
-  narrow pass + small shuffle; queries touch ~n/2^16-sized buckets.
-  Rows-only check; recall vs the exact top-k is pinned by a unit test.
+- ``q_sim_ann_lsh`` — random-hyperplane LSH: LSH_PLANES-bit sign bucket
+  (8 planes → 256 buckets) per vector, candidates = query's bucket ∪ all
+  ≤2-bit-flip neighbor buckets (37 probes), exact re-rank of candidates
+  only. The IVF-style scale path: bucket build is one narrow pass;
+  queries touch ~37/256 of the data, and more planes shrink that
+  fraction geometrically. Rows-only check; recall vs the exact top-k is
+  pinned by a unit test.
 
 Hyperplanes are deterministic pseudo-random (seeded from md5 of the plane
 index — public-knowledge construction, no RNG state), so results are stable
@@ -34,6 +36,18 @@ def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+def _norm_py(vec: list[float]) -> float:
+    """Driver-side vector norm with the SAME left-to-right accumulation
+    order as _dot's fold and DuckDB's list_dot_product — bit-identical
+    IEEE result across all three."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return math.sqrt(acc)
 
 
 def _embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,13 +75,18 @@ def _query_vector(
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for the query vector (vec_id=0), excluding itself.
-    Plans as scan → narrow per-row cosine → TakeOrderedAndProject."""
+    Plans as scan → narrow per-row cosine → TakeOrderedAndProject.
+    norm_q is a driver-side constant (Catalyst does not constant-fold
+    higher-order aggregates over literal arrays, so computing it in an
+    expression would redo 64 multiplies + sqrt per scanned row). Python
+    and the JVM produce the same IEEE double for the same sum, so the
+    oracle still matches bitwise."""
     qv = _query_vector(spark, sf_dir)
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     emb = _embeddings_double(spark, sf_dir)
     dot = _dot(F.col("v"), qlit)
     norm_v = F.sqrt(_dot(F.col("v"), F.col("v")))
-    norm_q = F.sqrt(_dot(qlit, qlit))
+    norm_q = F.lit(_norm_py(qv))
     cos = dot / (norm_v * norm_q)
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -96,7 +115,7 @@ def _hyperplanes() -> list[list[float]]:
 
 
 def _bucket_expr(vec_col):
-    """16-bit sign bucket: bit p set iff dot(v, plane_p) >= 0."""
+    """LSH_PLANES-bit sign bucket: bit p set iff dot(v, plane_p) >= 0."""
     bucket = F.lit(0)
     for p, plane in enumerate(_hyperplanes()):
         plane_lit = F.array(*[F.lit(c) for c in plane])
@@ -137,7 +156,7 @@ def ann_topk(
 
     dot = _dot(F.col("v"), qlit)
     norm_v = F.sqrt(_dot(F.col("v"), F.col("v")))
-    norm_q = F.sqrt(_dot(qlit, qlit))
+    norm_q = F.lit(_norm_py(qv))
     cos = dot / (norm_v * norm_q)
     return (
         emb.filter(F.col("bucket").isin(sorted(probes)))

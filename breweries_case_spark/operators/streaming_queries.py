@@ -31,49 +31,26 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 
 def q_stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling windows per event_type — batch twin of the
-    streaming aggregation (same F.window expression, no watermark needed
-    on bounded input)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    streaming aggregation. LITERALLY the same function as the streaming
+    path (withWatermark is a no-op on a batch DataFrame), so the
+    stream==batch-mirror invariant is held by construction, not by
+    keeping two copies in sync."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
 
 
 def q_stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute windows sliding by 5 — each event lands in two windows;
-    the oracle reproduces this with an explicit 2-offset union."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
-    )
+    the oracle reproduces this with an explicit 2-offset union. Same
+    function as the streaming path (see q_stream_tumbling_batch)."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
 
 
 def q_stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessions per user via F.session_window (batch mode).
     Oracle: classic gaps-and-islands SQL — proves the dynamic-window
-    semantics against a fully independent formulation."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            F.col("w.start").alias("session_start"),
-            "user_id",
-            "n_events",
-        )
-    )
+    semantics against a fully independent formulation. Same function as
+    the streaming path (see q_stream_tumbling_batch)."""
+    return session_counts(load_table(spark, sf_dir, "events"))
 
 
 def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,9 +109,14 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup replay: per-(user, event_type) counts of the
-    deduplicated stream — every count is 1 by construction; the key set
-    must equal the batch distinct, which tests/test_streaming.py pins.
+    """Streaming dedup replay: per-(user, event_type) counts of the
+    deduplicated stream. The dropDuplicatesWithinWatermark guarantee is
+    WITHIN-HORIZON only — key state is evicted once the watermark passes,
+    so duplicates farther apart in event time than the watermark WOULD
+    re-emit under multi-batch delivery. This replay feeds the file source
+    in one micro-batch, which makes the dedup globally exact here (equal
+    to batch distinct, pinned by tests/test_streaming.py); production
+    cadence chooses the watermark to cover the real redelivery horizon.
     Rows-only (streaming execution)."""
     deduped = run_stream_to_memory(
         dedup_events(stream_events(spark, sf_dir)),

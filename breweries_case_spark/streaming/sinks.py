@@ -29,14 +29,30 @@ def stream_to_partitioned_parquet(
     checkpoint: str,
     partition_col: str = "event_date",
     ts_col: str = "ts",
+    mode: str = "overwrite-partitions",
 ) -> StreamingQuery:
-    """Start a stream writing date-partitioned parquet via foreachBatch +
-    dynamic partition overwrite. Caller drives it (processAllAvailable /
-    awaitTermination) and stops it."""
+    """Start a stream writing date-partitioned parquet via foreachBatch.
+    Caller drives it (processAllAvailable / awaitTermination) and stops it.
+
+    ``mode`` makes the redelivery contract explicit:
+
+    - ``"overwrite-partitions"`` — each micro-batch REPLACES the date
+      partitions it contains. Correct ONLY when the source delivers whole
+      partitions per batch (the reference's daily-extract contract);
+      if a date's rows straddle micro-batches, the later batch would
+      silently erase the earlier one — choose "append" for such sources.
+    - ``"append"`` — each micro-batch appends files; safe for incremental
+      sources (Kafka-like), replays may duplicate (dedup downstream or
+      compact), idempotent re-processing comes from the checkpoint."""
+    if mode not in ("overwrite-partitions", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
     with_date = events.withColumn(partition_col, F.to_date(F.col(ts_col)))
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_partition_overwrite(batch_df, path, partition_col)
+        if mode == "overwrite-partitions":
+            write_partition_overwrite(batch_df, path, partition_col)
+        else:
+            batch_df.write.mode("append").partitionBy(partition_col).parquet(path)
 
     return (
         with_date.writeStream.foreachBatch(_write_batch)

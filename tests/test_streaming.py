@@ -33,6 +33,18 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_stream_sliding_equals_batch(spark, sf_dir):
+    from breweries_case_spark.operators.streaming_queries import (
+        q_stream_sliding,
+        q_stream_sliding_batch,
+    )
+
+    cols = ["window_start", "event_type", "n_events"]
+    stream = _rows(q_stream_sliding(spark, sf_dir), cols)
+    batch = _rows(q_stream_sliding_batch(spark, sf_dir), cols)
+    assert stream == batch
+
+
 def test_stream_session_equals_batch(spark, sf_dir):
     cols = ["session_start", "user_id", "n_events"]
     stream = _rows(q_stream_session(spark, sf_dir), cols)
