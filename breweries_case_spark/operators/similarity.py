@@ -218,10 +218,62 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_knn_join(emb: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Approximate kNN self-join over (vec_id, label, v) — the 100 TB
+    path for the all-rows neighbor search: pairs are generated ONLY
+    within shared LSH sign buckets (plus same label), then exact-cosine
+    ranked per query. Bucket-join replaces the label-block cross join.
+    The LSH guarantee is for GENUINELY similar vectors (small angle →
+    high same-bucket probability); a unit test plants near-duplicates
+    and asserts they are found. On near-uniform vectors (like the
+    driver's synthetic embeddings, max cosine ≈ 0.45) sign buckets
+    separate everything — correctly, since nothing is actually close.
+    More planes → smaller buckets → less work at lower recall;
+    multi-probe (as in ann_topk) buys recall back."""
+    from pyspark.sql.window import Window
+
+    emb = emb.withColumn(
+        "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    ).withColumn("bucket", _bucket_expr(F.col("v")))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("a.label").alias("label"),
+        cos.alias("cos_exact"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_exact").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(F.col("cos_exact"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def q_sim_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered ANN kNN-join entry (rows-only; see ann_knn_join)."""
+    return ann_knn_join(_embeddings_double(spark, sf_dir))
+
+
 QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_knn_join": q_sim_knn_join,
+    "q_sim_knn_join_ann": q_sim_knn_join_ann,
 }
 
 ORACLES = {

@@ -188,3 +188,36 @@ def test_multimodal_frame_sampling_cardinality(spark, sf_dir):
         assert per_video[mid] == max(1, dur // 1000)
     sample = frames.filter(F.col("media_id") == min(videos)).orderBy("frame_idx").collect()
     assert [r.frame_ms for r in sample] == [i * 1000 for i in range(len(sample))]
+
+
+def test_knn_join_ann_finds_planted_near_duplicates(spark):
+    """The LSH guarantee: pairs with genuinely high cosine (planted
+    near-duplicates, cos ≈ 0.999) land in the same sign bucket with high
+    probability and MUST be found; precision is exact by construction
+    (every returned pair is same-label with true cosine)."""
+    import math
+    import random
+
+    from breweries_case_spark.operators.similarity import EMB_DIM, ann_knn_join
+
+    rng = random.Random(7)
+    rows = []
+    planted = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(EMB_DIM)]
+        dup = [x + rng.gauss(0, 0.01) for x in base]  # ~0.9999 cosine
+        rows.append((2 * i, "L", base))
+        rows.append((2 * i + 1, "L", dup))
+        planted.append((2 * i, 2 * i + 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, v array<double>"
+    )
+    out = ann_knn_join(emb, k=3).collect()
+    found = {(r.query_id, r.neighbor_id) for r in out}
+    hits = sum(1 for a, b in planted if (a, b) in found or (b, a) in found)
+    assert hits / len(planted) >= 0.9, f"planted recall {hits}/{len(planted)}"
+    # precision: each query's rank-1 neighbor is its planted twin when found
+    rank1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    twin = {a: b for a, b in planted} | {b: a for a, b in planted}
+    correct = sum(1 for q, n in rank1.items() if twin[q] == n)
+    assert correct / len(rank1) >= 0.9
