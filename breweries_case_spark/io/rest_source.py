@@ -165,5 +165,60 @@ def q_ingest_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_to_bronze(spark, records, _dt.date(2024, 1, 15))
 
 
-QUERIES = {"q_ingest_rest": q_ingest_rest}
-ORACLES: dict[str, str] = {}  # network-shaped source: rows-only by design
+def ingest_staged_files(
+    spark: SparkSession,
+    path: str,
+    schema,
+    file_format: str = "json",
+    **options,
+) -> DataFrame:
+    """Bulk-backfill source: read staged payload files (JSON lines or CSV)
+    with an EXPLICIT schema — the distributed counterpart of the REST page
+    loop (reference ingests ≤10k rows/run over HTTP; backfills arrive as
+    files). Explicit schema is non-negotiable at scale: schema inference
+    is a full extra pass over the data, and drift should surface as NULLs
+    in declared columns (the bronze ELT stance), not as a mutated table
+    schema. At 100 TB this is just a parquet-style scan — splittable,
+    predicate-pushable (CSV/JSON: column pruning only), massively
+    parallel."""
+    if file_format not in ("json", "csv"):
+        raise ValueError(f"unsupported staged format {file_format!r}")
+    reader = spark.read.schema(schema)
+    if file_format == "csv":
+        reader = reader.option("header", True)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(file_format).load(path)
+
+
+def q_ingest_staged_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered staged-file ingest (rows-only): stage the synthetic
+    brewery pages as JSON lines, bulk-read them back with the declared
+    payload schema, and land bronze rows — the backfill twin of
+    q_ingest_rest, same downstream contract."""
+    import shutil
+    import tempfile
+
+    from breweries_case_spark.pipelines.medallion import ingest_to_bronze
+    from breweries_case_spark.schemas import BREWERY_PAYLOAD_SCHEMA
+
+    records = fetch_paginated(synthetic_page_fetcher(), per_page=200)
+    tmp = tempfile.mkdtemp(prefix="staged_json_")
+    try:
+        with open(f"{tmp}/payload.jsonl", "w") as fh:
+            for r in records:
+                fh.write(json.dumps(r) + "\n")
+        staged = ingest_staged_files(
+            spark, tmp, BREWERY_PAYLOAD_SCHEMA, file_format="json"
+        )
+        rows = [r.asDict() for r in staged.collect()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return ingest_to_bronze(spark, rows, _dt.date(2024, 1, 15))
+
+
+QUERIES = {
+    "q_ingest_rest": q_ingest_rest,
+    "q_ingest_staged_json": q_ingest_staged_json,
+}
+ORACLES: dict[str, str] = {}  # network/file-shaped sources: rows-only by design

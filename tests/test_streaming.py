@@ -321,3 +321,51 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert stream_keys == batch_keys
+
+
+def test_staged_file_ingest_json_and_csv(spark, tmp_path):
+    """Staged bulk ingest: JSON lines and CSV read back with the explicit
+    schema; unknown fields dropped, missing fields land as NULL (bronze
+    schema-on-read stance), bad format rejected."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from breweries_case_spark.io.rest_source import ingest_staged_files
+
+    schema = "id string, name string, city string"
+    jd = tmp_path / "staged_json"
+    jd.mkdir()
+    with open(jd / "p.jsonl", "w") as fh:
+        fh.write(_json.dumps({"id": "a", "name": "A", "extra": 1}) + "\n")
+        fh.write(_json.dumps({"id": "b", "city": "Portland"}) + "\n")
+    got = {
+        r.id: (r.name, r.city)
+        for r in ingest_staged_files(spark, str(jd), schema).collect()
+    }
+    assert got == {"a": ("A", None), "b": (None, "Portland")}
+
+    cd = tmp_path / "staged_csv"
+    cd.mkdir()
+    (cd / "p.csv").write_text("id,name,city\na,A,\nb,,Portland\n")
+    got_csv = {
+        r.id: (r.name, r.city)
+        for r in ingest_staged_files(
+            spark, str(cd), schema, file_format="csv"
+        ).collect()
+    }
+    assert got_csv == {"a": ("A", None), "b": (None, "Portland")}
+
+    with _pytest.raises(ValueError):
+        ingest_staged_files(spark, str(jd), schema, file_format="xml")
+
+
+def test_q_ingest_staged_json_matches_rest(spark):
+    from breweries_case_spark.io.rest_source import (
+        q_ingest_rest,
+        q_ingest_staged_json,
+    )
+
+    staged = q_ingest_staged_json(spark, "")
+    assert staged.count() == q_ingest_rest(spark, "").count() == 450
+    assert staged.columns == ["raw_json", "extraction_date"]
