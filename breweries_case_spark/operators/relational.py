@@ -77,6 +77,45 @@ def q_sql_interactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price. The
+    threshold uses the decimal-sum trick so both engines derive the
+    bit-identical double before comparing (a plain AVG(double) differs in
+    the last ulp across engines and flips boundary rows). Catalyst plans
+    the subquery as a one-row broadcast, not a per-row re-execution."""
+    from breweries_case_spark.io.reader import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders)
+        """
+    )
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers with at least one URGENT order —
+    Catalyst decorrelates it to a left-semi join (same physical plan as
+    q_join_semi; this entry proves the SQL subquery front end)."""
+    from breweries_case_spark.io.reader import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+        """
+    )
+
+
 # --- Projections (P1) -------------------------------------------------------
 
 def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,6 +765,8 @@ QUERIES = {
     "q_partition_pruned_scan": q_partition_pruned_scan,
     "q_select_limit": q_select_limit,
     "q_sql_interactive": q_sql_interactive,
+    "q_scalar_subquery": q_scalar_subquery,
+    "q_exists_subquery": q_exists_subquery,
     "q_project": q_project,
     "q_filter_eq": q_filter_eq,
     "q_filter_and": q_filter_and,
@@ -849,6 +890,21 @@ ORACLES = {
           AND l_shipdate <  TIMESTAMP '1995-07-01'
     """,
     "q_select_limit": "SELECT * FROM customer ORDER BY c_custkey LIMIT 10",
+    "q_scalar_subquery": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders)
+    """,
+    "q_exists_subquery": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
     "q_sql_interactive": """
         SELECT n_name AS nation, count(*) AS customer_count
         FROM customer JOIN nation ON c_nationkey = n_nationkey
