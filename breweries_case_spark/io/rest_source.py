@@ -113,12 +113,27 @@ def http_page_fetcher(
 
         return fetch
     except ImportError:  # pragma: no cover - requests is present in CI
+        from urllib.error import HTTPError
         from urllib.request import urlopen
 
-        def fetch(page: int, per_page: int) -> list[dict]:
+        def fetch_once(page: int, per_page: int) -> list[dict]:
             url = f"{base_url}?page={page}&per_page={per_page}"
-            with urlopen(url, timeout=timeout[1]) as resp:
-                return json.loads(resp.read())
+            try:
+                with urlopen(url, timeout=timeout[1]) as resp:
+                    return json.loads(resp.read())
+            except HTTPError as exc:
+                if exc.code in RETRY_STATUSES:
+                    ra = exc.headers.get("Retry-After") if exc.headers else None
+                    raise RetryableHTTPError(
+                        exc.code, float(ra) if ra else None
+                    ) from exc
+                raise
+
+        def fetch(page: int, per_page: int) -> list[dict]:
+            # same retry contract as the requests path (module docstring)
+            return with_retries(
+                lambda: fetch_once(page, per_page), retries=retries, backoff=backoff
+            )
 
         return fetch
 
@@ -194,12 +209,15 @@ def ingest_staged_files(
 def q_ingest_staged_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered staged-file ingest (rows-only): stage the synthetic
     brewery pages as JSON lines, bulk-read them back with the declared
-    payload schema, and land bronze rows — the backfill twin of
-    q_ingest_rest, same downstream contract."""
+    payload schema, and land bronze rows distributed (scan → to_json on
+    executors) — the backfill twin of q_ingest_rest, same downstream
+    contract. The final collect exists ONLY because this demo stages into
+    an ephemeral local temp dir that must outlive the returned DataFrame;
+    with a persistent staging location the bronze frame is returned (and
+    written) without ever touching the driver."""
     import shutil
     import tempfile
 
-    from breweries_case_spark.pipelines.medallion import ingest_to_bronze
     from breweries_case_spark.schemas import BREWERY_PAYLOAD_SCHEMA
 
     records = fetch_paginated(synthetic_page_fetcher(), per_page=200)
@@ -211,10 +229,25 @@ def q_ingest_staged_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = ingest_staged_files(
             spark, tmp, BREWERY_PAYLOAD_SCHEMA, file_format="json"
         )
-        rows = [r.asDict() for r in staged.collect()]
+        # fully distributed bronze conversion: re-serialize each payload
+        # row with to_json ON THE EXECUTORS (the scale point of this
+        # source — never collect a backfill to the driver). to_json drops
+        # null fields where the driver-side json.dumps keeps them; the
+        # bronze contract (silver's from_json lands absent fields as
+        # NULL) is identical either way.
+        from pyspark.sql import functions as F
+
+        bronze = staged.select(
+            F.to_json(F.struct(*staged.columns)).alias("raw_json"),
+            F.lit(_dt.date(2024, 1, 15)).alias("extraction_date"),
+        )
+        # materialize before the staging dir is deleted (local temp input)
+        rows = bronze.collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return ingest_to_bronze(spark, rows, _dt.date(2024, 1, 15))
+    from breweries_case_spark.schemas import BRONZE_SCHEMA
+
+    return spark.createDataFrame(rows, BRONZE_SCHEMA)
 
 
 QUERIES = {

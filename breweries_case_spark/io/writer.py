@@ -29,14 +29,20 @@ def write_partition_overwrite(
     session factory; asserted here so misconfigured sessions fail loudly
     instead of silently truncating the table)."""
     spark = df.sparkSession
-    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    if mode.lower() != "dynamic":
-        # per-write override keeps the guarantee even on vanilla sessions
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     out = df
     if target_file_partitions:
         out = out.coalesce(target_file_partitions)
-    out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    # per-write override, RESTORED afterwards: leaving the session conf
+    # flipped would silently change the semantics of later unrelated
+    # overwrite-writes on a vanilla session
+    try:
+        if prior.lower() != "dynamic":
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        if prior.lower() != "dynamic":
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
 
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
@@ -65,5 +71,13 @@ def write_iceberg(
     writer = df.writeTo(table).using("iceberg")
     try:
         writer.overwritePartitions()
-    except Exception:
-        writer.partitionedBy(partition_col).createOrReplace()
+    except Exception as exc:
+        # fall back to table creation ONLY when the table doesn't exist;
+        # any other failure (commit conflict, schema mismatch, storage
+        # error) must propagate — a blind createOrReplace would replace
+        # a whole partitioned table with this run's slice
+        msg = str(exc)
+        if "TABLE_OR_VIEW_NOT_FOUND" in msg or "NoSuchTable" in msg:
+            writer.partitionedBy(partition_col).createOrReplace()
+        else:
+            raise

@@ -26,14 +26,6 @@ from breweries_case_spark.io.reader import load_table
 
 MODALITIES = ("image", "audio", "video")
 
-try:  # pragma: no cover - codec libs absent in this container
-    import PIL.Image  # noqa: F401
-
-    _HAS_CODECS = True
-except ImportError:
-    _HAS_CODECS = False
-
-
 def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a MEDIA_SCHEMA-shaped table from documents: text bytes play
     the opaque payload; modality assigned round-robin; metadata filled with
@@ -105,7 +97,9 @@ def extract_features(media: DataFrame, use_real_decode: bool = False) -> DataFra
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "n_bytes": pdf["content"]
+                    .map(lambda c: 0 if c is None else len(c))
+                    .astype("int64"),
                     "features": [
                         decode(c, m)
                         for c, m in zip(pdf["content"], pdf["modality"])
@@ -126,18 +120,28 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Image resize over the binary column (mapInPandas). Real path needs
-    PIL (absent here — STUB raises NotImplementedError); the deterministic
-    fake emits a payload of exactly width*height bytes cycled from the
-    source so batch shapes, sizes, and types match a real resizer."""
+def resize_images(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    use_real_decode: bool = False,
+) -> DataFrame:
+    """Image resize over the binary column (mapInPandas). The real path
+    (``use_real_decode=True``) needs PIL and is a clearly-marked STUB;
+    the default deterministic fake emits a payload of exactly
+    width*height bytes cycled from the source so batch shapes, sizes, and
+    types match a real resizer. Opt-in flag, not environment sniffing —
+    merely having pillow installed must not change behavior."""
+    if use_real_decode:
+        raise NotImplementedError(
+            "real image resize requires PIL wiring (PIL.Image.resize); "
+            "the default fake path exercises the full Spark plumbing"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height
         for pdf in batches:
             pdf = pdf[pdf["modality"] == "image"]
-            if _HAS_CODECS:  # pragma: no cover - codec libs absent here
-                raise NotImplementedError("wire PIL.Image.resize here")
             resized = [
                 bytes(c[i % len(c)] for i in range(n)) if c else bytes(n)
                 for c in pdf["content"]
@@ -164,23 +168,30 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, use_real_decode: bool = False
+) -> DataFrame:
     """Video frame sampling (mapInPandas, 1→N rows per video): one frame
-    per ``every_ms`` of duration_ms. Real path needs a video codec (STUB);
-    the fake emits a 16-byte slice per sampled timestamp. The 1→N batch
-    shape (output rows ≠ input rows) is exactly what a real frame sampler
-    produces — mapInPandas is the right tool because a pandas_udf cannot
-    change cardinality."""
+    per ``every_ms`` of duration_ms. The real path
+    (``use_real_decode=True``) needs a video codec and is a
+    clearly-marked STUB; the default fake emits a 16-byte slice per
+    sampled timestamp. The 1→N batch shape (output rows ≠ input rows) is
+    exactly what a real frame sampler produces — mapInPandas is the right
+    tool because a pandas_udf cannot change cardinality."""
+    if use_real_decode:
+        raise NotImplementedError(
+            "real frame sampling requires av/ffmpeg wiring; the default "
+            "fake path exercises the full Spark plumbing"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["modality"] == "video"]
-            if _HAS_CODECS:  # pragma: no cover
-                raise NotImplementedError("wire av/ffmpeg frame extraction here")
             out = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
             for mid, content, dur in zip(
                 pdf["media_id"], pdf["content"], pdf["meta"].map(lambda m: m["duration_ms"])
             ):
+                content = content or b""  # nullable binary column
                 n_frames = max(1, int(dur) // every_ms)
                 for i in range(n_frames):
                     start = (i * 16) % max(1, len(content))

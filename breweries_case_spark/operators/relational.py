@@ -257,8 +257,11 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (customer.c_nationkey == supplier.s_nationkey) & (
         customer.c_acctbal > supplier.s_acctbal
     )
+    # no broadcast hint: supplier GROWS with scale factor (SF x 10k rows),
+    # so forcing a broadcast would eventually exceed the broadcast limit;
+    # AQE picks broadcast when the side is actually small at runtime
     return (
-        customer.join(F.broadcast(supplier), cond, "inner")
+        customer.join(supplier, cond, "inner")
         .groupBy("s_suppkey")
         .agg(F.count("*").alias("richer_customers"))
     )

@@ -87,9 +87,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length(F.col("text"))
     n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
     n_stop = F.regexp_count(F.col("text"), F.lit(EN_MARKERS))
-    mean_tok_len = n_chars / n_tok
-    punct_ratio = n_punct / n_chars
-    stop_ratio = n_stop / n_tok
+    # NULLIF-guarded denominators: an empty document yields NULL ratios in
+    # BOTH engines (unguarded, DuckDB returns NaN for 0/0 while ANSI
+    # Spark would raise — either way parity breaks on the first empty doc)
+    n_tok_nz = F.when(n_tok > 0, n_tok)
+    n_chars_nz = F.when(n_chars > 0, n_chars)
+    mean_tok_len = n_chars / n_tok_nz
+    punct_ratio = n_punct / n_chars_nz
+    stop_ratio = n_stop / n_tok_nz
     score = F.round(
         stop_ratio * 0.5 + punct_ratio * -0.25 + mean_tok_len * 0.05, 6
     )
@@ -148,7 +153,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @F.pandas_udf(T.LongType())
 def _textlen_udf(s: pd.Series) -> pd.Series:
-    return s.str.len().astype("int64")
+    # nullable Int64 extension dtype: None text → NULL length (matching
+    # SQL length()); a plain int64 cast would raise on the NaN
+    return s.str.len().astype("Int64")
 
 
 def q_pandas_udf_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,17 +219,21 @@ ORACLES = {
     "q_quality_score": r"""
         SELECT doc_id,
                len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-               ROUND(length(text) / len(string_split_regex(trim(text), '\s+')), 6)
+               ROUND(length(text)
+                     / NULLIF(len(string_split_regex(trim(text), '\s+')), 0), 6)
                    AS mean_token_len,
-               ROUND(len(regexp_extract_all(text, '[^\w\s]')) / length(text), 6)
+               ROUND(len(regexp_extract_all(text, '[^\w\s]'))
+                     / NULLIF(length(text), 0), 6)
                    AS punct_ratio,
                ROUND(len(regexp_extract_all(text, '\b(the|a|of|is|and|to|in)\b'))
-                     / len(string_split_regex(trim(text), '\s+')), 6)
+                     / NULLIF(len(string_split_regex(trim(text), '\s+')), 0), 6)
                    AS stopword_ratio,
                ROUND(len(regexp_extract_all(text, '\b(the|a|of|is|and|to|in)\b'))
-                         / len(string_split_regex(trim(text), '\s+')) * 0.5
-                     + len(regexp_extract_all(text, '[^\w\s]')) / length(text) * -0.25
-                     + length(text) / len(string_split_regex(trim(text), '\s+')) * 0.05,
+                         / NULLIF(len(string_split_regex(trim(text), '\s+')), 0) * 0.5
+                     + len(regexp_extract_all(text, '[^\w\s]'))
+                         / NULLIF(length(text), 0) * -0.25
+                     + length(text)
+                         / NULLIF(len(string_split_regex(trim(text), '\s+')), 0) * 0.05,
                      6) AS quality_score
         FROM documents
     """,

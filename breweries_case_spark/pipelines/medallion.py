@@ -139,7 +139,18 @@ def run_medallion(
     yields no valid rows (see _persist_layer). Returns the per-layer row
     counts the reference logs as its audit
     (``breweries_bronze_processors.py:155`` — computed here from the
-    written data, not by re-running the plan)."""
+    written data, not by re-running the plan).
+
+    LOCAL-FILESYSTEM paths only: the empty-rerun partition cleanup and
+    the audit counts use driver-local file APIs. For object stores /
+    lakehouse catalogs use ``io.writer.write_iceberg`` per layer —
+    Iceberg's overwritePartitions gives the same contract
+    transactionally. Guarded loudly rather than silently no-opping."""
+    if "://" in base_path and not base_path.startswith("file://"):
+        raise ValueError(
+            "run_medallion writes via driver-local filesystem APIs; got "
+            f"{base_path!r}. Use write_iceberg for object-store targets."
+        )
     bronze = ingest_to_bronze(spark, records, extraction_date)
     _persist_layer(bronze, f"{base_path}/bronze", extraction_date)
     bronze_n = _count_partition(spark, f"{base_path}/bronze", extraction_date)
