@@ -26,8 +26,8 @@ from breweries_case_spark.session import get_session  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family (scan, filter, join shapes, agg
-# shapes, windows, top-k, set ops, flagship). Extended-op ids are appended
-# dynamically when their modules are present.
+# shapes, windows, top-k, set ops, flagship) plus the extended-op ids;
+# ids missing from the registry are skipped rather than crashing.
 HEADLINE = [
     "q_flagship",
     "q_groupby_count",
@@ -73,7 +73,8 @@ def main() -> None:
     spark = get_session(app_name="bench")
     per_query: dict[str, float] = {}
     # one warm-up scan so JVM/codegen startup isn't billed to the first query
-    _materialize(qs["q_groupby_count"](spark, SF_DIR))
+    if names:
+        _materialize(qs[names[0]](spark, SF_DIR))
 
     for name in names:
         best = float("inf")
@@ -84,7 +85,11 @@ def main() -> None:
         per_query[name] = round(best, 3)
     total = round(sum(per_query.values()), 3)
 
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        sf = float(base[2:]) if base.startswith("sf") else None
+    except ValueError:
+        sf = None  # non-sfN dir name: results still printed
     print(
         json.dumps(
             {
@@ -92,7 +97,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
-                "sf": float(sf) if sf else None,
+                "sf": sf,
             }
         )
     )

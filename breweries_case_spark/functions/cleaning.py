@@ -14,6 +14,9 @@ def clean_text(col: Column, case: str | None = None) -> Column:
     case="lower" → brewery_type semantics; case="upper" → state/country
     semantics; None → id/name/city/postal_code/website_url semantics.
     """
+    if case not in (None, "lower", "upper"):
+        # a typo'd case must fail loudly, not silently skip normalization
+        raise ValueError(f"case must be None, 'lower', or 'upper'; got {case!r}")
     out = F.trim(col)
     if case == "lower":
         out = F.lower(out)

@@ -58,13 +58,15 @@ def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch idiom. Identical output to q_stream_session_batch; kept as a
     distinct operator because the window formulation lets arbitrary
     per-event columns ride along through the session. Gap compared in
-    microseconds — full timestamp precision, same as session_window."""
+    microseconds — full timestamp precision, same as session_window.
+    Boundary: session_window MERGES events exactly gap apart (verified
+    empirically on Spark 4.1.2), so the new-session flag is STRICT >."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     prev_us = F.lag(us, 1).over(w)
     gap_flag = F.when(
-        prev_us.isNull() | (us - prev_us >= SESSION_GAP_US), 1
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_US), 1
     ).otherwise(0)
     flagged = ev.select("user_id", "ts", "event_id", gap_flag.alias("new_session"))
     sess = flagged.withColumn(
@@ -133,8 +135,6 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count, sum) state, replayed to completion — the final row per user
     must equal the batch groupBy, which tests/test_streaming.py pins.
     Rows-only: arbitrary-stateful ops are the canonical non-SQL surface."""
-    from pyspark.sql.window import Window as W
-
     from breweries_case_spark.streaming.stateful import running_user_totals
 
     updates = run_stream_to_memory(
@@ -143,7 +143,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     # update mode emits one row per (user, micro-batch); keep the final state
-    latest = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    latest = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         updates.withColumn("rn", F.row_number().over(latest))
         .filter(F.col("rn") == 1)
@@ -163,13 +163,18 @@ QUERIES = {
     "q_stream_dedup": q_stream_dedup,
 }
 
-# Spark's F.window floors from the Unix epoch; spell the same arithmetic in
-# DuckDB (time_bucket has a different default origin).
-_BUCKET5 = "make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000)"
+# Spark's F.window FLOORS from the Unix epoch. DuckDB's // truncates
+# toward zero (so it would diverge for pre-1970 timestamps); floor() over
+# float division floors like Spark for all epochs.
+_BUCKET5 = (
+    "make_timestamp(CAST(floor(epoch_ms(ts) / 300000.0) AS BIGINT)"
+    " * 300000 * 1000)"
+)
 
 # Gaps-and-islands sessionization, full microsecond precision — shared by
-# both session query oracles. Spark's session_window treats an event at
-# exactly start+gap as a NEW session (window end is exclusive), hence >=.
+# both session query oracles. Spark's session_window MERGES an event at
+# exactly start+gap into the running session (verified empirically on
+# Spark 4.1.2), hence the STRICT > in the new-session flag.
 _SESSIONS_CTE = f"""
     WITH flagged AS (
         SELECT user_id, ts, event_id,
@@ -177,7 +182,7 @@ _SESSIONS_CTE = f"""
                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER
                         (PARTITION BY user_id ORDER BY ts, event_id)
-                        >= {SESSION_GAP_US}
+                        > {SESSION_GAP_US}
                     THEN 1 ELSE 0 END AS new_session
         FROM events),
     sess AS (

@@ -74,10 +74,27 @@ BREWERY_PAYLOAD_SCHEMA = T.StructType(
 )
 
 # --- Star-schema / extension tables (driver testdata, TESTDATA.md) ----------
+# The parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects; readers scan it as a raw nanos long (EVENTS_RAW_SCHEMA,
+# with spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds,
+# yielding EVENTS_SCHEMA — the post-load shape every operator sees.
+# io.reader.load_table and streaming.windows.stream_events both implement
+# this contract; tests/test_medallion.py pins declared == loaded.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos since epoch
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("ts", T.TimestampType(), True),  # micros after load
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),

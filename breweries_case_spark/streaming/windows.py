@@ -19,20 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# events.ts is TIMESTAMP(NANOS) in parquet; streaming reader uses the same
-# nanos-as-long + exact-truncate trick as io.reader.load_table.
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+from breweries_case_spark.functions import decimal_sum
+from breweries_case_spark.schemas import EVENTS_RAW_SCHEMA
 
 WATERMARK = "10 minutes"
 
@@ -42,7 +31,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     local stand-in for Kafka; same DataFrame surface either way)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
         # glob the events file specifically — sf_dir holds ALL tables, and a
         # bare directory path would stream every parquet (name-matched
         # columns → silent null rows); the glob form keeps basePath a
@@ -61,7 +50,7 @@ def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            decimal_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

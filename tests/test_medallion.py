@@ -356,3 +356,24 @@ def test_run_medallion_empty_rerun_clears_stale_partitions(spark, tmp_path):
     assert run_medallion(spark, bad, TEST_DATE, base) == {
         "bronze": 5, "silver": 0, "gold": 0,
     }
+
+
+def test_declared_schemas_match_loaded_tables(spark, sf_dir):
+    """schemas.py is a live contract: the declared StructTypes for the
+    driver's tables must match what load_table actually yields (names and
+    types; parquet nullability is not pinned). The media schema must match
+    what build_media_table constructs."""
+    from breweries_case_spark import schemas as S
+    from breweries_case_spark.io.reader import load_table
+    from breweries_case_spark.operators.multimodal import build_media_table
+
+    def shape(schema):
+        return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+    for table, declared in (
+        ("events", S.EVENTS_SCHEMA),
+        ("documents", S.DOCUMENTS_SCHEMA),
+        ("embeddings", S.EMBEDDINGS_SCHEMA),
+    ):
+        assert shape(load_table(spark, sf_dir, table).schema) == shape(declared), table
+    assert shape(build_media_table(spark, sf_dir).schema) == shape(S.MEDIA_SCHEMA)
