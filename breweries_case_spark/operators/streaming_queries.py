@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from breweries_case_spark.io.reader import load_table
 from breweries_case_spark.streaming.windows import (
     dedup_events,
+    interval_join,
     run_stream_to_memory,
     session_counts,
     sliding_counts,
@@ -130,6 +131,22 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join replay: purchases within 60 s of a
+    signup, both sides real streams. Must equal the batch
+    q_join_range_binned pair set (tests/test_streaming.py pins it).
+    Rows-only (streaming execution)."""
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(
+        interval_join(
+            ev.filter(F.col("event_type") == "signup"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ),
+        "stream_join_out",
+        output_mode="append",
+    )
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     (count, sum) state, replayed to completion — the final row per user
@@ -161,6 +178,7 @@ QUERIES = {
     "q_stream_session": q_stream_session,
     "q_stream_stateful": q_stream_stateful,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_join": q_stream_join,
 }
 
 # Spark's F.window FLOORS from the Unix epoch. DuckDB's // truncates

@@ -101,6 +101,42 @@ def dedup_events(events: DataFrame) -> DataFrame:
     )
 
 
+INTERVAL_JOIN_US = 60 * 1_000_000  # 60-second interval == bin width
+
+
+def interval_join(signups: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases within [0, 60 s] AFTER a
+    signup (the streaming twin of the batch binned interval join — same
+    predicate, same output). Spark REQUIRES an equality predicate for
+    stream-stream joins, and the batch version's bin rewrite supplies
+    exactly that: signups explode to (bin, bin+1), purchases keep their
+    bin, the join is equi on bin with the interval as residual. The
+    event-time bound + both-side watermarks let Spark BOUND the join
+    state — buffered rows drop once the other side's watermark passes
+    their ts + 60 s; without the bound, state would grow with the
+    stream."""
+    bin_of = F.floor(
+        F.unix_micros(F.col("ts")).cast("long") / F.lit(INTERVAL_JOIN_US)
+    )
+    s = signups.withWatermark("ts", WATERMARK).select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+        F.explode(F.array(bin_of, bin_of + 1)).alias("s_bin"),
+    )
+    p = purchases.withWatermark("ts", WATERMARK).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        bin_of.alias("p_bin"),
+    )
+    delta_us = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("s_ts"))
+    return s.join(
+        p,
+        (F.col("s_bin") == F.col("p_bin"))
+        & (delta_us >= 0)
+        & (delta_us <= INTERVAL_JOIN_US),
+    ).select("signup_id", "purchase_id", delta_us.alias("delta_us"))
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -369,3 +369,16 @@ def test_q_ingest_staged_json_matches_rest(spark):
     staged = q_ingest_staged_json(spark, "")
     assert staged.count() == q_ingest_rest(spark, "").count() == 450
     assert staged.columns == ["raw_json", "extraction_date"]
+
+
+def test_stream_join_equals_batch_interval_join(spark, sf_dir):
+    """Stream-stream time-bounded join == the batch binned interval join
+    (same predicate, two independent formulations + two engines' worth of
+    checks, since the batch side is itself DuckDB-oracle-verified)."""
+    from breweries_case_spark.operators.relational import q_join_range_binned
+    from breweries_case_spark.operators.streaming_queries import q_stream_join
+
+    cols = ["signup_id", "purchase_id", "delta_us"]
+    stream = _rows(q_stream_join(spark, sf_dir), cols)
+    batch = _rows(q_join_range_binned(spark, sf_dir), cols)
+    assert stream == batch
