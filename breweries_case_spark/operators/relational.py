@@ -554,6 +554,37 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg): region name list per nation-count
+    bucket — sorted before joining so the result is order-insensitive
+    (collect_list order is nondeterministic under parallel aggregation;
+    array_sort makes it canonical in BOTH engines)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("nation_count"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            ),
+        )
+    )
+
+
+def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max): per market segment, the name of the
+    customer with the highest / lowest account balance. Ties on the
+    extremum balance would be nondeterministic in either engine; the
+    driver's data has unique extremum balances per segment, which the
+    oracle match itself verifies."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+        F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+        F.max("c_acctbal").alias("max_balance"),
+    )
+
+
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct — the 100 TB substitute for exact distinct
     (SURVEY §2.5). No oracle: Spark's HLL++ estimate differs from DuckDB's
@@ -808,6 +839,8 @@ QUERIES = {
     "q_percentile": q_percentile,
     "q_percentile_approx": q_percentile_approx,
     "q_agg_salted": q_agg_salted,
+    "q_string_agg": q_string_agg,
+    "q_arg_max": q_arg_max,
     "q_window_ntile": q_window_ntile,
     "q_flagship": q_flagship,
 }
@@ -866,6 +899,18 @@ ORACLES = {
         FROM (SELECT * FROM events WHERE event_type = 'signup') s
         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON p.ts >= s.ts AND epoch_us(p.ts) - epoch_us(s.ts) <= 60000000
+    """,
+    "q_string_agg": """
+        SELECT n_regionkey, count(*) AS nation_count,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+        FROM nation GROUP BY n_regionkey
+    """,
+    "q_arg_max": """
+        SELECT c_mktsegment,
+               arg_max(c_name, c_acctbal) AS richest_customer,
+               arg_min(c_name, c_acctbal) AS poorest_customer,
+               max(c_acctbal) AS max_balance
+        FROM customer GROUP BY c_mktsegment
     """,
     "q_agg_salted": """
         SELECT l_returnflag, count(*) AS line_count,
