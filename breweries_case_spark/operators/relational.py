@@ -401,13 +401,19 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set where the array itself is the feature (reference A3).
-    array_sort for deterministic comparison; at scale only safe for
-    low-cardinality sets like these status codes."""
+    """collect_set where the set itself is the feature (reference A3,
+    breweries_gold_processors.py:36). Emitted as a sorted CSV scalar
+    (array_join ∘ array_sort) so the result cell is order-canonical and
+    hash-comparable by any harness; at scale only safe for low-cardinality
+    sets like these status codes."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses_csv"
+            )
+        )
     )
 
 
@@ -505,16 +511,26 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate percentile — the 100 TB path (single pass,
-    fixed-size sketch per group, no global sort). Rows-only: sketch
-    estimates differ across engines by construction."""
-    return (
+    fixed-size sketch per group, no global sort). Sketch estimates differ
+    across engines, so the hashed output is the exact discrete median plus
+    a within-band boolean over the sketch estimate (band: ±2% of the exact
+    value's magnitude, floor 1.0 — covers rank-error wobble on small
+    groups). Deterministic for the oracle, still red if the sketch drifts."""
+    est = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.percentile_approx(F.col("l_quantity"), F.lit(0.5), F.lit(10000)).alias(
-                "p50_qty_approx"
-            )
+                "_p50_approx"
+            ),
+            F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("p50_qty"),
         )
+    )
+    band = F.greatest(F.lit(1.0), 0.02 * F.abs(F.col("p50_qty")))
+    return est.select(
+        "l_returnflag",
+        "p50_qty",
+        (F.abs(F.col("_p50_approx") - F.col("p50_qty")) <= band).alias("within_band"),
     )
 
 
@@ -587,13 +603,26 @@ def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct — the 100 TB substitute for exact distinct
-    (SURVEY §2.5). No oracle: Spark's HLL++ estimate differs from DuckDB's
-    HLL by construction; checked rows-only. A batch exactness test lives in
-    tests/ (estimate within 5% of exact at sf0.001)."""
-    return (
+    (SURVEY §2.5). Sketch estimates are engine-specific, so the hashed
+    output is the EXACT count plus a within-5%-band boolean over the HLL
+    estimate: deterministic across engines, yet the oracle match fails if
+    the sketch ever drifts out of band. (The exact countDistinct exists
+    only to score the sketch; the production query is the HLL agg alone.)"""
+    est = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("_approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+    return est.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_5pct"),
     )
 
 
@@ -1027,7 +1056,8 @@ ORACLES = {
     """,
     "q_collect_set": """
         SELECT o_orderpriority,
-               list_sort(list(DISTINCT o_orderstatus)) AS statuses
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+                   AS statuses_csv
         FROM orders GROUP BY o_orderpriority
     """,
     "q_sum_global": """
@@ -1046,8 +1076,20 @@ ORACLES = {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    # q_approx_count_distinct: intentionally no oracle (HLL estimates are
-    # implementation-specific); rows-only check + exactness-bound unit test.
+    # Sketch queries hash (exact value, within-band boolean) — deterministic
+    # across engines while still failing red if the sketch drifts out of band.
+    "q_approx_count_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS within_5pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_percentile_approx": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+               TRUE AS within_band
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q_window_rank": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
