@@ -396,12 +396,103 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X2e: cluster resolution (pairs → components → keeper) ------------------
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``edges`` is (u, v) undirected candidate pairs; ``vertices`` is (node).
+    Returns (node, label) where label = the component's minimum node id.
+
+    Each round is one equi-join (neighbor labels) + one groupBy (min per
+    node): the label front advances one hop per round, so rounds = component
+    diameter. Near-dup clusters are short transitive chains, so this
+    converges in a handful of rounds; at petabyte scale the loop body swaps
+    for the large-star/small-star rewrite (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) for O(log n) rounds with
+    the same output contract. Lineage is truncated every round with an
+    eager localCheckpoint — without it the iterated plan nests one join
+    per round and the optimizer re-analyzes the whole history each time
+    (on a cluster, point spark.sparkContext.setCheckpointDir at durable
+    storage and use checkpoint() instead).
+    """
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = vertices.select("node", F.col("node").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.node"))
+            .groupBy(F.col("e.u").alias("node"))
+            .agg(F.min("l.label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.alias("l")
+            .join(nbr.alias("n"), "node", "left")
+            .select(
+                F.col("node"),
+                F.col("l.label").alias("old_label"),
+                F.least(
+                    F.col("l.label"),
+                    F.coalesce(F.col("n.nbr_label"), F.col("l.label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("label") < F.col("old_label")).count()
+        labels = stepped.select("node", "label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution — the stage every training-data dedup pipeline
+    ends with: near-dup PAIRS (exact 3-gram Jaccard ≥ 0.5, the
+    oracle-checkable pair source) → connected components → one keeper per
+    cluster. Keeper policy: longest document (n_chars), ties to the
+    smallest doc_id — a quality-based choice rather than the redundant
+    min-id. Singleton docs appear as size-1 clusters (they keep
+    themselves), so the output is a total doc→cluster assignment.
+    Oracle: DuckDB recursive CTE reaching the same fixpoint."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comps = connected_components(
+        pairs, docs.select(F.col("doc_id").alias("node"))
+    )
+    members = comps.join(docs, comps.node == docs.doc_id)
+    return members.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("cluster_size"),
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+        ).alias("keeper_doc_id"),
+        # sort NUMERICALLY, then stringify — matches DuckDB's
+        # list_sort(list(bigint)) ∘ array_to_string
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members_csv"),
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -441,6 +532,43 @@ ORACLES = {
             FROM e a JOIN e b
               ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cosine >= 0.4
+    """,
+    "q_dedup_clusters": r"""
+        WITH RECURSIVE
+        sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+                       i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
+            FROM documents),
+        pairs AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.sh, b.sh)) /
+                       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                           AS jaccard
+                FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+        reach(u, l) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
+        labels AS (SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u),
+        members AS (
+            SELECT l.cluster_id, d.doc_id, d.n_chars,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+            FROM labels l JOIN documents d USING (doc_id))
+        SELECT cluster_id,
+               count(*) AS cluster_size,
+               max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_doc_id,
+               array_to_string(list_sort(list(doc_id)), ',') AS members_csv
+        FROM members GROUP BY cluster_id
     """,
     # q_dedup_simhash / q_dedup_minhash: rows-only (xxhash64 is Spark-side;
     # LSH recall is probabilistic). Precision of minhash is pinned by a unit

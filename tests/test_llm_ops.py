@@ -221,3 +221,37 @@ def test_knn_join_ann_finds_planted_near_duplicates(spark):
     twin = {a: b for a, b in planted} | {b: a for a, b in planted}
     correct = sum(1 for q, n in rank1.items() if twin[q] == n)
     assert correct / len(rank1) >= 0.9
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B and B~C (but A≁C directly) must collapse into ONE cluster via
+    transitivity; an isolated node stays its own singleton component."""
+    from breweries_case_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "u long, v long")
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "node long")
+    got = {r.node: r.label for r in connected_components(edges, verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_total_assignment(spark, sf_dir):
+    """Cluster resolution is a TOTAL doc→cluster assignment: member counts
+    sum to the corpus size, every keeper is a member of its own cluster,
+    and every exact near-dup pair lands in the same cluster."""
+    from breweries_case_spark.io.reader import load_table
+    from breweries_case_spark.operators.dedup import q_dedup_clusters
+
+    clusters = q_dedup_clusters(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.cluster_size for r in clusters) == n_docs
+    member_of = {}
+    for r in clusters:
+        members = [int(x) for x in r.members_csv.split(",")]
+        assert r.keeper_doc_id in members
+        assert r.cluster_id == min(members)
+        assert len(members) == r.cluster_size
+        for m in members:
+            member_of[m] = r.cluster_id
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").collect()
+    for p in pairs:
+        assert member_of[p.doc_a] == member_of[p.doc_b]
