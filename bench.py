@@ -53,15 +53,71 @@ EXTENDED = [
     "q_quality_score",
     "q_sim_topk",
     "q_stream_tumbling_batch",
+    "q_stream_session_batch",
     "q_join_asof",
     "q_agg_salted",
     "q_tfidf",
     "q_sim_knn_join",
+    "q_sim_knn_join_ann",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
 ]
 
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _medallion_layer_times(spark) -> dict[str, float]:
+    """Per-layer wall time for a 10k-row medallion run — the reference's
+    only published envelope is < 30 s/layer at 10k rows
+    (tests/integration/test_performance.py:71-73); emitting the measured
+    layer times makes that comparison machine-readable round over round.
+    Each layer is timed THROUGH its persisted parquet commit, like the
+    reference times task-to-task."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from breweries_case_spark.io.rest_source import (
+        fetch_paginated,
+        synthetic_page_fetcher,
+    )
+    from breweries_case_spark.io.writer import (
+        read_partitioned,
+        write_partition_overwrite,
+    )
+    from breweries_case_spark.pipelines.medallion import (
+        bronze_to_silver,
+        ingest_to_bronze,
+        silver_to_gold,
+    )
+
+    day = dt.date(2024, 1, 15)
+    records = fetch_paginated(synthetic_page_fetcher(10_000), per_page=200)
+    base = tempfile.mkdtemp(prefix="bench_medallion_")
+    times: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        write_partition_overwrite(ingest_to_bronze(spark, records, day), f"{base}/bronze")
+        times["bronze"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        write_partition_overwrite(
+            bronze_to_silver(read_partitioned(spark, f"{base}/bronze"), day),
+            f"{base}/silver",
+        )
+        times["silver"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        write_partition_overwrite(
+            silver_to_gold(read_partitioned(spark, f"{base}/silver"), day),
+            f"{base}/gold",
+        )
+        times["gold"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return times
 
 
 def main() -> None:
@@ -90,6 +146,7 @@ def main() -> None:
         sf = float(base[2:]) if base.startswith("sf") else None
     except ValueError:
         sf = None  # non-sfN dir name: results still printed
+    medallion = _medallion_layer_times(spark)
     print(
         json.dumps(
             {
@@ -98,6 +155,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "medallion_10k_rows_per_layer_sec": medallion,
             }
         )
     )

@@ -41,11 +41,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long (runtime conf, honored per-scan)
-        # and truncate to a microsecond timestamp with exact integer
-        # division — identical to what duckdb/python yield for the same ns.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # reader rejects; read nanos as long and truncate to a microsecond
+        # timestamp with exact integer division — identical to what
+        # duckdb/python yield for the same ns. The conf is captured into
+        # the relation at read time (verified: the scan still executes
+        # after restore), so save/restore keeps it from leaking into later
+        # unrelated nanos-parquet reads on the same session, which would
+        # silently come back as longs.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -206,48 +206,47 @@ def ingest_staged_files(
     return reader.format(file_format).load(path)
 
 
+def _staging_dir() -> str:
+    """Per-run staging directory that OUTLIVES the DataFrames reading from
+    it (removed at interpreter exit, not at function return) — so staged
+    reads stay lazy and distributed instead of being collected to dodge a
+    temp-dir lifetime. In production this is an object-store prefix with a
+    retention policy; the lifecycle contract (staging outlives the query
+    plan that scans it) is the same."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="breweries_staged_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def q_ingest_staged_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered staged-file ingest (rows-only): stage the synthetic
     brewery pages as JSON lines, bulk-read them back with the declared
-    payload schema, and land bronze rows distributed (scan → to_json on
-    executors) — the backfill twin of q_ingest_rest, same downstream
-    contract. The final collect exists ONLY because this demo stages into
-    an ephemeral local temp dir that must outlive the returned DataFrame;
-    with a persistent staging location the bronze frame is returned (and
-    written) without ever touching the driver."""
-    import shutil
-    import tempfile
+    payload schema, and land bronze rows FULLY DISTRIBUTED — the payload →
+    raw_json re-serialization runs as to_json on the executors and the
+    returned frame is a lazy scan of the staged files; nothing round-trips
+    the driver. The backfill twin of q_ingest_rest, same downstream
+    contract. (to_json drops null fields where driver-side json.dumps would
+    keep them; silver's from_json lands absent fields as NULL either way.)"""
+    from pyspark.sql import functions as F
 
     from breweries_case_spark.schemas import BREWERY_PAYLOAD_SCHEMA
 
     records = fetch_paginated(synthetic_page_fetcher(), per_page=200)
-    tmp = tempfile.mkdtemp(prefix="staged_json_")
-    try:
-        with open(f"{tmp}/payload.jsonl", "w") as fh:
-            for r in records:
-                fh.write(json.dumps(r) + "\n")
-        staged = ingest_staged_files(
-            spark, tmp, BREWERY_PAYLOAD_SCHEMA, file_format="json"
-        )
-        # fully distributed bronze conversion: re-serialize each payload
-        # row with to_json ON THE EXECUTORS (the scale point of this
-        # source — never collect a backfill to the driver). to_json drops
-        # null fields where the driver-side json.dumps keeps them; the
-        # bronze contract (silver's from_json lands absent fields as
-        # NULL) is identical either way.
-        from pyspark.sql import functions as F
-
-        bronze = staged.select(
-            F.to_json(F.struct(*staged.columns)).alias("raw_json"),
-            F.lit(_dt.date(2024, 1, 15)).alias("extraction_date"),
-        )
-        # materialize before the staging dir is deleted (local temp input)
-        rows = bronze.collect()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    from breweries_case_spark.schemas import BRONZE_SCHEMA
-
-    return spark.createDataFrame(rows, BRONZE_SCHEMA)
+    staging = _staging_dir()
+    with open(f"{staging}/payload.jsonl", "w") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+    staged = ingest_staged_files(
+        spark, staging, BREWERY_PAYLOAD_SCHEMA, file_format="json"
+    )
+    return staged.select(
+        F.to_json(F.struct(*staged.columns)).alias("raw_json"),
+        F.lit(_dt.date(2024, 1, 15)).alias("extraction_date"),
+    )
 
 
 QUERIES = {

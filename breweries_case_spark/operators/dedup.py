@@ -329,16 +329,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall); precision is exact because of the verification join — every
     returned pair genuinely clears the threshold, which the unit test
     cross-checks against q_dedup_ngram_jaccard's exact output."""
-    # persist the SIGNATURES, not the shingles: the LSH band self-join
+    # materialize the SIGNATURES, not the shingles: the LSH band self-join
     # consumes the signature table twice (sides a and b), and recomputing
     # it means redoing the k-hash derivation over every shingle — measured
-    # 4x slower uncached at sf0.1. The signature table is k longs per doc
-    # (orders of magnitude smaller than the shingle arrays), which is
-    # exactly what one would checkpoint at 100 TB; the two verification
-    # sides below recompute the narrow shingle expression instead of
-    # pinning the full shingled corpus in cache.
+    # 4x slower unmaterialized at sf0.1. The signature table is k longs per
+    # doc (orders of magnitude smaller than the shingle arrays), which is
+    # exactly what one would checkpoint at 100 TB. localCheckpoint rather
+    # than persist(): a persist with no owner to unpersist it accumulates
+    # in the cache manager across invocations (every later run silently
+    # measures a cache hit); checkpointed blocks are GC'd with the
+    # DataFrame and never match future plans.
     docs = _docs_with_hashed_shingles(spark, sf_dir)
-    cands = lsh_candidates(minhash_signatures(docs).persist())
+    cands = lsh_candidates(minhash_signatures(docs).localCheckpoint())
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -419,8 +421,13 @@ def connected_components(
     (on a cluster, point spark.sparkContext.setCheckpointDir at durable
     storage and use checkpoint() instead).
     """
-    sym = edges.select("u", "v").union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # materialize the symmetrized edge list ONCE — every round joins
+    # against it, and without this the (possibly expensive) upstream
+    # pair-finding plan would re-execute per iteration
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
     )
     labels = vertices.select("node", F.col("node").alias("label")).localCheckpoint()
     for _ in range(max_iter):

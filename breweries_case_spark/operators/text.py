@@ -129,10 +129,12 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: tokenize+explode pipelines into the scan; two hash aggregates
     (tf on (doc,term), df on term) + one equi-join on term — all
-    shuffle-partitioned, nothing global. At 100 TB the df table is the
-    vocabulary (small) and AQE broadcasts the join side automatically."""
+    shuffle-partitioned, nothing global. Corpus size N is a 1-row global
+    agg broadcast-crossJoined into the plan (not a separate driver-side
+    count() job) — the whole query is ONE job. At 100 TB the df table is
+    the vocabulary (small) and AQE broadcasts the join side automatically."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = float(d.count())
+    n_docs = d.agg(F.count("*").cast("double").alias("_n_docs"))
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
@@ -140,9 +142,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     tfidf = (
-        F.col("tf").cast("double") * F.lit(n_docs) / F.col("df").cast("double")
+        F.col("tf").cast("double") * F.col("_n_docs") / F.col("df").cast("double")
     )
-    return tf.join(dfreq, "term").select(
+    return tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
         "term",
         "tf",

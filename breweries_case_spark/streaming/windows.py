@@ -111,10 +111,14 @@ def interval_join(signups: DataFrame, purchases: DataFrame) -> DataFrame:
     stream-stream joins, and the batch version's bin rewrite supplies
     exactly that: signups explode to (bin, bin+1), purchases keep their
     bin, the join is equi on bin with the interval as residual. The
-    event-time bound + both-side watermarks let Spark BOUND the join
-    state — buffered rows drop once the other side's watermark passes
-    their ts + 60 s; without the bound, state would grow with the
-    stream."""
+    residual is expressed DIRECTLY on the watermarked timestamp columns
+    (p_ts BETWEEN s_ts AND s_ts + INTERVAL) — the form Spark's
+    stream-stream join analyzer recognizes as a time-range constraint and
+    turns into state-eviction watermarks (buffered rows drop once the
+    other side's watermark passes ts + 60 s). An equivalent bound written
+    over unix_micros() longs computes the same rows but is opaque to the
+    analyzer: inner-join state would grow without bound on a real
+    multi-batch stream."""
     bin_of = F.floor(
         F.unix_micros(F.col("ts")).cast("long") / F.lit(INTERVAL_JOIN_US)
     )
@@ -132,8 +136,11 @@ def interval_join(signups: DataFrame, purchases: DataFrame) -> DataFrame:
     return s.join(
         p,
         (F.col("s_bin") == F.col("p_bin"))
-        & (delta_us >= 0)
-        & (delta_us <= INTERVAL_JOIN_US),
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("s_ts") + F.expr(f"INTERVAL {INTERVAL_JOIN_US} MICROSECOND")
+        ),
     ).select("signup_id", "purchase_id", delta_us.alias("delta_us"))
 
 

