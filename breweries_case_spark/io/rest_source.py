@@ -249,8 +249,43 @@ def q_ingest_staged_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ingest_staged_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV twin of q_ingest_staged_json (rows-only): the same synthetic
+    pages staged as headered CSV, read back with the declared schema, same
+    distributed bronze conversion. CSV cannot represent JSON's null-vs-
+    absent distinction (nulls land as empty strings unless nullValue is
+    declared) — the reader sets nullValue='' so both staged formats yield
+    identical bronze rows, which the unit test asserts."""
+    import csv
+
+    from pyspark.sql import functions as F
+
+    from breweries_case_spark.schemas import BREWERY_PAYLOAD_SCHEMA
+
+    records = fetch_paginated(synthetic_page_fetcher(), per_page=200)
+    staging = _staging_dir()
+    fields = [f.name for f in BREWERY_PAYLOAD_SCHEMA.fields]
+    with open(f"{staging}/payload.csv", "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=fields)
+        w.writeheader()
+        for r in records:
+            w.writerow({k: ("" if r.get(k) is None else r.get(k)) for k in fields})
+    staged = ingest_staged_files(
+        spark,
+        staging,
+        BREWERY_PAYLOAD_SCHEMA,
+        file_format="csv",
+        nullValue="",
+    )
+    return staged.select(
+        F.to_json(F.struct(*staged.columns)).alias("raw_json"),
+        F.lit(_dt.date(2024, 1, 15)).alias("extraction_date"),
+    )
+
+
 QUERIES = {
     "q_ingest_rest": q_ingest_rest,
     "q_ingest_staged_json": q_ingest_staged_json,
+    "q_ingest_staged_csv": q_ingest_staged_csv,
 }
 ORACLES: dict[str, str] = {}  # network/file-shaped sources: rows-only by design

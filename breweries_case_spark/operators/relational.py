@@ -821,6 +821,176 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Analytic-surface extensions (round 2: W2+, A6+, C8+, J7) ---------------
+
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag + first/last_value over a customer's order history (W2
+    extension — the full analytic-offset family). Offsets copy values
+    bit-for-bit (no arithmetic), so the oracle match is exact without the
+    decimal trick. One shuffle on the partition key serves all five
+    window expressions (same frame family, one Window spec)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderdate").over(wf).alias("first_order_date"),
+        F.last("o_orderdate").over(wf).alias("last_order_date"),
+    )
+
+
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist: a customer's balance position within its
+    market segment. Both are exact rational arithmetic ((rank-1)/(n-1),
+    rank/n) so cross-engine doubles agree; rounded to 6 to keep the hash
+    insensitive to formatting."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("balance_cume_dist"),
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (A6 generalization): count_if + filtered
+    sums per group in ONE pass — the idiomatic replacement for N separate
+    filtered scans; at 100 TB this turns N table passes into one."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").alias("finished_orders"),
+            F.count_if(F.col("o_orderstatus") == "O").alias("open_orders"),
+            decimal_sum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+            ).alias("finished_revenue"),
+        )
+    )
+
+
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic the reference never needed (§2.7 note) but any
+    analytics engine must have: extract year/quarter, day-delta from a
+    fixed epoch — aggregated per (year, quarter) so the output is compact
+    at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            decimal_sum(F.col("o_totalprice")).alias("revenue"),
+            F.min(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))).alias(
+                "min_days_since_1995"
+            ),
+            F.max(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))).alias(
+                "max_days_since_1995"
+            ),
+        )
+    )
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics end-to-end: nullif derives NULLs (this corpus has
+    none naturally), coalesce repairs them, count vs count(col) shows the
+    null-skip rule, and grouping keeps the NULL-derived key as its own
+    group — the exact edge set where engines diverge silently."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "status_nullable", F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    )
+    return o.groupBy(
+        F.coalesce(F.col("status_nullable"), F.lit("UNKNOWN")).alias("status_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("status_nullable").alias("n_nonnull"),
+        F.count_if(F.col("status_nullable").isNull()).alias("n_null"),
+    )
+
+
+SALT_BUCKETS_JOIN = 64
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join — the join-side twin of q_agg_salted. l_returnflag
+    has 3 values over the whole fact table, so a plain equi-join to a
+    per-flag dimension lands every row on 3 reducers regardless of cluster
+    size. Salting fans the fact side across (key, salt) and EXPLODES the
+    tiny dimension ×64 so every (key, salt) bucket finds its dim row; the
+    result is EXACTLY the plain join (oracle is the unsalted SQL), but the
+    exchange spreads over 3×64 reducers. AQE's skew handling splits
+    oversized SORT-MERGE partitions; explicit salting is the portable form
+    and also covers hash joins AQE won't split."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(SALT_BUCKETS_JOIN))
+    )
+    dim = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag")
+        .distinct()
+        .select(
+            "l_returnflag",
+            F.concat(F.lit("flag_"), F.col("l_returnflag")).alias("flag_label"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SALT_BUCKETS_JOIN - 1))
+            ).alias("_salt"),
+        )
+    )
+    return (
+        li.join(dim, ["l_returnflag", "_salt"])
+        .groupBy("flag_label")
+        .agg(
+            F.count("*").alias("line_count"),
+            decimal_sum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO expressed declaratively (SCD-1 upsert): a deterministic
+    update feed (urgent orders repriced ×1.1; every 97th order key arrives
+    as a NEW row offset by 10M) merged into orders — matched rows take the
+    update, unmatched targets persist, unmatched updates insert. The
+    full-outer-join + coalesce formulation is the engine-agnostic core of
+    what Iceberg/Delta MERGE INTO executes transactionally (reference's
+    Iceberg tables would take this via ``MERGE INTO`` on the same plan);
+    at 100 TB both sides shuffle on the key once, same as any equi-join."""
+    o = load_table(spark, sf_dir, "orders")
+    # reprice in DECIMAL so the ×1.1 is exact and engine-independent
+    # (double×1.1 + round() can disagree across engines on ties)
+    updates = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("u_orderkey"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(3,2)")
+        )
+        .cast("double")
+        .alias("u_price"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("u_orderkey"),
+        F.col("o_totalprice").alias("u_price"),
+    )
+    feed = updates.unionByName(inserts)
+    merged = o.join(feed, o.o_orderkey == feed.u_orderkey, "full_outer")
+    return merged.select(
+        F.coalesce(F.col("o_orderkey"), F.col("u_orderkey")).alias("orderkey"),
+        F.coalesce(F.col("u_price"), F.col("o_totalprice")).alias("final_price"),
+        F.when(F.col("o_orderkey").isNull(), "insert")
+        .when(F.col("u_orderkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
+
+
 # --- Registry ---------------------------------------------------------------
 
 QUERIES = {
@@ -872,6 +1042,13 @@ QUERIES = {
     "q_arg_max": q_arg_max,
     "q_window_ntile": q_window_ntile,
     "q_flagship": q_flagship,
+    "q_window_lead_lag": q_window_lead_lag,
+    "q_percent_rank": q_percent_rank,
+    "q_conditional_agg": q_conditional_agg,
+    "q_date_arith": q_date_arith,
+    "q_null_handling": q_null_handling,
+    "q_join_salted": q_join_salted,
+    "q_merge_upsert": q_merge_upsert,
 }
 
 ORACLES = {
@@ -1075,6 +1252,76 @@ ORACLES = {
         SELECT l_returnflag, l_linestatus, count(*) AS line_count,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_window_lead_lag": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               LAG(o_totalprice) OVER w AS prev_price,
+               LEAD(o_totalprice) OVER w AS next_price,
+               FIRST_VALUE(o_orderdate) OVER wf AS first_order_date,
+               LAST_VALUE(o_orderdate) OVER wf AS last_order_date
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    """,
+    "q_percent_rank": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               ROUND(percent_rank() OVER w, 6) AS balance_pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS balance_cume_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+    "q_conditional_agg": """
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'F') AS finished_orders,
+               count(*) FILTER (o_orderstatus = 'O') AS open_orders,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS finished_revenue
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_date_arith": """
+        SELECT year(o_orderdate) AS order_year,
+               quarter(o_orderdate) AS order_quarter,
+               count(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               min(datediff('day', DATE '1995-01-01', o_orderdate))
+                   AS min_days_since_1995,
+               max(datediff('day', DATE '1995-01-01', o_orderdate))
+                   AS max_days_since_1995
+        FROM orders GROUP BY 1, 2
+    """,
+    "q_null_handling": """
+        SELECT COALESCE(NULLIF(o_orderstatus, 'P'), 'UNKNOWN') AS status_bucket,
+               count(*) AS n_rows,
+               count(NULLIF(o_orderstatus, 'P')) AS n_nonnull,
+               count(*) FILTER (NULLIF(o_orderstatus, 'P') IS NULL) AS n_null
+        FROM orders GROUP BY 1
+    """,
+    "q_join_salted": """
+        SELECT 'flag_' || l_returnflag AS flag_label,
+               count(*) AS line_count,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem GROUP BY 1
+    """,
+    "q_merge_upsert": """
+        WITH feed AS (
+            SELECT o_orderkey AS u_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.1 AS DECIMAL(3,2)) AS DOUBLE) AS u_price
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey + 10000000, CAST(o_totalprice AS DOUBLE)
+            FROM orders WHERE o_orderkey % 97 = 0)
+        SELECT COALESCE(o.o_orderkey, f.u_orderkey) AS orderkey,
+               COALESCE(f.u_price, o.o_totalprice) AS final_price,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN f.u_orderkey IS NULL THEN 'keep'
+                    ELSE 'update' END AS merge_action
+        FROM orders o FULL OUTER JOIN feed f ON o.o_orderkey = f.u_orderkey
     """,
     # Sketch queries hash (exact value, within-band boolean) — deterministic
     # across engines while still failing red if the sketch drifts out of band.

@@ -269,11 +269,96 @@ def q_sim_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_knn_join(_embeddings_double(spark, sf_dir))
 
 
+# --- ANN: IVF-Flat (inverted-file coarse quantizer) --------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Deterministic training-free coarse quantizer: the IVF_CENTROIDS
+    lowest-vec_id vectors serve as centroids. Production swaps in
+    k-means||-trained centroids — the INDEX STRUCTURE (assignment column,
+    bucket-pruned search) and the query plan are identical; centroid
+    quality only moves recall. Centroids are a driver-side parameter
+    (IVF_CENTROIDS rows), like the query vector."""
+    rows = emb.orderBy("vec_id").limit(IVF_CENTROIDS).collect()
+    return [(r.vec_id, list(r.v)) for r in rows]
+
+
+def _ivf_assign_expr(vec_col, cents: list[tuple[int, list[float]]]):
+    """Column expression: id of the nearest centroid by cosine. Scores all
+    IVF_CENTROIDS centroids narrowly per row (no shuffle), argmax via
+    array_sort on (score, cid) structs — ties break to the larger cid,
+    deterministically."""
+    norm_v = F.sqrt(_dot(vec_col, vec_col))
+    scored = []
+    for cid, c in cents:
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        scored.append(
+            F.struct(
+                (_dot(vec_col, clit) / (norm_v * F.lit(_norm_py(c)))).alias("s"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    return F.element_at(F.array_sort(F.array(*scored)), -1)["cid"]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    exclude_vec_id: int | None = None,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-Flat ANN top-k: vectors are assigned to their nearest centroid
+    (the inverted file); a query scores the centroids driver-side, probes
+    only the nprobe nearest lists, and exact-cosine re-ranks those
+    candidates. At scale the assignment column is precomputed and the
+    table is partitioned/bucketed by it, so a query reads nprobe/
+    IVF_CENTROIDS of the data — the same pruning contract as the LSH
+    variant but with data-adaptive cells instead of fixed hyperplanes."""
+    cents = _ivf_centroids(emb)
+    norm_q = _norm_py(query_vec)
+
+    def _cos_py(c: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(query_vec, c):
+            acc += a * b
+        return acc / (_norm_py(c) * norm_q)
+
+    probes = [
+        cid
+        for cid, _ in sorted(cents, key=lambda t: (-_cos_py(t[1]), t[0]))[:nprobe]
+    ]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("v"), qlit) / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(norm_q))
+    out = emb.withColumn("_cell", _ivf_assign_expr(F.col("v"), cents)).filter(
+        F.col("_cell").isin(probes)
+    )
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered IVF-Flat ANN entry (rows-only: pruning is approximate;
+    a unit test plants near-duplicates and asserts they are found, and
+    checks recall against the exact top-k)."""
+    emb = _embeddings_double(spark, sf_dir)
+    return ivf_topk(emb, _query_vector(spark, sf_dir), exclude_vec_id=QUERY_VEC_ID)
+
+
 QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_knn_join": q_sim_knn_join,
     "q_sim_knn_join_ann": q_sim_knn_join_ann,
+    "q_sim_ivf": q_sim_ivf,
 }
 
 ORACLES = {

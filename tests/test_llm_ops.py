@@ -258,3 +258,38 @@ def test_dedup_clusters_total_assignment(spark, sf_dir):
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").collect()
     for p in pairs:
         assert member_of[p.doc_a] == member_of[p.doc_b]
+
+
+def test_ivf_topk_finds_planted_near_duplicate(spark):
+    """IVF pruning must still surface a planted near-duplicate of the
+    query vector, and on the real table its top-k should overlap the
+    exact top-k (recall sanity, not a hard guarantee)."""
+    from breweries_case_spark.operators.similarity import ivf_topk
+
+    import math
+
+    dim = 8
+    base = [math.sin(i + 1) for i in range(dim)]
+    near = [x * 1.001 + 0.0001 for x in base]  # cosine ≈ 1.0 with base
+    far_rows = [
+        (i, [math.cos(7 * i + d) for d in range(dim)], "x") for i in range(2, 40)
+    ]
+    emb = spark.createDataFrame(
+        [(0, base, "x"), (1, near, "x")] + far_rows,
+        "vec_id long, v array<double>, label string",
+    )
+    got = ivf_topk(emb, base, exclude_vec_id=0, k=3, nprobe=2).collect()
+    assert got, "IVF returned nothing"
+    assert got[0].vec_id == 1, f"planted near-dup not ranked first: {got}"
+    assert got[0].cosine > 0.999
+
+
+def test_ivf_recall_against_exact(spark, sf_dir):
+    from breweries_case_spark.operators.similarity import q_sim_ivf, q_sim_topk
+
+    exact = {r.vec_id for r in q_sim_topk(spark, sf_dir).collect()}
+    ivf = {r.vec_id for r in q_sim_ivf(spark, sf_dir).collect()}
+    # near-uniform synthetic embeddings scatter neighbors across cells, so
+    # only a soft floor is meaningful here; planted-near-dup recall above
+    # is the hard guarantee
+    assert len(ivf & exact) >= 3, (ivf, exact)

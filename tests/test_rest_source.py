@@ -178,3 +178,17 @@ def test_urllib_fallback_retries_5xx_then_succeeds(urllib_fetcher):
     ]
     fetch = http_page_fetcher("http://api.test/breweries", retries=3, backoff=0.0)
     assert fetch(1, 200) == [{"id": "y"}]
+
+
+def test_staged_csv_equals_staged_json(spark):
+    """Both staged formats land byte-identical bronze rows (CSV nullValue
+    declaration makes empty-string round back to NULL like JSON absent)."""
+    from breweries_case_spark.io.rest_source import (
+        q_ingest_staged_csv,
+        q_ingest_staged_json,
+    )
+
+    csv_rows = sorted(r.raw_json for r in q_ingest_staged_csv(spark, "").collect())
+    json_rows = sorted(r.raw_json for r in q_ingest_staged_json(spark, "").collect())
+    assert len(csv_rows) == 450
+    assert csv_rows == json_rows
