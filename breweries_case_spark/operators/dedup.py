@@ -38,30 +38,38 @@ def _norm_tokens(col):
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def _shingles(tokens, n: int = 3):
-    """Distinct n-gram shingles of a token array (built-ins only: sequence +
-    transform + element_at — no explode needed at this stage)."""
-    count = F.size(tokens) - (n - 1)
-    # sequence(1, 0) is DESCENDING in Spark — guard short docs explicitly
-    # so they yield an empty shingle set instead of an index-0 error
-    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), count),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(tokens, i + k) for k in range(n)]
-                ),
-            )
-        )
-    )
+def _docs_with_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """(doc_id, lang, sh) with sh = SORTED distinct string 3-gram shingles.
 
+    Built codegen-first: posexplode tokens → window lead(n-1) to form each
+    gram → collect_set per doc → array_sort. Every expression is JVM
+    codegen; the window and the groupBy share the doc_id hash partitioning
+    so the whole build is ONE shuffle. Replaces a sequence+transform+
+    element_at formulation whose interpreted higher-order functions made
+    the build ~8× slower at sf0.1. The sort gives the canonical global
+    shingle order the prefix filter in q_dedup_ngram_jaccard relies on
+    (any consistent total order is correct; lexicographic needs no df
+    statistics pass). Docs with < n tokens yield no rows — equivalent to
+    the old empty-array rows for every consumer (an empty shingle set can
+    never clear a positive Jaccard threshold)."""
+    from pyspark.sql.window import Window
 
-def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: shingling is compute-bound; parallelize the small local scan
     # (no-op at scale where splits >> cores)
     d = spread(load_table(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", "lang", _shingles(_norm_tokens(F.col("text"))).alias("sh")
+    toks = d.select(
+        "doc_id", "lang", F.posexplode(_norm_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.when(
+        F.lead("tok", n - 1).over(w).isNotNull(),
+        F.concat_ws(" ", "tok", *[F.lead("tok", k).over(w) for k in range(1, n)]),
+    )
+    return (
+        toks.select("doc_id", "lang", gram.alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("doc_id", "lang")
+        .agg(F.array_sort(F.collect_set("gram")).alias("sh"))
     )
 
 
@@ -126,27 +134,61 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity for all same-lang pairs ≥ 0.5.
-    Jaccard computed as inter/(|a|+|b|-inter) — the same arithmetic shape
-    as the oracle so doubles match bitwise."""
-    docs = _docs_with_shingles(spark, sf_dir)
-    a, b = docs.alias("a"), docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jacc = inter / union
-    return (
+    """EXACT 3-gram Jaccard similarity for all same-lang pairs ≥ 0.5,
+    computed WITHOUT an all-pairs join: candidates come from a lossless
+    PPJoin-style prefix filter (Bayardo et al., WWW'07; Xiao et al.,
+    PPJoin) — under any global shingle order, two sets with J ≥ t MUST
+    share an element within their first |x| − ⌈t·|x|⌉ + 1 shingles
+    (overlap |a∩b| ≥ t·max(|a|,|b|) forces it), so an equi-join on
+    (lang, prefix-shingle) has 100% recall and the exact verification
+    touches only candidate pairs. Join shape is the same shuffle-on-key
+    equi-join as the LSH paths — no O(n²/block) anywhere — while results
+    stay bit-identical to the naive all-pairs oracle (jaccard as
+    inter/(|a|+|b|-inter), same arithmetic shape so doubles match).
+
+    Size-bound residuals (J ≥ t ⇒ t·|b| ≤ |a| ≤ |b|/t) prune inside the
+    candidate join before the pair ever reaches array_intersect. The
+    shingle table is checkpointed once — it feeds the prefix explode and
+    both verification sides."""
+    t = JACCARD_THRESHOLD
+    docs = (
+        _docs_with_shingles(spark, sf_dir)
+        .withColumn("sz", F.size("sh"))
+        .localCheckpoint()
+    )
+    plen = (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1).cast("int")
+    pref = docs.select(
+        "doc_id", "lang", "sz", F.explode(F.slice("sh", F.lit(1), plen)).alias("s")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= F.col("b.sz") * F.lit(t))
+            & (F.col("b.sz") >= F.col("a.sz") * F.lit(t)),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("sh").alias("sh_a")
+    )
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
-            F.round(jacc, 6).alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            "lang",
+            F.round(inter / union, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= F.lit(t))
     )
 
 
@@ -157,34 +199,45 @@ HAMMING_MAX = 6
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document, fully NARROW: hash distinct tokens into
-    an array once, then per-bit majority vote with size(filter(...)) —
-    bit b is set iff more than half the token hashes have bit b set
-    (identical to the ±1-vote-sum formulation, sum > 0 ⟺ 2·count > n).
-    No explode, no shuffle: at 100 TB each doc is touched once in the scan
-    stage instead of shuffling one row per (doc, token)."""
+    """64-bit SimHash per document: explode distinct token hashes, then ONE
+    hash aggregate per doc computing all 64 per-bit vote counts
+    (sum((h>>b)&1)) + the token count; bit b of the signature is set iff
+    more than half the token hashes have bit b set.
+
+    Plan shape: every per-bit sum is plain JVM codegen arithmetic inside a
+    single partial+final aggregate — the map side pre-combines to ONE
+    65-long row per (doc, mapper) before the doc_id exchange, so the
+    shuffle carries ~one row per document regardless of document length.
+    This replaces a narrow 64×size(filter(...)) formulation whose
+    higher-order functions are interpreted per row (measured ~10× slower
+    at sf0.1 despite shuffling nothing)."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    base = d.select(
+    toks = d.select(
         "doc_id",
         "lang",
-        F.transform(
-            F.array_distinct(_norm_tokens(F.col("text"))), lambda t: F.xxhash64(t)
-        ).alias("hs"),
-    ).filter(F.size("hs") > 0)
-    ntok = F.size("hs")
-
-    def _bit_set(b: int):
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-
+        F.explode(
+            F.transform(
+                F.array_distinct(_norm_tokens(F.col("text"))),
+                lambda t: F.xxhash64(t),
+            )
+        ).alias("h"),
+    )
+    votes = toks.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
     bits = [
         F.when(
-            F.size(F.filter(F.col("hs"), _bit_set(b))) * 2 > ntok,
+            F.col(f"c{b}") * 2 > F.col("n"),
             F.shiftleft(F.lit(1).cast("long"), b),
         ).otherwise(F.lit(0).cast("long"))
         for b in range(SIMHASH_BITS)
     ]
     simhash = reduce(lambda x, y: x.bitwiseOR(y), bits)
-    return base.select("doc_id", "lang", simhash.alias("simhash"))
+    return votes.select("doc_id", "lang", simhash.alias("simhash"))
 
 
 _SIMHASH_CHUNKS = HAMMING_MAX + 1  # pigeonhole: ≤6 differing bits over 7 chunks
@@ -268,27 +321,31 @@ _HASH_AB = [
 
 
 def minhash_signatures(docs_with_hashed_shingles: DataFrame) -> DataFrame:
-    """k min-hashes per doc, fully NARROW: input shingles are already
-    integers in [0, P) (``_docs_with_hashed_shingles``); the k signature
-    slots are integer mixing + array_min — no explode, no shuffle, no
-    string hashing per seed. Replaces the explode+groupBy formulation: at
-    100 TB that shuffled one row per (doc, shingle); this touches each doc
-    exactly once in the scan stage. Docs with no shingles (< n tokens)
-    yield null slots and are dropped, matching the explode semantics."""
+    """k min-hashes per doc: explode the integer shingles
+    (``_docs_with_hashed_shingles``), then ONE hash aggregate per doc
+    taking min((a_i*s + b_i) mod P) for each of the k slots.
 
-    def _mix(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+    Plan shape: each slot is plain JVM codegen arithmetic inside a single
+    partial+final aggregate — the map side pre-combines to one k-long row
+    per (doc, mapper) before the doc_id exchange, so the shuffle carries
+    ~one row per document regardless of shingle count. This replaces a
+    narrow transform+array_min formulation whose k higher-order functions
+    are interpreted per element (measured ~20× slower at sf0.1 despite
+    shuffling nothing). MinHash is duplicate-insensitive (min over a
+    multiset = min over its set), so exploding pre-distincted arrays
+    changes nothing. Docs with no shingles (< n tokens) vanish on explode,
+    matching the old isNotNull filter.
 
+    No lang column: the LSH path is deliberately NOT lang-blocked (bucket
+    membership is the blocking key)."""
+    ex = docs_with_hashed_shingles.select("doc_id", F.explode("sh").alias("s"))
     mins = [
-        F.array_min(F.transform(F.col("sh"), _mix(a, b))).alias(f"mh{s}")
-        for s, (a, b) in enumerate(_HASH_AB)
+        F.min(F.pmod(F.col("s") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(_HASH_AB)
     ]
-    # no lang column: the LSH path is deliberately NOT lang-blocked (bucket
-    # membership is the blocking key), so carrying lang would be dead
-    # weight through the banding explode
-    return docs_with_hashed_shingles.select("doc_id", *mins).filter(
-        F.col("mh0").isNotNull()
-    )
+    return ex.groupBy("doc_id").agg(*mins)
 
 
 def lsh_candidates(sigs: DataFrame) -> DataFrame:
@@ -329,17 +386,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall); precision is exact because of the verification join — every
     returned pair genuinely clears the threshold, which the unit test
     cross-checks against q_dedup_ngram_jaccard's exact output."""
-    # materialize the SIGNATURES, not the shingles: the LSH band self-join
-    # consumes the signature table twice (sides a and b), and recomputing
-    # it means redoing the k-hash derivation over every shingle — measured
-    # 4x slower unmaterialized at sf0.1. The signature table is k longs per
-    # doc (orders of magnitude smaller than the shingle arrays), which is
-    # exactly what one would checkpoint at 100 TB. localCheckpoint rather
-    # than persist(): a persist with no owner to unpersist it accumulates
-    # in the cache manager across invocations (every later run silently
+    # materialize the shingle table ONCE: it feeds the signature aggregate
+    # and BOTH sides of the verification join, and recomputing the rolling
+    # n-gram hash three times costs more than storing k longs per token.
+    # The signatures are materialized too — the band self-join consumes
+    # them twice, and unmaterialized it would redo the k-min aggregation
+    # per side (measured 4x slower at sf0.1). localCheckpoint rather than
+    # persist(): a persist with no owner to unpersist it accumulates in
+    # the cache manager across invocations (every later run silently
     # measures a cache hit); checkpointed blocks are GC'd with the
     # DataFrame and never match future plans.
-    docs = _docs_with_hashed_shingles(spark, sf_dir)
+    docs = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint()
     cands = lsh_candidates(minhash_signatures(docs).localCheckpoint())
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
