@@ -28,6 +28,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from breweries_case_spark.io.reader import load_table, spread
 
@@ -38,22 +39,18 @@ def _norm_tokens(col):
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def _docs_with_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """(doc_id, lang, sh) with sh = SORTED distinct string 3-gram shingles.
+def _docs_with_gram_rows(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """DISTINCT (doc_id, lang, gram) rows — one row per string 3-gram
+    shingle per document.
 
     Built codegen-first: posexplode tokens → window lead(n-1) to form each
-    gram → collect_set per doc → array_sort. Every expression is JVM
-    codegen; the window and the groupBy share the doc_id hash partitioning
-    so the whole build is ONE shuffle. Replaces a sequence+transform+
-    element_at formulation whose interpreted higher-order functions made
-    the build ~8× slower at sf0.1. The sort gives the canonical global
-    shingle order the prefix filter in q_dedup_ngram_jaccard relies on
-    (any consistent total order is correct; lexicographic needs no df
-    statistics pass). Docs with < n tokens yield no rows — equivalent to
-    the old empty-array rows for every consumer (an empty shingle set can
-    never clear a positive Jaccard threshold)."""
-    from pyspark.sql.window import Window
-
+    gram → groupBy for distinctness. Every expression is JVM codegen; the
+    window and the dedup groupBy both hash-cluster on doc_id so the build
+    is ONE shuffle. Replaces a sequence+transform+element_at array
+    formulation whose interpreted higher-order functions made the build
+    ~8× slower at sf0.1. Docs with < n tokens yield no rows — equivalent
+    to an empty shingle set for every consumer (it can never clear a
+    positive Jaccard threshold)."""
     # spread: shingling is compute-bound; parallelize the small local scan
     # (no-op at scale where splits >> cores)
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -68,8 +65,7 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFra
     return (
         toks.select("doc_id", "lang", gram.alias("gram"))
         .filter(F.col("gram").isNotNull())
-        .groupBy("doc_id", "lang")
-        .agg(F.array_sort(F.collect_set("gram")).alias("sh"))
+        .distinct()
     )
 
 
@@ -135,60 +131,51 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 3-gram Jaccard similarity for all same-lang pairs ≥ 0.5,
-    computed WITHOUT an all-pairs join: candidates come from a lossless
-    PPJoin-style prefix filter (Bayardo et al., WWW'07; Xiao et al.,
-    PPJoin) — under any global shingle order, two sets with J ≥ t MUST
-    share an element within their first |x| − ⌈t·|x|⌉ + 1 shingles
-    (overlap |a∩b| ≥ t·max(|a|,|b|) forces it), so an equi-join on
-    (lang, prefix-shingle) has 100% recall and the exact verification
-    touches only candidate pairs. Join shape is the same shuffle-on-key
-    equi-join as the LSH paths — no O(n²/block) anywhere — while results
-    stay bit-identical to the naive all-pairs oracle (jaccard as
-    inter/(|a|+|b|-inter), same arithmetic shape so doubles match).
+    computed WITHOUT an all-pairs join: the classic inverted-index
+    set-similarity formulation (the candidate-generation core of AllPairs
+    / PPJoin, Bayardo et al. WWW'07). Distinct (doc, gram) rows self-join
+    on (lang, gram) — an equi-join whose output is Σ_gram df² rows, never
+    |docs|² — and grouping by the pair COUNTS the exact intersection;
+    jaccard = inter/(|a|+|b|-inter) with the same arithmetic shape as the
+    oracle so doubles match bitwise. A pair with J ≥ t > 0 must share a
+    gram, so recall is exact by construction.
 
-    Size-bound residuals (J ≥ t ⇒ t·|b| ≤ |a| ≤ |b|/t) prune inside the
-    candidate join before the pair ever reaches array_intersect. The
-    shingle table is checkpointed once — it feeds the prefix explode and
-    both verification sides."""
+    Everything is codegen: no shingle arrays, no array_intersect, no
+    interpreted higher-order functions. Size-bound residuals
+    (J ≥ t ⇒ t·|b| ≤ |a| ≤ |b|/t) prune non-qualifying pairs inside the
+    join, before they reach the aggregate. The gram table is checkpointed
+    once for both join sides. Skew note: a pathologically frequent gram
+    fattens its df² bucket — at 100 TB the standard fix is dropping
+    ultra-high-df grams (stopword n-grams carry no similarity signal) or
+    prefix-filtering; unnecessary at test scale."""
     t = JACCARD_THRESHOLD
-    docs = (
-        _docs_with_shingles(spark, sf_dir)
-        .withColumn("sz", F.size("sh"))
+    grams = (
+        _docs_with_gram_rows(spark, sf_dir)
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
         .localCheckpoint()
     )
-    plen = (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1).cast("int")
-    pref = docs.select(
-        "doc_id", "lang", "sz", F.explode(F.slice("sh", F.lit(1), plen)).alias("s")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.count("*")
+    union = F.col("a.sz") + F.col("b.sz") - inter
+    return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.sz") >= F.col("b.sz") * F.lit(t))
             & (F.col("b.sz") >= F.col("a.sz") * F.lit(t)),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    da = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("sh").alias("sh_a")
-    )
-    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "lang",
-            F.round(inter / union, 6).alias("jaccard"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
+        .agg(F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(t))
+        .select("doc_a", "doc_b", "lang", "jaccard")
     )
 
 
@@ -486,7 +473,18 @@ def connected_components(
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint()
     )
-    labels = vertices.select("node", F.col("node").alias("label")).localCheckpoint()
+    # iterate ONLY over nodes that touch an edge — an isolated vertex can
+    # never receive a neighbor label, so looping over the full vertex set
+    # just drags |V| rows through every join/checkpoint/count. Near-dup
+    # graphs are sparse (dup fraction ≪ 1), so this shrinks each round
+    # from |V| to ~2·|E| rows; isolated vertices rejoin label-as-self at
+    # the end.
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr = (
             sym.alias("e")
@@ -513,7 +511,11 @@ def connected_components(
             break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
-    return labels
+    # total assignment: isolated vertices label themselves. The label table
+    # is ~2·|E| rows — small next to |V| — so AQE broadcasts it.
+    return vertices.join(labels, "node", "left").select(
+        "node", F.coalesce("label", "node").alias("label")
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
