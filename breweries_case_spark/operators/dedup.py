@@ -185,40 +185,71 @@ SIMHASH_BITS = 64
 HAMMING_MAX = 6
 
 
+# Per-bit vote counts are packed 3-to-a-long in 21-bit lanes: 22 sums + a
+# count instead of 64 sums. Fewer aggregate buffers keeps the whole
+# aggregate inside whole-stage codegen's field budget and the shuffle row
+# at 23 longs. A lane holds counts up to 2^21-1 and the packed sum stays
+# below 2^63 for any document under ~2M DISTINCT tokens (≈ tens of MB of
+# text) — far beyond any real document, and ANSI mode would THROW rather
+# than corrupt if one ever exceeded it.
+_LANES_PER_LONG = 3
+_LANE_BITS = 21
+_LANE_MASK = (1 << _LANE_BITS) - 1
+_VOTE_GROUPS = (SIMHASH_BITS + _LANES_PER_LONG - 1) // _LANES_PER_LONG
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document: explode distinct token hashes, then ONE
-    hash aggregate per doc computing all 64 per-bit vote counts
-    (sum((h>>b)&1)) + the token count; bit b of the signature is set iff
-    more than half the token hashes have bit b set.
+    hash aggregate per doc computing the 64 per-bit vote counts (packed
+    into 22 lane-structured longs) + the token count; bit b of the
+    signature is set iff more than half the token hashes have bit b set
+    (identical to the ±1-vote-sum formulation, sum > 0 ⟺ 2·count > n).
 
-    Plan shape: every per-bit sum is plain JVM codegen arithmetic inside a
-    single partial+final aggregate — the map side pre-combines to ONE
-    65-long row per (doc, mapper) before the doc_id exchange, so the
+    Plan shape: every vote sum is plain JVM codegen arithmetic inside a
+    single partial+final aggregate — the map side pre-combines to one
+    23-long row per (doc, mapper) before the doc_id exchange, so the
     shuffle carries ~one row per document regardless of document length.
     This replaces a narrow 64×size(filter(...)) formulation whose
     higher-order functions are interpreted per row (measured ~10× slower
     at sf0.1 despite shuffling nothing)."""
     d = spread(load_table(spark, sf_dir, "documents"))
+    # explode BEFORE hashing: xxhash64 over an exploded scalar column is
+    # whole-stage codegen, while the same hash inside F.transform is an
+    # interpreted lambda per element (the array stage keeps array_distinct,
+    # a native non-HOF builtin)
     toks = d.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.transform(
-                F.array_distinct(_norm_tokens(F.col("text"))),
-                lambda t: F.xxhash64(t),
+        F.explode(F.array_distinct(_norm_tokens(F.col("text")))).alias("tok"),
+    ).select("doc_id", "lang", F.xxhash64("tok").alias("h"))
+
+    def _group_contrib(g: int):
+        parts = [
+            F.shiftleft(
+                F.shiftright(F.col("h"), g * _LANES_PER_LONG + k).bitwiseAND(
+                    F.lit(1)
+                ),
+                _LANE_BITS * k,
             )
-        ).alias("h"),
-    )
+            for k in range(_LANES_PER_LONG)
+            if g * _LANES_PER_LONG + k < SIMHASH_BITS
+        ]
+        return reduce(lambda x, y: x + y, parts)
+
     votes = toks.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n"),
-        *[
-            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
-            for b in range(SIMHASH_BITS)
-        ],
+        *[F.sum(_group_contrib(g)).alias(f"g{g}") for g in range(_VOTE_GROUPS)],
     )
+
+    def _bit_count(b: int):
+        g, k = divmod(b, _LANES_PER_LONG)
+        return F.shiftright(F.col(f"g{g}"), _LANE_BITS * k).bitwiseAND(
+            F.lit(_LANE_MASK)
+        )
+
     bits = [
         F.when(
-            F.col(f"c{b}") * 2 > F.col("n"),
+            _bit_count(b) * 2 > F.col("n"),
             F.shiftleft(F.lit(1).cast("long"), b),
         ).otherwise(F.lit(0).cast("long"))
         for b in range(SIMHASH_BITS)
@@ -230,26 +261,44 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_CHUNKS = HAMMING_MAX + 1  # pigeonhole: ≤6 differing bits over 7 chunks
 
 
+def _chunk_layout() -> list[tuple[int, int, int]]:
+    """(chunk_idx, bit_offset, width) for the HAMMING_MAX+1 disjoint chunks."""
+    widths = [SIMHASH_BITS // _SIMHASH_CHUNKS] * _SIMHASH_CHUNKS
+    for i in range(SIMHASH_BITS % _SIMHASH_CHUNKS):
+        widths[i] += 1
+    layout, off = [], 0
+    for idx, w in enumerate(widths):
+        layout.append((idx, off, w))
+        off += w
+    return layout
+
+
 def _simhash_chunks(sig):
     """Split the 64-bit signature into HAMMING_MAX+1 disjoint bit chunks.
     Pigeonhole: two signatures within Hamming distance HAMMING_MAX must
     agree EXACTLY on at least one chunk — so a chunk-equality join has
     100% recall for the ≤HAMMING_MAX band, no all-pairs blow-up."""
-    widths = [SIMHASH_BITS // _SIMHASH_CHUNKS] * _SIMHASH_CHUNKS
-    for i in range(SIMHASH_BITS % _SIMHASH_CHUNKS):
-        widths[i] += 1
-    chunks, off = [], 0
-    for idx, w in enumerate(widths):
-        chunks.append(
+    return F.array(
+        *[
             F.struct(
                 F.lit(idx).alias("chunk_idx"),
                 F.shiftright(sig, off)
                 .bitwiseAND(F.lit((1 << w) - 1))
                 .alias("chunk_val"),
             )
-        )
-        off += w
-    return F.array(*chunks)
+            for idx, off, w in _chunk_layout()
+        ]
+    )
+
+
+def _first_agreeing_chunk(xor_col):
+    """Index of the lowest chunk on which two signatures agree, computed
+    from their XOR (chunk j agrees ⟺ its bits in the XOR are all zero)."""
+    expr = F.lit(-1)
+    for idx, off, w in reversed(_chunk_layout()):
+        agrees = F.shiftright(xor_col, off).bitwiseAND(F.lit((1 << w) - 1)) == 0
+        expr = F.when(agrees, F.lit(idx)).otherwise(expr)
+    return expr
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,9 +309,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk, so recall is exact while the join never goes all-pairs (the
     lang-only self-join it replaces was O(n²/|langs|)). The full signature
     rides along with each exploded chunk row, so verification is a column
-    expression, not another join. Rows-only check (xxhash64 has no DuckDB
-    twin); unit tests pin identical docs → distance 0 and token-disjoint
-    docs → large distance."""
+    expression, not another join — and so is de-duplication: a near-dup
+    pair agrees on MANY chunks and would surface once per agreeing chunk,
+    but keeping only the row whose chunk_idx is the pair's FIRST agreeing
+    chunk (computed from the XOR already in hand) emits each pair exactly
+    once as a codegen filter, where a .distinct() would shuffle the
+    ~chunk-count-inflated candidate stream. Rows-only check (xxhash64 has
+    no DuckDB twin); unit tests pin identical docs → distance 0 and
+    token-disjoint docs → large distance."""
     sigs = simhash_signatures(spark, sf_dir)
     banded = sigs.select(
         "doc_id",
@@ -271,22 +325,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_simhash_chunks(F.col("simhash"))).alias("c"),
     ).select("doc_id", "lang", "simhash", "c.chunk_idx", "c.chunk_val")
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.chunk_idx") == _first_agreeing_chunk(x)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.bit_count(x).alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .distinct()
     )
 
 
