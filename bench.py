@@ -30,6 +30,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # ids missing from the registry are skipped rather than crashing.
 HEADLINE = [
     "q_flagship",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
     "q_groupby_count",
     "q_count_distinct",
     "q_join_inner",
@@ -61,6 +65,7 @@ EXTENDED = [
     "q_sim_knn_join_ann",
     "q_dedup_simhash",
     "q_dedup_clusters",
+    "q_dedup_levenshtein",
 ]
 
 

@@ -196,7 +196,7 @@ def ingest_staged_files(
     schema. At 100 TB this is just a parquet-style scan — splittable,
     predicate-pushable (CSV/JSON: column pruning only), massively
     parallel."""
-    if file_format not in ("json", "csv"):
+    if file_format not in ("json", "csv", "orc"):
         raise ValueError(f"unsupported staged format {file_format!r}")
     reader = spark.read.schema(schema)
     if file_format == "csv":
@@ -283,9 +283,37 @@ def q_ingest_staged_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ingest_staged_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC staged ingest (oracle-backed): write ``supplier`` to ORC with
+    Spark's native writer (a distributed write — one file per partition),
+    read it back through ``ingest_staged_files`` with the declared schema,
+    and project. ORC is the third staged format beside JSON/CSV and the
+    only columnar one: splittable stripes, predicate pushdown, and column
+    pruning all work, so a backfill landing as ORC scans like parquet at
+    100 TB. Values survive the round trip bit-exact — decimals keep scale,
+    strings keep bytes — which is what lets a plain-SQL DuckDB oracle over
+    the SOURCE table check the staged copy: any write- or read-side
+    corruption breaks the hash."""
+    from breweries_case_spark.io.reader import load_table
+
+    src = load_table(spark, sf_dir, "supplier")
+    staging = _staging_dir()
+    path = f"{staging}/supplier_orc"
+    src.write.mode("overwrite").orc(path)
+    staged = ingest_staged_files(spark, path, src.schema, file_format="orc")
+    return staged.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
 QUERIES = {
     "q_ingest_rest": q_ingest_rest,
     "q_ingest_staged_json": q_ingest_staged_json,
     "q_ingest_staged_csv": q_ingest_staged_csv,
+    "q_ingest_staged_orc": q_ingest_staged_orc,
 }
-ORACLES: dict[str, str] = {}  # network/file-shaped sources: rows-only by design
+# network/file-shaped sources are rows-only by design — except the ORC
+# round-trip, whose staged copy must match the source table bit-exactly
+ORACLES: dict[str, str] = {
+    "q_ingest_staged_orc": """
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+}

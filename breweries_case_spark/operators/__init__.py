@@ -48,6 +48,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     modules = [relational]
     for name in (
         "medallion_queries",
+        "tpch",
         "dedup",
         "similarity",
         "text",

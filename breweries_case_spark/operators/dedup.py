@@ -1,7 +1,7 @@
 """Deduplication operators over ``documents`` / ``embeddings`` (north-star
 X1/X2 + training-data-pipeline surface).
 
-Five strategies, one blocking discipline:
+Six strategies, one blocking discipline:
 
 - **exact** — md5 content fingerprint, hash-groupBy keep-min (oracle-checked);
 - **n-gram Jaccard** — exact pairwise token-3-gram Jaccard within lang
@@ -13,7 +13,9 @@ Five strategies, one blocking discipline:
   bucket-join candidates → exact-Jaccard verification (rows-only);
 - **embedding cosine** — exact cosine pairs ≥ threshold within label
   blocks (oracle-checked against DuckDB list_dot_product; dot products
-  are bit-identical across engines — verified).
+  are bit-identical across engines — verified);
+- **Levenshtein** — edit-distance ≤ k pairs via lossless length-band
+  blocking + bounded distance evaluation (oracle-checked).
 
 Scale stance: NOTHING here is globally quadratic. Every pairwise step is
 blocked (lang / label / LSH bucket) so the blow-up is per-block; at 100 TB
@@ -496,6 +498,59 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X2f: edit-distance (Levenshtein) near-dup ------------------------------
+
+EDIT_DISTANCE_MAX = 20
+
+
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup: same-lang pairs with Levenshtein ≤ k
+    (k = 20), found WITHOUT an all-pairs join. Blocking is lossless:
+    lev(a,b) ≤ k forces |len(a) − len(b)| ≤ k, so binning length by k and
+    equi-joining (lang, bin) with the a-side exploded to bin−1/bin/bin+1
+    covers every qualifying pair exactly once (b's bin is fixed, so a's
+    three exploded values hit it at most once — no dedup pass needed).
+    The O(len·k) distance itself runs last in the join condition, only on
+    pairs that survive the cheap length residual, and uses Spark's
+    bounded ``levenshtein(l, r, threshold)`` which abandons rows early
+    once the running distance exceeds k (returning −1, filtered here).
+    The same shape at 100 TB: shuffle on (lang, bin), per-bucket work
+    bounded by the length histogram, never n²."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", F.length("text").alias("len")
+    )
+    bin_of = F.floor(F.col("len") / F.lit(EDIT_DISTANCE_MAX))
+    a = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        "len",
+        F.explode(F.array(bin_of - 1, bin_of, bin_of + 1)).alias("bin"),
+    )
+    b = d.select("doc_id", "lang", "text", "len", bin_of.alias("bin"))
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"), EDIT_DISTANCE_MAX)
+    return (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.len") - F.col("b.len"))
+                <= F.lit(EDIT_DISTANCE_MAX)
+            )
+            & (lev >= 0),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            lev.alias("lev"),
+        )
+    )
+
+
 # --- X2e: cluster resolution (pairs → components → keeper) ------------------
 
 
@@ -612,6 +667,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_levenshtein": q_dedup_levenshtein,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -652,6 +708,15 @@ ORACLES = {
             FROM e a JOIN e b
               ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cosine >= 0.4
+    """,
+    "q_dedup_levenshtein": """
+        SELECT doc_a, doc_b, lang, lev FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                   levenshtein(a.text, b.text) AS lev
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(length(a.text) - length(b.text)) <= 20)
+        WHERE lev <= 20
     """,
     "q_dedup_clusters": r"""
         WITH RECURSIVE
