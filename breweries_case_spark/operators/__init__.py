@@ -49,6 +49,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for name in (
         "medallion_queries",
         "tpch",
+        "pandas_ops",
         "dedup",
         "similarity",
         "text",

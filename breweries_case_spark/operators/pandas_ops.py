@@ -1,0 +1,110 @@
+"""Python-execution surface: grouped ``applyInPandas`` and a Python UDTF
+(SURVEY §2.8 — the reference has no custom-code path at all; these are
+the engine's additive slow-path escapes, Arrow-batched end to end).
+
+Stance: Python is the ESCAPE HATCH, not the hot path — both operators
+here are deliberately chosen so a pure-SQL DuckDB oracle can check them
+bit-for-bit, proving the Arrow round trip (types, nulls, grouping,
+lateral multiplicity) is lossless. Anything expressible as built-in
+Columns stays JVM-side (see operators/text.py for the fast twins).
+
+Scale notes: applyInPandas shuffles once on the grouping key and streams
+each group through Arrow — group size, not table size, must fit in
+worker memory (lang groups here; at 100 TB you'd sub-salt giant groups
+or switch to window functions). A UDTF evaluates per-row with Arrow
+batching and its lateral expansion multiplies rows — partition counts
+must account for output, not input, cardinality."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from breweries_case_spark.io.reader import load_table, spread
+
+CHUNK_TOKENS = 10
+
+
+def q_applyinpandas_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang min-max normalization of n_chars via grouped
+    applyInPandas — the canonical "per-group model/statistic" shape
+    (fit-per-group, transform-within-group) that built-in aggregates
+    can't express once the per-group logic grows arbitrary Python.
+    Here the logic is KEPT oracle-expressible (window min/max in SQL) so
+    the Arrow path itself is what's under test: integer subtraction is
+    exact, the final double division is IEEE-identical in both engines,
+    and a constant group yields NULL (DuckDB NULLIF twin)."""
+    import pandas as pd
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["n_chars"].min(), pdf["n_chars"].max()
+        rng = hi - lo
+        if rng == 0:
+            pdf["norm"] = None
+        else:
+            pdf["norm"] = (pdf["n_chars"] - lo) / rng
+        return pdf[["doc_id", "lang", "n_chars", "norm"]]
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return d.groupBy("lang").applyInPandas(
+        _norm, "doc_id long, lang string, n_chars long, norm double"
+    )
+
+
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF splitting each document into fixed 10-token chunks —
+    the table-function surface (one input row → N output rows via
+    LATERAL), the shape used for chunking documents ahead of embedding
+    in a training-data pipeline. Tokenization matches the engine's
+    _norm_tokens (trim → lower → split on whitespace) so the DuckDB
+    list-slicing oracle reproduces it exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkTokens:
+        def eval(self, text: str, k: int):
+            toks = text.strip().lower().split()
+            for i in range(0, len(toks), k):
+                chunk = toks[i : i + k]
+                yield i // k, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.chunk_idx, t.chunk_text, t.n_tokens
+        FROM _udtf_docs d, LATERAL chunk_tokens(d.text, {CHUNK_TOKENS}) t
+        """
+    )
+
+
+QUERIES = {
+    "q_applyinpandas_minmax": q_applyinpandas_minmax,
+    "q_udtf_chunks": q_udtf_chunks,
+}
+
+ORACLES = {
+    "q_applyinpandas_minmax": """
+        SELECT doc_id, lang, n_chars,
+               CAST(n_chars - min(n_chars) OVER (PARTITION BY lang) AS DOUBLE)
+               / NULLIF(max(n_chars) OVER (PARTITION BY lang)
+                        - min(n_chars) OVER (PARTITION BY lang), 0) AS norm
+        FROM documents
+    """,
+    "q_udtf_chunks": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS tk
+            FROM documents)
+        SELECT doc_id,
+               i - 1 AS chunk_idx,
+               array_to_string(tk[(i-1)*10 + 1 : (i-1)*10 + 10], ' ')
+                   AS chunk_text,
+               least(len(tk) - (i-1)*10, 10) AS n_tokens
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(
+                 1, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS i) g
+    """,
+}

@@ -377,3 +377,18 @@ def test_declared_schemas_match_loaded_tables(spark, sf_dir):
     ):
         assert shape(load_table(spark, sf_dir, table).schema) == shape(declared), table
     assert shape(build_media_table(spark, sf_dir).schema) == shape(S.MEDIA_SCHEMA)
+
+
+def test_tpch_q5_plan_pushes_filters_and_broadcasts_dims(spark, sf_dir):
+    """TPC-H Q5's selective predicates must reach the parquet scans
+    (PushedFilters on the orders date range and region name) and the
+    dimension joins must be broadcast, not shuffled — the shape that
+    holds at 100 TB where only the fact-side exchanges should remain."""
+    from breweries_case_spark.operators.tpch import q_tpch_q5
+
+    df = q_tpch_q5(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+    assert any("r_name" in ln for ln in pushed), pushed
