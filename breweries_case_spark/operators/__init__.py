@@ -50,6 +50,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "medallion_queries",
         "tpch",
         "pandas_ops",
+        "sampling",
         "dedup",
         "similarity",
         "text",

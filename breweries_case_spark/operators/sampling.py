@@ -1,0 +1,189 @@
+"""Deterministic sampling, change-history (SCD2) compression, and column
+profiling — the curation utilities a training-data pipeline runs between
+ingest and dedup (north-star §2.9 additions; the reference has no
+sampling/profiling surface).
+
+Determinism stance: `df.sample()` is seed-and-partitioning dependent, so
+it can never be oracle-checked and — worse for production — re-runs on
+repartitioned data select DIFFERENT rows. Every sampler here derives its
+coin flip from md5 of the row's stable key instead: the same row is
+always in or out regardless of cluster layout, retries, or engine. That
+is the property a 100 TB curation pipeline actually needs (reproducible
+held-out splits), and it makes the DuckDB twin exact (both engines emit
+identical lowercase-hex md5 over identical UTF-8 bytes).
+
+Scale notes: hash sampling is a stateless per-row filter on the scan —
+no shuffle, fully pushable-adjacent. Stratified sampling needs one
+window shuffle on the stratum key (count + rank per stratum); at 100 TB
+with few strata, per-stratum skew is the hazard — the rank window is a
+single sort per stratum partition, so giant strata sort-spill rather
+than OOM. SCD2 compression is two narrow windows over the entity key —
+one shuffle, entity-partitioned. Profiling is one multi-distinct
+aggregate (Spark plans it via EXPAND: rows × #distinct-cols before the
+partial agg — at 100 TB profile column subsets per pass if the expand
+factor hurts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from breweries_case_spark.io.reader import load_table
+
+# md5-hex first byte < 0x20 → 32/256 = 12.5% expected sample rate
+HASH_SAMPLE_HEX_LT = "20"
+STRATIFIED_FRACTION = 0.1
+
+
+def _md5_key(col):
+    return F.md5(col.cast("string"))
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~12.5% deterministic Bernoulli sample of documents: keep rows whose
+    md5(doc_id) hex starts below 0x20. Plans as scan → narrow filter —
+    zero shuffles, and the SAME rows survive on any cluster layout."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(_md5_key(F.col("doc_id")), 1, 2) < HASH_SAMPLE_HEX_LT
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rate stratified sample: ceil(10%) of every lang stratum,
+    chosen by md5 rank within the stratum (deterministic, layout-free).
+    Guarantees small strata are represented — the property a per-language
+    training mix needs that global Bernoulli sampling can't give."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_key", _md5_key(F.col("doc_id"))
+    )
+    w = Window.partitionBy("lang")
+    wo = w.orderBy("_key", "doc_id")
+    return (
+        d.withColumn("stratum_rank", F.row_number().over(wo))
+        .withColumn("stratum_size", F.count("*").over(w))
+        .filter(
+            F.col("stratum_rank")
+            <= F.ceil(F.col("stratum_size") * F.lit(STRATIFIED_FRACTION))
+        )
+        .select("doc_id", "lang", "stratum_rank")
+    )
+
+
+def q_scd2_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: compress each customer's
+    order-status event stream into [valid_from, valid_to) versions —
+    keep only rows where the status CHANGED (lag differs), then close
+    each version with the next change's date (lead). The standard
+    history-table construction (reference keeps only current state, cf.
+    its gold rollup `src/processors/breweries_gold_processors.py`; SCD2
+    is the auditable superset). Two window passes over ONE entity-keyed
+    shuffle — Catalyst reuses the o_custkey partitioning for both."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = (
+        o.withColumn("_prev", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col("o_orderstatus") != F.col("_prev"))
+        )
+        .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        changed.withColumn("valid_to", F.lead("o_orderdate").over(w2))
+        .withColumn(
+            "is_current", F.col("valid_to").isNull().cast("int")
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("valid_from"),
+            "valid_to",
+            "is_current",
+        )
+    )
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of documents (row count, null count, exact
+    distinct count) in ONE aggregate pass — the pre-flight data-quality
+    check before any curation step. Spark plans the multi-distinct via
+    EXPAND (rows × 5 before partial agg); the stack() unpivot reshapes
+    the 1-row result, touching no data."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+    stack_args = ", ".join(f"'{c}', _nn_{c}, _nd_{c}" for c in cols)
+    return d.agg(*aggs).selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
+    )
+
+
+QUERIES = {
+    "q_sample_hash": q_sample_hash,
+    "q_sample_stratified": q_sample_stratified,
+    "q_scd2_compress": q_scd2_compress,
+    "q_profile_columns": q_profile_columns,
+}
+
+ORACLES = {
+    "q_sample_hash": f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{HASH_SAMPLE_HEX_LT}'
+    """,
+    "q_sample_stratified": f"""
+        SELECT doc_id, lang, stratum_rank
+        FROM (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                         AS stratum_rank,
+                     count(*) OVER (PARTITION BY lang) AS stratum_size
+              FROM documents)
+        WHERE stratum_rank <= ceil(stratum_size * {STRATIFIED_FRACTION})
+    """,
+    "q_scd2_compress": """
+        SELECT o_custkey, o_orderstatus AS status,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+               CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) IS NULL AS INT)
+                   AS is_current
+        FROM (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                     lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS _prev
+              FROM orders)
+        WHERE _prev IS NULL OR o_orderstatus <> _prev
+    """,
+    "q_profile_columns": """
+        WITH base AS (SELECT * FROM documents)
+        SELECT count(*) AS n_rows, 'doc_id' AS column_name,
+               sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               count(DISTINCT doc_id) AS n_distinct FROM base
+        UNION ALL
+        SELECT count(*), 'text',
+               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT text) FROM base
+        UNION ALL
+        SELECT count(*), 'lang',
+               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT lang) FROM base
+        UNION ALL
+        SELECT count(*), 'source',
+               sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT source) FROM base
+        UNION ALL
+        SELECT count(*), 'n_chars',
+               sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT n_chars) FROM base
+    """,
+}

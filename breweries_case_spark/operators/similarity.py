@@ -353,7 +353,30 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vector(spark, sf_dir), exclude_vec_id=QUERY_VEC_ID)
 
 
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalization summary per embedding — the preprocessing step
+    every cosine-based ANN index runs first. Emits scalars (norm and the
+    normalized-component sum), NOT the normalized array: array-typed
+    result columns are unhashable for the driver's pandas canonicalizer
+    (the q_collect_set lesson), and the two scalars pin the same float
+    path bit-for-bit. Plans as scan → narrow per-row fold — no shuffle.
+    unit_sum is sum(v)/norm with ONE division (not sum(v/norm)) so the
+    oracle's IEEE evaluation order matches exactly; the component sum
+    reuses the _dot fold against a ones-vector, which DuckDB mirrors via
+    list_dot_product."""
+    emb = _embeddings_double(spark, sf_dir)
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    ones = F.transform(F.col("v"), lambda x: F.lit(1.0))
+    comp_sum = _dot(F.col("v"), ones)
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(comp_sum / norm, 6).alias("unit_sum"),
+    )
+
+
 QUERIES = {
+    "q_embed_normalize": q_embed_normalize,
     "q_sim_topk": q_sim_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_knn_join": q_sim_knn_join,
@@ -362,6 +385,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_embed_normalize": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT vec_id,
+               ROUND(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+               ROUND(list_dot_product(v, list_transform(v, x -> 1.0))
+                     / sqrt(list_dot_product(v, v)), 6) AS unit_sum
+        FROM e
+    """,
     "q_sim_topk": f"""
         WITH q AS (
             SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

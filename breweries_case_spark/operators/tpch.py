@@ -141,11 +141,172 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (adapted: synthetic lineitem has
+    no l_commitdate/l_receiptdate — "late" means shipped after the order
+    date, the analogous lateness predicate). EXISTS decorrelates to a
+    left-semi join; the quarter filter reaches the orders scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: the pure scan-throughput
+    probe — every predicate is scan-pushable (shipdate range, discount
+    band, quantity cap) and the plan is scan → filter → one global agg,
+    zero shuffles before the single-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            decimal_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), scale=6
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode/priority (adapted: no l_shipmode or
+    l_commitdate — grouped by l_linestatus, "late" = shipped >30 days
+    after order date). Conditional aggregation over one big join whose
+    only shuffle is the orderkey exchange AQE plans."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect (adapted: synthetic p_type is a single
+    word, so the predicate is equality with 'PROMO', not LIKE 'PROMO%').
+    The part side is dimension-small relative to lineitem; AQE broadcasts
+    it at this SF, and at 100 TB the partkey exchange is the plan. The
+    final scalar is a double division of two decimal-exact sums —
+    bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    promo = decimal_sum(
+        F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(0.0),
+        scale=6,
+    )
+    total = decimal_sum(_disc_price(), scale=6)
+    return joined.agg(
+        (F.lit(100.0) * promo / total).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customer: groupBy-HAVING on the fact table
+    feeding a semi-filterable join back to orders/customer. The HAVING
+    threshold (sum qty > 250) keeps the join input tiny — the shape where
+    AQE's runtime row counts flip the second join to broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(decimal_sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue (adapted: no p_container — the three
+    disjunctive branches pair brand with size and quantity bands). The
+    probe for OR-of-ANDs handling: the join key is shared across
+    branches, so it stays ONE equi-join with a residual disjunction, not
+    a union of three joins — and the partkey filter implied by all
+    branches still prunes the part scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(decimal_sum(_disc_price(), scale=6).alias("revenue"))
+    )
+
+
 QUERIES = {
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
+    "q_tpch_q4": q_tpch_q4,
     "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q6": q_tpch_q6,
     "q_tpch_q10": q_tpch_q10,
+    "q_tpch_q12": q_tpch_q12,
+    "q_tpch_q14": q_tpch_q14,
+    "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q19": q_tpch_q19,
 }
 
 _DISC_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
@@ -209,5 +370,71 @@ ORACLES = {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
+    """,
+    "q_tpch_q4": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q_tpch_q6": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                   AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q_tpch_q12": """
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "q_tpch_q14": f"""
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                   ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM({_DISC_SQL}) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "q_tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(total_qty AS DOUBLE) AS total_qty
+        FROM (SELECT l_orderkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+    """,
+    "q_tpch_q19": f"""
+        SELECT CAST(SUM({_DISC_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """,
 }
