@@ -32,8 +32,14 @@ HEADLINE = [
     "q_flagship",
     "q_tpch_q1",
     "q_tpch_q3",
+    "q_tpch_q4",
     "q_tpch_q5",
+    "q_tpch_q6",
     "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_tpch_q19",
     "q_groupby_count",
     "q_count_distinct",
     "q_join_inner",
@@ -66,6 +72,13 @@ EXTENDED = [
     "q_dedup_simhash",
     "q_dedup_clusters",
     "q_dedup_levenshtein",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_scd2_compress",
+    "q_profile_columns",
+    "q_embed_normalize",
+    "q_applyinpandas_minmax",
+    "q_udtf_chunks",
 ]
 
 

@@ -59,9 +59,10 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     ):
         mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
         modules.append(mod)
-    from breweries_case_spark.io import rest_source
+    from breweries_case_spark.io import jdbc_source, rest_source
 
     modules.append(rest_source)
+    modules.append(jdbc_source)
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}

@@ -80,9 +80,67 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CAP_TOKENS = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pre-training: greedily pack documents into
+    bins of ≤ PACK_CAP_TOKENS whitespace tokens per lang (first-fit
+    decreasing), the step that turns a ragged corpus into fixed-budget
+    training rows. Token counts are computed JVM-side (narrow size/split
+    — the Python stage sees only (doc_id, n_tokens) pairs, never text);
+    the inherently sequential FFD loop runs per-lang in applyInPandas.
+    Deterministic: FFD order is (n_tokens DESC, doc_id), so the packing
+    is a pure function of the group — layout- and retry-invariant.
+    Rows-only (greedy packing has no SQL twin); unit tests pin the
+    invariants (every doc exactly once, no bin over cap unless a single
+    doc alone exceeds it, bin ids dense from 0).
+
+    Scale: one shuffle on lang; each group streams through Arrow sorted,
+    and the loop is O(n·open_bins). Giant strata sub-shard by a hash
+    prefix of doc_id (pack quality is unaffected — packing is per-shard
+    greedy either way); the cap per Arrow batch is group size, same
+    contract as q_applyinpandas_minmax."""
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        bin_ids = []
+        for nt in pdf["n_tokens"]:
+            placed = None
+            for i, fill in enumerate(fills):
+                if fill + nt <= PACK_CAP_TOKENS:
+                    placed = i
+                    break
+            if placed is None:
+                fills.append(int(nt))
+                placed = len(fills) - 1
+            else:
+                fills[placed] += int(nt)
+            bin_ids.append(placed)
+        pdf["bin_id"] = bin_ids
+        pdf["bin_fill"] = [fills[b] for b in bin_ids]
+        return pdf[["doc_id", "lang", "n_tokens", "bin_id", "bin_fill"]]
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "n_tokens"
+        ),
+    )
+    return d.groupBy("lang").applyInPandas(
+        _pack, "doc_id long, lang string, n_tokens int, bin_id int, bin_fill int"
+    )
+
+
 QUERIES = {
     "q_applyinpandas_minmax": q_applyinpandas_minmax,
     "q_udtf_chunks": q_udtf_chunks,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {

@@ -168,8 +168,45 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming WRITE path: readStream → foreachBatch →
+    idempotent date-partition overwrite (streaming.sinks — the engine's
+    exactly-once-per-partition sink contract), then read the committed
+    parquet back and aggregate per day. Rows-only (write side effect);
+    the sink's replay idempotency is pinned by tests/test_streaming.py.
+    The result equals a batch per-day count of the source — checked by
+    the same test — so the registry entry exercises commit + read-back,
+    not just the transform."""
+    import shutil
+    import tempfile
+
+    from breweries_case_spark.io.writer import read_partitioned
+    from breweries_case_spark.streaming.sinks import stream_to_partitioned_parquet
+
+    base = tempfile.mkdtemp(prefix="q_stream_sink_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    q = stream_to_partitioned_parquet(stream_events(spark, sf_dir), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    try:
+        daily = (
+            read_partitioned(spark, out)
+            .groupBy("event_date")
+            .agg(F.count("*").alias("n_events"))
+            .orderBy("event_date")
+        )
+        # materialize before the scratch dir vanishes (tiny: one row/day)
+        rows = daily.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, daily.schema)
+
+
 QUERIES = {
     "q_stream_tumbling_batch": q_stream_tumbling_batch,
+    "q_stream_sink_parquet": q_stream_sink_parquet,
     "q_stream_sliding_batch": q_stream_sliding_batch,
     "q_stream_session_batch": q_stream_session_batch,
     "q_sessionize_lag": q_sessionize_lag,

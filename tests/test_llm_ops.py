@@ -293,3 +293,40 @@ def test_ivf_recall_against_exact(spark, sf_dir):
     # only a soft floor is meaningful here; planted-near-dup recall above
     # is the hard guarantee
     assert len(ivf & exact) >= 3, (ivf, exact)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """FFD packing: every doc assigned exactly once; no bin exceeds the
+    cap unless a single oversized doc owns it alone; bin ids dense."""
+    from collections import defaultdict
+
+    from breweries_case_spark.operators.pandas_ops import (
+        PACK_CAP_TOKENS,
+        q_pack_sequences,
+    )
+    from breweries_case_spark.io.reader import load_table
+
+    rows = q_pack_sequences(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r.lang, r.bin_id)].append(r)
+    for (lang, _), members in bins.items():
+        total = sum(m.n_tokens for m in members)
+        assert all(m.bin_fill == total for m in members)
+        if total > PACK_CAP_TOKENS:
+            assert len(members) == 1, (lang, members)
+    for lang in {r.lang for r in rows}:
+        ids = sorted({r.bin_id for r in rows if r.lang == lang})
+        assert ids == list(range(len(ids))), (lang, ids[:5])
+
+
+def test_pack_sequences_deterministic(spark, sf_dir):
+    from breweries_case_spark.operators.pandas_ops import q_pack_sequences
+
+    a = sorted(map(tuple, q_pack_sequences(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_pack_sequences(spark, sf_dir).collect()))
+    assert a == b

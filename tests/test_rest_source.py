@@ -192,3 +192,23 @@ def test_staged_csv_equals_staged_json(spark):
     json_rows = sorted(r.raw_json for r in q_ingest_staged_json(spark, "").collect())
     assert len(csv_rows) == 450
     assert csv_rows == json_rows
+
+
+def test_jdbc_roundtrip_matches_parquet(spark, sf_dir):
+    """JDBC staged write + partitioned read-back must equal the parquet
+    source, and the read must actually be split into range partitions."""
+    from breweries_case_spark.io.jdbc_source import q_ingest_jdbc
+    from breweries_case_spark.io.reader import load_table
+
+    back = q_ingest_jdbc(spark, sf_dir)
+    assert back.rdd.getNumPartitions() == 4
+    got = sorted(map(tuple, back.collect()))
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .collect(),
+        )
+    )
+    assert got == want

@@ -382,3 +382,26 @@ def test_stream_join_equals_batch_interval_join(spark, sf_dir):
     stream = _rows(q_stream_join(spark, sf_dir), cols)
     batch = _rows(q_join_range_binned(spark, sf_dir), cols)
     assert stream == batch
+
+
+def test_q_stream_sink_parquet_matches_batch_daily_counts(spark, sf_dir):
+    """The registered sink query (stream → foreachBatch commit → read-back)
+    must equal a plain batch per-day count of the source."""
+    from breweries_case_spark.io.reader import load_table
+    from breweries_case_spark.operators.streaming_queries import (
+        q_stream_sink_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (str(r.event_date), r.n_events)
+        for r in q_stream_sink_parquet(spark, sf_dir).collect()
+    }
+    want = {
+        (str(r.d), r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
