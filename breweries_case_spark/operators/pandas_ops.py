@@ -83,6 +83,29 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_CAP_TOKENS = 512
 
 
+def ffd_pack(sizes: list[int], cap: int) -> list[int]:
+    """First-fit packing of pre-ordered sizes into bins of capacity
+    ``cap``: returns the bin id per input position. Pure function (the
+    per-group kernel of q_pack_sequences) so the invariants are
+    property-testable without a JVM. An item larger than cap gets a bin
+    of its own — no item is ever dropped."""
+    fills: list[int] = []
+    out: list[int] = []
+    for s in sizes:
+        placed = None
+        for i, fill in enumerate(fills):
+            if fill + s <= cap:
+                placed = i
+                break
+        if placed is None:
+            fills.append(int(s))
+            placed = len(fills) - 1
+        else:
+            fills[placed] += int(s)
+        out.append(placed)
+    return out
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM pre-training: greedily pack documents into
     bins of ≤ PACK_CAP_TOKENS whitespace tokens per lang (first-fit
@@ -107,20 +130,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
-        fills: list[int] = []
-        bin_ids = []
-        for nt in pdf["n_tokens"]:
-            placed = None
-            for i, fill in enumerate(fills):
-                if fill + nt <= PACK_CAP_TOKENS:
-                    placed = i
-                    break
-            if placed is None:
-                fills.append(int(nt))
-                placed = len(fills) - 1
-            else:
-                fills[placed] += int(nt)
-            bin_ids.append(placed)
+        bin_ids = ffd_pack(list(pdf["n_tokens"]), PACK_CAP_TOKENS)
+        fills: dict[int, int] = {}
+        for b, nt in zip(bin_ids, pdf["n_tokens"]):
+            fills[b] = fills.get(b, 0) + int(nt)
         pdf["bin_id"] = bin_ids
         pdf["bin_fill"] = [fills[b] for b in bin_ids]
         return pdf[["doc_id", "lang", "n_tokens", "bin_id", "bin_fill"]]

@@ -392,3 +392,19 @@ def test_tpch_q5_plan_pushes_filters_and_broadcasts_dims(spark, sf_dir):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("o_orderdate" in ln for ln in pushed), pushed
     assert any("r_name" in ln for ln in pushed), pushed
+
+
+def test_sampling_plan_shapes(spark, sf_dir):
+    """Plan regression guards: hash sampling must stay a shuffle-free
+    scan-filter; SCD2's two window passes must share ONE entity-keyed
+    exchange and ONE sort (same partition + order keys)."""
+    from breweries_case_spark.operators.sampling import (
+        q_sample_hash,
+        q_scd2_compress,
+    )
+
+    p = q_sample_hash(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    p2 = q_scd2_compress(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert p2.count("Exchange") == 1, p2
+    assert p2.count("Sort") == 1, p2

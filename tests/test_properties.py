@@ -71,3 +71,36 @@ def test_minhash_family_members_distinct_and_invertible():
     assert len(set(_HASH_AB)) == len(_HASH_AB) == 16
     for a, _b in _HASH_AB:
         assert 0 < a < _MERSENNE_P and a % 2 == 1
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=800), max_size=200),
+    cap=st.integers(min_value=1, max_value=600),
+)
+@settings(max_examples=100, deadline=None)
+def test_ffd_pack_invariants(sizes, cap):
+    from collections import defaultdict
+
+    from breweries_case_spark.operators.pandas_ops import ffd_pack
+
+    # kernel contract: caller passes sizes pre-sorted descending
+    sizes = sorted(sizes, reverse=True)
+    bins = ffd_pack(sizes, cap)
+    assert len(bins) == len(sizes)  # nothing dropped
+    fills = defaultdict(list)
+    for b, s in zip(bins, sizes):
+        fills[b].append(s)
+    assert sorted(fills) == list(range(len(fills)))  # dense ids
+    for members in fills.values():
+        # a bin only exceeds cap when one oversized item owns it alone
+        if sum(members) > cap:
+            assert len(members) == 1
+    # first-fit property: an item never opens a new bin while an earlier
+    # bin could still hold it (checked by replay)
+    running = []
+    for b, s in zip(bins, sizes):
+        if b == len(running):
+            assert all(f + s > cap for f in running)
+            running.append(s)
+        else:
+            running[b] += s
