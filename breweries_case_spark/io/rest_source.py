@@ -26,6 +26,7 @@ import time
 from collections.abc import Callable, Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 PageFetcher = Callable[[int, int], list[dict]]
 
@@ -204,6 +205,41 @@ def ingest_staged_files(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.format(file_format).load(path)
+
+
+def ingest_staged_json_quarantine(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """Staged JSON ingest with a QUARANTINE lane: malformed lines land in
+    a side output instead of aborting the job (FAILFAST) or silently
+    vanishing (DROPMALFORMED). Returns (good, bad): ``good`` has the
+    declared schema; ``bad`` carries the raw offending line for replay
+    after the producer is fixed — the bronze-layer contract for dirty
+    backfills.
+
+    Implementation: PERMISSIVE mode + columnNameOfCorruptRecord. Spark
+    refuses to filter on the corrupt column of an uncached JSON relation
+    (it is populated only while parsing other columns), so the parsed
+    batch is persisted first — the batch was about to be materialized
+    into bronze anyway, so this adds no extra pass at scale."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    corrupt = "_corrupt_record"
+    qschema = StructType(
+        list(schema.fields) + [StructField(corrupt, StringType(), True)]
+    )
+    parsed = (
+        spark.read.schema(qschema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = parsed.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return good, bad
 
 
 def _staging_dir() -> str:

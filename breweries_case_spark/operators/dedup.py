@@ -514,8 +514,19 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs that survive the cheap length residual, and uses Spark's
     bounded ``levenshtein(l, r, threshold)`` which abandons rows early
     once the running distance exceeds k (returning −1, filtered here).
-    The same shape at 100 TB: shuffle on (lang, bin), per-bucket work
-    bounded by the length histogram, never n²."""
+
+    Scale tier: GROUND TRUTH, like the other exact variants — (lang,
+    length-bin) has FIXED cardinality, so block density and pair count
+    grow quadratically with corpus size (measured 1×/2×/4× sf0.1:
+    3.6 s / 15.9 s / 40 s — see SURVEY §6 scaling table). The lossless
+    content-blocked alternatives (PassJoin/Ed-Join q-gram count or
+    segment filters, VLDB'08/'12) are the production path ONLY when
+    k is small relative to string length; at this operator's contract
+    (k = 20 on ~300-char texts, q·k ≈ 60 ≥ the typical distinct-3-gram
+    count) every such filter is provably vacuous and degenerates to the
+    same quadratic. At 100 TB, bound k/len (filters regain power) or use
+    the probabilistic tier (simhash/minhash) as the scale path and keep
+    this operator for oracle-checked verification of candidates."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", F.length("text").alias("len")
     )

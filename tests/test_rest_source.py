@@ -212,3 +212,28 @@ def test_jdbc_roundtrip_matches_parquet(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_staged_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    """Malformed lines must land in the quarantine lane with their raw
+    text; valid lines parse under the declared schema; nothing vanishes."""
+    from breweries_case_spark.io.rest_source import ingest_staged_json_quarantine
+
+    p = tmp_path / "staged"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": "a1", "name": "Alpha"}\n'
+        "this is not json\n"
+        '{"id": "b2", "name": "Beta"}\n'
+        '{"id": "c3", "name": }\n'
+        '{"id": "d4", "name": "Delta"}\n'
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", StringType()), StructField("name", StringType())]
+    )
+    good, bad = ingest_staged_json_quarantine(spark, str(p), schema)
+    assert sorted(r.id for r in good.collect()) == ["a1", "b2", "d4"]
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert bad_lines == ["this is not json", '{"id": "c3", "name": }']

@@ -405,3 +405,43 @@ def test_q_stream_sink_parquet_matches_batch_daily_counts(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_sink_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Kill-and-restart durability: a second stream started on the SAME
+    checkpoint must resume from the recorded offsets — rows ingested
+    before the stop are not re-delivered to the sink (append mode would
+    duplicate them if offsets were not honored)."""
+    import datetime
+
+    from breweries_case_spark.streaming.sinks import stream_to_partitioned_parquet
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    d1 = datetime.datetime(2024, 4, 1, 9, 0)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, "ts timestamp, user_id long").write.mode(
+            mode
+        ).parquet(src)
+
+    write([(d1, i) for i in range(5)], "overwrite")
+    events = spark.readStream.schema("ts timestamp, user_id long").parquet(src)
+    q = stream_to_partitioned_parquet(events, out, ckpt, mode="append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 5
+
+    # new input lands while the stream is DOWN; restart on same checkpoint
+    write([(d1, 100 + i) for i in range(3)], "append")
+    events2 = spark.readStream.schema("ts timestamp, user_id long").parquet(src)
+    q2 = stream_to_partitioned_parquet(events2, out, ckpt, mode="append")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = sorted(r.user_id for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102]  # old rows exactly once
