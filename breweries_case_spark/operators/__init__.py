@@ -49,10 +49,18 @@ def _driver_green_ids() -> frozenset[str]:
 _DRIVER_GREEN = _driver_green_ids()
 
 
-def _registry_rank(qid: str, oracles: dict[str, str]) -> int:
+def _registry_rank(
+    qid: str, oracles: dict[str, str], deferred: frozenset[str] = frozenset()
+) -> int:
     if qid not in oracles:
-        return 2  # rows-only: never consumes a scored driver slot
-    return 1 if qid in _DRIVER_GREEN else 0
+        return 3  # rows-only: never consumes a scored driver slot
+    if qid in _DRIVER_GREEN:
+        return 2
+    # Deferred ids are oracle-backed but registered the same round the
+    # window was already full of older unproven ids — they queue behind
+    # those (and still ahead of proven ids) so no window slot is wasted
+    # and they flow in automatically as earlier ids turn green.
+    return 1 if qid in deferred else 0
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -79,6 +87,7 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
+    deferred: set[str] = set()
     for mod in modules:
         q = getattr(mod, "QUERIES", {})
         o = getattr(mod, "ORACLES", {})
@@ -87,10 +96,12 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
             raise ValueError(f"duplicate query ids: {dup}")
         queries.update(q)
         oracles.update(o)
+        deferred.update(getattr(mod, "DEFERRED", ()))
     unknown = set(oracles) - set(queries)
     if unknown:
         raise ValueError(f"oracles without queries: {unknown}")
+    frozen_deferred = frozenset(deferred)
     ordered = sorted(
-        queries, key=lambda qid: _registry_rank(qid, oracles)
+        queries, key=lambda qid: _registry_rank(qid, oracles, frozen_deferred)
     )  # stable: preserves registration order within each tier
     return {qid: queries[qid] for qid in ordered}, oracles

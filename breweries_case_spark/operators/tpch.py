@@ -296,8 +296,434 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: no partsupp table — the
+    part↔supplier relation is the distinct pairs observed in lineitem,
+    and "cost" is s_acctbal in place of ps_supplycost). The shape under
+    test is the correlated-MIN subquery: per-part minimum over the
+    region's suppliers, joined back by equality. region/nation broadcast;
+    the pair-distinct is one shuffle on (partkey, suppkey)."""
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    eligible = (
+        pairs.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    min_cost = eligible.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("s_acctbal").alias("min_acctbal")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("s_acctbal") == F.col("min_acctbal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations: the double-nation
+    join (supplier's nation n1, customer's nation n2) with a symmetric
+    pair predicate. Both nation copies broadcast; the fact-side exchanges
+    are AQE's call; year() extraction groups two shipping years."""
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(load_table(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(load_table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(load_table(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(decimal_sum(_disc_price(), scale=6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share (adapted: synthetic p_type is a
+    single word — equality with 'ECONOMY' stands in for the three-word
+    type). Share of AMERICA-region revenue supplied by NATION_5, per
+    order year: conditional sum over total sum of the same decimal-exact
+    revenue, divided as doubles."""
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(load_table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(load_table(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                decimal_sum(national, scale=6) / decimal_sum(vol, scale=6)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: no partsupp, so profit has
+    no ps_supplycost·l_quantity term — profit is the discounted revenue;
+    the part filter matches the synthetic two-word p_name on a color
+    word). Grouped by supplier nation × order year."""
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(load_table(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(load_table(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(decimal_sum(_disc_price(), scale=6).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: no partsupp — per-part "value"
+    is the discounted revenue shipped by NATION_3's suppliers, and the
+    HAVING threshold is 0.001 of the national total). The shape under
+    test: grouped aggregate filtered against a scalar-subquery total.
+    The 1-row total joins by crossJoin, which AQE executes as a broadcast
+    nested loop — no shuffle of the grouped side."""
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    supplied = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(load_table(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    per_part = supplied.groupBy("l_partkey").agg(
+        decimal_sum(_disc_price(), scale=6).alias("part_value")
+    )
+    total = supplied.agg(
+        decimal_sum(_disc_price(), scale=6).alias("total_value")
+    )
+    return (
+        per_part.crossJoin(total)
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution (adapted: no o_comment
+    — the excluded-orders predicate filters on o_orderpriority instead of
+    the comment regex). The shape: LEFT OUTER join with an extra join-side
+    predicate, then a double aggregation (per-customer count, then
+    histogram of counts). count(o_orderkey) counts only matched rows —
+    customers with no qualifying orders land in the c_count=0 bucket."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, keep the
+    supplier(s) matching the global maximum. The scalar-subquery MAX is a
+    1-row crossJoin (AQE broadcast); revenue equality is safe because
+    both sides are the same decimal-exact sum. Order by s_suppkey as the
+    spec requires (ties possible)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        decimal_sum(_disc_price(), scale=6).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(top)
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(
+            load_table(spark, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 part/supplier relationship (adapted: no partsupp — the
+    relation is lineitem's observed pairs; the excluded-supplier
+    subquery keys on negative s_acctbal instead of the complaint-comment
+    regex). NOT IN decorrelates to a left-anti join; the distinct
+    supplier count is the one real shuffle."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue (adapted: no p_container —
+    the part slice is brand + size). The correlated per-part AVG subquery
+    becomes a grouped aggregate joined back on partkey — the scale-safe
+    decorrelation (one extra shuffle on partkey, no per-row subquery).
+    The 0.2·avg threshold compares doubles derived from the same
+    decimal-rounded average in both engines."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") == 7)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
+        decimal_avg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("aq_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (decimal_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (adapted: no partsupp — the
+    "excess availability" test becomes: the supplier shipped more than 50
+    units of some color-matched part during 1996; the color is 'red' —
+    the synthetic p_name vocabulary has no 'green'). Grouped HAVING
+    feeding a left-semi join against supplier — the IN-subquery shape."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(decimal_sum(F.col("l_quantity")).alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: no
+    l_receiptdate/l_commitdate — "late" means shipped more than 30 days
+    after the order date). The double correlated EXISTS/NOT-EXISTS
+    (another supplier contributed; no other supplier was late) is
+    reformulated as one grouped pass over the order's lineitems:
+    count-distinct suppliers and count-distinct LATE suppliers per order,
+    keep late rows of multi-supplier orders whose only late supplier is
+    this one. Same rows, two shuffles total, no correlated re-scans —
+    the oracle cross-checks the reformulation against the literal
+    EXISTS form."""
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("is_late", late)
+    )
+    order_stats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        li.filter(F.col("is_late"))
+        .join(
+            order_stats.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            F.col("l_orderkey") == F.col("os_orderkey"),
+        )
+        .join(load_table(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (adapted: no c_phone — the
+    "country code" is the customer's nation name, and the candidate set
+    is the odd-numbered nations below 14; the synthetic generator gives
+    every customer at least one order, so "never ordered" is restored to
+    the spec's actual intent — no order in the trailing window, here
+    since 1999). Scalar-subquery average over positive balances (1-row
+    crossJoin broadcast) + anti join against recent orders — customers
+    with money and no recent purchase history."""
+    codes = [f"NATION_{i}" for i in (1, 3, 5, 7, 9, 11, 13)]
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(codes))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_acctbal", F.col("n_name").alias("cntrycode"))
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        decimal_avg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            load_table(spark, sf_dir, "orders").filter(
+                F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            decimal_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+# Registered in round 2 while the driver's 50-slot correctness window was
+# already full of round-2 unproven ids (the VERDICT-mandated dedup/text/
+# streaming set) — these queue in the deferred tier and enter the window
+# as earlier ids turn green. All 12 are verified by the local parity
+# replica at sf0.001 regardless.
+DEFERRED = frozenset(
+    {
+        "q_tpch_q2",
+        "q_tpch_q7",
+        "q_tpch_q8",
+        "q_tpch_q9",
+        "q_tpch_q11",
+        "q_tpch_q13",
+        "q_tpch_q15",
+        "q_tpch_q16",
+        "q_tpch_q17",
+        "q_tpch_q20",
+        "q_tpch_q21",
+        "q_tpch_q22",
+    }
+)
+
 QUERIES = {
     "q_tpch_q1": q_tpch_q1,
+    "q_tpch_q2": q_tpch_q2,
+    "q_tpch_q7": q_tpch_q7,
+    "q_tpch_q8": q_tpch_q8,
+    "q_tpch_q9": q_tpch_q9,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q13": q_tpch_q13,
+    "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q17": q_tpch_q17,
+    "q_tpch_q20": q_tpch_q20,
+    "q_tpch_q21": q_tpch_q21,
+    "q_tpch_q22": q_tpch_q22,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q4": q_tpch_q4,
     "q_tpch_q5": q_tpch_q5,
@@ -436,5 +862,203 @@ ORACLES = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q_tpch_q2": """
+        WITH eligible AS (
+            SELECT DISTINCT l_partkey, l_suppkey
+            FROM lineitem
+        ),
+        euro AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM eligible
+        JOIN part ON l_partkey = p_partkey
+        JOIN euro ON l_suppkey = s_suppkey
+        WHERE p_size = 15 AND p_type = 'STANDARD'
+          AND s_acctbal = (SELECT MIN(e2.s_acctbal)
+                           FROM eligible el2
+                           JOIN euro e2 ON el2.l_suppkey = e2.s_suppkey
+                           WHERE el2.l_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+        LIMIT 100
+    """,
+    "q_tpch_q7": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM({_DISC_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q_tpch_q8": """
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                    ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "q_tpch_q9": f"""
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM({_DISC_SQL}) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, YEAR(o_orderdate)
+        ORDER BY nation ASC, o_year DESC
+    """,
+    "q_tpch_q11": f"""
+        WITH supplied AS (
+            SELECT l_partkey, {_DISC_SQL} AS dp
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+        )
+        SELECT l_partkey AS p_partkey,
+               CAST(SUM(dp) AS DOUBLE) AS part_value
+        FROM supplied
+        GROUP BY l_partkey
+        HAVING CAST(SUM(dp) AS DOUBLE)
+               > 0.001 * (SELECT CAST(SUM(dp) AS DOUBLE) FROM supplied)
+        ORDER BY part_value DESC, p_partkey ASC
+    """,
+    "q_tpch_q13": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q_tpch_q15": f"""
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   CAST(SUM({_DISC_SQL}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "q_tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """,
+    "q_tpch_q17": """
+        WITH avg_qty AS (
+            SELECT l_partkey AS aq_partkey,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                        / COUNT(l_quantity), 6) AS DOUBLE) AS avg_qty
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN avg_qty ON l_partkey = aq_partkey
+        WHERE p_brand = 'Brand#23' AND p_size = 7
+          AND l_quantity < 0.2 * avg_qty
+    """,
+    "q_tpch_q20": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%red%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50)
+        ORDER BY s_suppkey
+    """,
+    "q_tpch_q21": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_7'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
+    """,
+    "q_tpch_q22": """
+        WITH cust AS (
+            SELECT c_custkey, c_acctbal, n_name AS cntrycode
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7',
+                             'NATION_9', 'NATION_11', 'NATION_13')
+        )
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM cust
+        WHERE c_acctbal > (SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                                / COUNT(c_acctbal), 6) AS DOUBLE)
+                           FROM cust WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY cntrycode
+        ORDER BY cntrycode
     """,
 }

@@ -10,28 +10,42 @@ from breweries_case_spark.operators import _DRIVER_GREEN, _registry_rank
 DRIVER_WINDOW = 50
 
 
+def _deferred():
+    from breweries_case_spark.operators import tpch
+
+    return frozenset(getattr(tpch, "DEFERRED", ()))
+
+
 def test_registry_ordering_tiers():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    ranks = [_registry_rank(qid, oracles) for qid in qs]
+    deferred = _deferred()
+    ranks = [_registry_rank(qid, oracles, deferred) for qid in qs]
     assert ranks == sorted(ranks), "registry not emitted in tier order"
 
 
 def test_unproven_oracle_ids_fit_driver_window():
-    """Every oracle-backed id the driver has never recorded green must sit
-    inside the first DRIVER_WINDOW slots — otherwise it can never turn
-    green on the scoreboard. If this fails after adding a query, either
-    the window overflowed (defer the oracle to next round / register
-    rows-only) or a CORRECTNESS file went missing."""
+    """Every NON-DEFERRED oracle-backed id the driver has never recorded
+    green must sit inside the first DRIVER_WINDOW slots — otherwise it can
+    never turn green on the scoreboard. Deferred ids (registered after the
+    window filled) are allowed to overflow, but then the window itself
+    must be packed with unproven ids — no slot wasted on an
+    already-proven or rows-only id while unproven work waits."""
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     ids = list(qs)
+    deferred = _deferred()
     unproven = [q for q in ids if q in oracles and q not in _DRIVER_GREEN]
-    assert len(unproven) <= DRIVER_WINDOW, (
-        f"{len(unproven)} unproven oracle-backed ids exceed the "
-        f"{DRIVER_WINDOW}-slot driver window: {unproven[DRIVER_WINDOW:]}"
+    priority = [q for q in unproven if q not in deferred]
+    assert len(priority) <= DRIVER_WINDOW, (
+        f"{len(priority)} non-deferred unproven oracle-backed ids exceed "
+        f"the {DRIVER_WINDOW}-slot driver window: {priority[DRIVER_WINDOW:]}"
+        " — mark the newest DEFERRED"
     )
     first = set(ids[:DRIVER_WINDOW])
-    missing = [q for q in unproven if q not in first]
+    missing = [q for q in priority if q not in first]
     assert not missing, f"unproven ids outside the driver window: {missing}"
+    if len(unproven) >= DRIVER_WINDOW:
+        wasted = [q for q in ids[:DRIVER_WINDOW] if q not in unproven]
+        assert not wasted, f"window slots wasted on proven/rows-only ids: {wasted}"
 
 
 def test_green_set_parsed_from_correctness_files():
