@@ -63,13 +63,14 @@ def _registry_rank(
     return 1 if qid in deferred else 0
 
 
-def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
+def _modules() -> list:
     from breweries_case_spark.operators import relational
 
     modules = [relational]
     for name in (
         "medallion_queries",
         "tpch",
+        "scalar_funcs",
         "pandas_ops",
         "sampling",
         "dedup",
@@ -84,6 +85,19 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     modules.append(rest_source)
     modules.append(jdbc_source)
+    return modules
+
+
+def collect_deferred() -> frozenset[str]:
+    """Union of every module's DEFERRED tag (see _registry_rank)."""
+    out: set[str] = set()
+    for mod in _modules():
+        out.update(getattr(mod, "DEFERRED", ()))
+    return frozenset(out)
+
+
+def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    modules = _modules()
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}

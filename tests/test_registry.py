@@ -11,9 +11,9 @@ DRIVER_WINDOW = 50
 
 
 def _deferred():
-    from breweries_case_spark.operators import tpch
+    from breweries_case_spark.operators import collect_deferred
 
-    return frozenset(getattr(tpch, "DEFERRED", ()))
+    return collect_deferred()
 
 
 def test_registry_ordering_tiers():
