@@ -40,25 +40,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to a microsecond
-        # timestamp with exact integer division — identical to what
-        # duckdb/python yield for the same ns. The conf is captured into
-        # the relation at read time (verified: the scan still executes
-        # after restore), so save/restore keeps it from leaking into later
-        # unrelated nanos-parquet reads on the same session, which would
-        # silently come back as longs.
+        return _load_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events with ``ts`` normalized to session-TZ TIMESTAMP regardless of
+    how the generator encoded it. Seen encodings across driver rounds:
+    parquet TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read
+    nanos as long, truncate to micros with exact integer division) and
+    TIMESTAMP(MICROS) isAdjustedToUTC=false (arrives as TIMESTAMP_NTZ —
+    reinterpret the wall time as UTC, matching the session timeZone=UTC the
+    factory pins and the epoch values DuckDB reads from the same file)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Nanos path: unsupported type fails at footer-schema resolution.
+        # Conf is captured into the relation at read time (verified: the
+        # scan still executes after restore), so save/restore keeps it from
+        # leaking into later unrelated nanos-parquet reads on this session.
         prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            df = spark.read.parquet(path)
         finally:
             if prior is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if isinstance(ts_type, TimestampNTZType):
+        # Cast interprets the wall time in the session timeZone — UTC per
+        # the session factory — giving the same epoch DuckDB reads.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -74,16 +74,29 @@ BREWERY_PAYLOAD_SCHEMA = T.StructType(
 )
 
 # --- Star-schema / extension tables (driver testdata, TESTDATA.md) ----------
-# The parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects; readers scan it as a raw nanos long (EVENTS_RAW_SCHEMA,
-# with spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds,
-# yielding EVENTS_SCHEMA — the post-load shape every operator sees.
+# The generator has encoded ts differently across driver rounds:
+# TIMESTAMP(NANOS) (Spark's vectorized reader rejects it; scan as a raw
+# nanos long with spark.sql.legacy.parquet.nanosAsLong and truncate to
+# microseconds) and TIMESTAMP(MICROS) isAdjustedToUTC=false (arrives as
+# TIMESTAMP_NTZ; reinterpret the wall time in the UTC session zone).
+# Either way every operator sees EVENTS_SCHEMA — the post-load shape.
 # io.reader.load_table and streaming.windows.stream_events both implement
 # this contract; tests/test_medallion.py pins declared == loaded.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
         T.StructField("ts", T.LongType(), True),  # nanos since epoch
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+EVENTS_RAW_SCHEMA_NTZ = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),  # micros, wall time
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),

@@ -17,21 +17,43 @@ watermark — state store size is O(active windows), not O(stream)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from breweries_case_spark.functions import decimal_sum
-from breweries_case_spark.schemas import EVENTS_RAW_SCHEMA
+from breweries_case_spark.schemas import EVENTS_RAW_SCHEMA, EVENTS_RAW_SCHEMA_NTZ
 
 WATERMARK = "10 minutes"
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    """Sniff the parquet footer for the ts encoding (see schemas.py contract
+    note). Streaming needs the read schema up front, so unlike the batch
+    reader we can't try/except our way to the right one."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = sorted(glob.glob(f"{sf_dir}/events.*"))[0]
+    if os.path.isdir(path):
+        path = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    field = pq.read_schema(path).field("ts")
+    return getattr(field.type, "unit", "us")
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file source = the deterministic
     local stand-in for Kafka; same DataFrame surface either way)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = _events_ts_unit(sf_dir) == "ns"
+    if nanos:
+        # Conf must stay set for the life of the streaming query (the
+        # source re-reads it per microbatch), so no save/restore here —
+        # documented session-wide effect, only taken on nanos-era data.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW_SCHEMA if nanos else EVENTS_RAW_SCHEMA_NTZ)
         # glob the events file specifically — sf_dir holds ALL tables, and a
         # bare directory path would stream every parquet (name-matched
         # columns → silent null rows); the glob form keeps basePath a
@@ -40,7 +62,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load()
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ wall time reinterpreted in the UTC session zone — same epoch
+    # DuckDB reads from the same file.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
