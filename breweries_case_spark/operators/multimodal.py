@@ -247,7 +247,7 @@ ORACLES = {
         SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                                ELSE 'video' END AS modality,
                count(*) AS media_count,
-               SUM(octet_length(encode(text))) AS total_bytes,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                MAX(n_chars * 10) AS max_duration_ms
         FROM documents GROUP BY 1
     """,

@@ -167,23 +167,26 @@ ORACLES = {
     "q_profile_columns": """
         WITH base AS (SELECT * FROM documents)
         SELECT count(*) AS n_rows, 'doc_id' AS column_name,
-               sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
                count(DISTINCT doc_id) AS n_distinct FROM base
         UNION ALL
         SELECT count(*), 'text',
-               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT text) FROM base
         UNION ALL
         SELECT count(*), 'lang',
-               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT lang) FROM base
         UNION ALL
         SELECT count(*), 'source',
-               sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
                count(DISTINCT source) FROM base
         UNION ALL
         SELECT count(*), 'n_chars',
-               sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+               CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
                count(DISTINCT n_chars) FROM base
     """,
 }

@@ -150,7 +150,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard sliding-metric shape and the state is bounded by the
     hour, not history."""
     ev = load_table(spark, sf_dir, "events")
-    sec = (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long")
+    sec = F.expr("unix_micros(ts) div 1000000")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("sec"))
@@ -295,13 +295,13 @@ ORACLES = {
     """,
     "q_window_range_frame": """
         SELECT event_id, user_id,
-               CAST(EPOCH_US(ts) / 1000000 AS BIGINT) AS sec,
+               CAST(FLOOR(EPOCH_US(ts) / 1000000) AS BIGINT) AS sec,
                COUNT(*) OVER w AS events_1h,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
                    AS value_1h
         FROM events
         WINDOW w AS (PARTITION BY user_id
-                     ORDER BY CAST(EPOCH_US(ts) / 1000000 AS BIGINT)
+                     ORDER BY CAST(FLOOR(EPOCH_US(ts) / 1000000) AS BIGINT)
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     "q_pii_redact": """
