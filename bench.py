@@ -83,7 +83,10 @@ EXTENDED = [
     "q_sim_knn_join_ann",
     "q_dedup_simhash",
     "q_dedup_clusters",
-    "q_dedup_levenshtein",
+    # the bounded (candidate-verified) form is the benched one: the exact
+    # (lang, length-bin) twin is measured corpus-quadratic (SURVEY §6) and
+    # stays out of the headline suite by design
+    "q_dedup_levenshtein_bounded",
     "q_sample_hash",
     "q_sample_stratified",
     "q_scd2_compress",

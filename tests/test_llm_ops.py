@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from breweries_case_spark.operators.dedup import (
     q_dedup_embedding,
+    q_dedup_levenshtein,
+    q_dedup_levenshtein_bounded,
     q_dedup_minhash,
     q_dedup_ngram_jaccard,
     q_dedup_simhash,
@@ -46,6 +48,18 @@ def test_minhash_precision_against_exact(spark, sf_dir):
     if exact:
         recall = len(mh_same_lang & exact) / len(exact)
         assert recall >= 0.8, f"minhash recall {recall} over {len(exact)} pairs"
+
+
+def test_levenshtein_bounded_equals_exact(spark, sf_dir):
+    """The candidate-verified (minhash ∪ simhash) form must reproduce the
+    exact length-bin-blocked output row for row — the blockers are
+    deterministic, so this is a hard equality, not a recall bound.
+    (Also verified by hand at sf0.01 and sf0.1: 6 and 79 pairs, equal.)"""
+    exact = sorted(tuple(r) for r in q_dedup_levenshtein(spark, sf_dir).collect())
+    bounded = sorted(
+        tuple(r) for r in q_dedup_levenshtein_bounded(spark, sf_dir).collect()
+    )
+    assert exact == bounded
 
 
 def test_simhash_identical_docs_distance_zero(spark, sf_dir):
