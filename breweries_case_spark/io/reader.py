@@ -56,15 +56,25 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 
     try:
         df = spark.read.parquet(path)
-    except Exception:
+    except Exception as e:
         # Nanos path: unsupported type fails at footer-schema resolution.
+        # Retry under nanosAsLong ONLY for that failure — a missing file,
+        # corrupt footer, or permission error re-raises as itself rather
+        # than surfacing as a confusing second failure with the original
+        # cause discarded.
+        markers = ("PARQUET_TYPE_ILLEGAL", "Illegal Parquet type", "NANOS")
+        if not any(m in str(e) for m in markers):
+            raise
         # Conf is captured into the relation at read time (verified: the
         # scan still executes after restore), so save/restore keeps it from
         # leaking into later unrelated nanos-parquet reads on this session.
         prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path)
+            try:
+                df = spark.read.parquet(path)
+            except Exception as retry_err:
+                raise retry_err from e
         finally:
             if prior is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -104,6 +104,19 @@ EVENTS_RAW_SCHEMA_NTZ = T.StructType(
     ]
 )
 
+# tz-aware (isAdjustedToUTC) micros: already an instant — read as
+# TIMESTAMP, no cast needed
+EVENTS_RAW_SCHEMA_LTZ = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),  # micros, UTC instant
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),

@@ -23,37 +23,83 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from breweries_case_spark.functions import decimal_sum
-from breweries_case_spark.schemas import EVENTS_RAW_SCHEMA, EVENTS_RAW_SCHEMA_NTZ
+from breweries_case_spark.schemas import (
+    EVENTS_RAW_SCHEMA,
+    EVENTS_RAW_SCHEMA_LTZ,
+    EVENTS_RAW_SCHEMA_NTZ,
+)
 
 WATERMARK = "10 minutes"
 
 
-def _events_ts_unit(sf_dir: str) -> str:
-    """Sniff the parquet footer for the ts encoding (see schemas.py contract
-    note). Streaming needs the read schema up front, so unlike the batch
-    reader we can't try/except our way to the right one."""
+def _events_ts_encoding(sf_dir: str) -> str:
+    """Sniff the parquet footer(s) for the ts encoding (see schemas.py
+    contract note) and classify it: ``'ns'`` (nanos — any tz-ness, read as
+    long), ``'ltz'`` (tz-aware micros/millis — an instant, read as
+    TIMESTAMP), or ``'ntz'`` (wall-time micros/millis — read as
+    TIMESTAMP_NTZ and reinterpreted in the UTC session zone). Streaming
+    needs the read schema up front, so unlike the batch reader we can't
+    try/except our way to the right one. A non-timestamp ts (e.g. a future
+    generator writing plain int64) raises immediately — a wrong guess here
+    would otherwise surface as a vectorized-reader failure at scan time.
+    Directory inputs must agree across part files: mixed encodings under
+    one fixed read schema would silently corrupt whichever files lose."""
     import glob
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = sorted(glob.glob(f"{sf_dir}/events.*"))[0]
+    matches = sorted(glob.glob(f"{sf_dir}/events.*"))
+    if not matches:
+        raise FileNotFoundError(
+            f"no events.* under {sf_dir!r} — expected events.parquet "
+            "(file or directory of part files)"
+        )
+    path = matches[0]
     if os.path.isdir(path):
-        path = sorted(glob.glob(f"{path}/*.parquet"))[0]
-    field = pq.read_schema(path).field("ts")
-    return getattr(field.type, "unit", "us")
+        parts = sorted(glob.glob(f"{path}/*.parquet"))
+        if not parts:
+            raise FileNotFoundError(
+                f"events directory {path!r} has no *.parquet part files"
+            )
+    else:
+        parts = [path]
+
+    def classify(p: str) -> str:
+        t = pq.read_schema(p).field("ts").type
+        if not pa.types.is_timestamp(t):
+            raise ValueError(
+                f"unrecognized events.ts encoding in {p!r}: {t!r} "
+                "(expected a parquet timestamp)"
+            )
+        if t.unit == "ns":
+            return "ns"
+        return "ltz" if t.tz is not None else "ntz"
+
+    encodings = {p: classify(p) for p in parts}
+    if len(set(encodings.values())) > 1:
+        raise ValueError(
+            f"mixed events.ts encodings across part files: {encodings}"
+        )
+    return next(iter(encodings.values()))
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file source = the deterministic
     local stand-in for Kafka; same DataFrame surface either way)."""
-    nanos = _events_ts_unit(sf_dir) == "ns"
-    if nanos:
+    enc = _events_ts_encoding(sf_dir)
+    if enc == "ns":
         # Conf must stay set for the life of the streaming query (the
         # source re-reads it per microbatch), so no save/restore here —
         # documented session-wide effect, only taken on nanos-era data.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = EVENTS_RAW_SCHEMA
+    elif enc == "ltz":
+        schema = EVENTS_RAW_SCHEMA_LTZ
+    else:
+        schema = EVENTS_RAW_SCHEMA_NTZ
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA if nanos else EVENTS_RAW_SCHEMA_NTZ)
+        spark.readStream.schema(schema)
         # glob the events file specifically — sf_dir holds ALL tables, and a
         # bare directory path would stream every parquet (name-matched
         # columns → silent null rows); the glob form keeps basePath a
@@ -62,8 +108,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load()
     )
-    if nanos:
+    if enc == "ns":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if enc == "ltz":
+        # already a UTC instant — no reinterpretation needed
+        return raw
     # NTZ wall time reinterpreted in the UTC session zone — same epoch
     # DuckDB reads from the same file.
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

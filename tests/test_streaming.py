@@ -59,6 +59,49 @@ def test_sessionize_lag_equals_session_window(spark, sf_dir):
     )
 
 
+def test_ts_encoding_errors_are_descriptive(tmp_path):
+    """The footer sniffer must fail loudly and specifically: no events
+    file → FileNotFoundError naming the dir; a non-timestamp ts (e.g. a
+    generator writing plain int64) → ValueError naming the type, instead
+    of defaulting to a schema the vectorized reader would reject at scan
+    time with an opaque error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from breweries_case_spark.streaming.windows import _events_ts_encoding
+
+    with pytest.raises(FileNotFoundError, match="events"):
+        _events_ts_encoding(str(tmp_path))
+
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2], type=pa.int64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    with pytest.raises(ValueError, match="int64"):
+        _events_ts_encoding(str(tmp_path))
+
+
+def test_ts_encoding_classifies_tz_awareness(tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from breweries_case_spark.streaming.windows import _events_ts_encoding
+
+    rows = [dt.datetime(2024, 1, 1, 0, 0, 0)]
+    for typ, want in [
+        (pa.timestamp("us"), "ntz"),
+        (pa.timestamp("us", tz="UTC"), "ltz"),
+        (pa.timestamp("ns"), "ns"),
+    ]:
+        pq.write_table(
+            pa.table({"ts": pa.array(rows, type=typ)}),
+            str(tmp_path / "events.parquet"),
+        )
+        assert _events_ts_encoding(str(tmp_path)) == want
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append-mode with watermark: an event older than watermark arriving in
     a later batch is dropped from its (already emitted) window."""
