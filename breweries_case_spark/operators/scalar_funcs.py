@@ -194,19 +194,8 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Registered while the driver's 50-slot window is full (round 2) — these
-# queue behind the existing unproven ids; see operators/__init__.py.
-DEFERRED = frozenset(
-    {
-        "q_string_funcs",
-        "q_datetime_funcs",
-        "q_math_funcs",
-        "q_array_funcs",
-        "q_higher_order",
-        "q_window_range_frame",
-        "q_pii_redact",
-    }
-)
+# (Round-2 DEFERRED tags removed in round 3: the unproven id count fits
+# the driver's 50-slot window, so deferral would only delay checking.)
 
 QUERIES = {
     "q_string_funcs": q_string_funcs,

@@ -688,27 +688,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Registered in round 2 while the driver's 50-slot correctness window was
-# already full of round-2 unproven ids (the VERDICT-mandated dedup/text/
-# streaming set) — these queue in the deferred tier and enter the window
-# as earlier ids turn green. All 12 are verified by the local parity
-# replica at sf0.001 regardless.
-DEFERRED = frozenset(
-    {
-        "q_tpch_q2",
-        "q_tpch_q7",
-        "q_tpch_q8",
-        "q_tpch_q9",
-        "q_tpch_q11",
-        "q_tpch_q13",
-        "q_tpch_q15",
-        "q_tpch_q16",
-        "q_tpch_q17",
-        "q_tpch_q20",
-        "q_tpch_q21",
-        "q_tpch_q22",
-    }
-)
+# (Round-2 DEFERRED tags removed in round 3: the unproven id count fits
+# the driver's 50-slot window, so deferral would only delay checking. All
+# 12 round-2 TPC-H additions remain verified by the local parity replica.)
 
 QUERIES = {
     "q_tpch_q1": q_tpch_q1,

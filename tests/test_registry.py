@@ -48,6 +48,20 @@ def test_unproven_oracle_ids_fit_driver_window():
         assert not wasted, f"window slots wasted on proven/rows-only ids: {wasted}"
 
 
+def test_no_stale_deferred_tags():
+    """DEFERRED exists only to keep the window packed when unproven ids
+    exceed its 50 slots. Once everything unproven fits, a lingering tag
+    just delays that id's first driver check — so the moment the count
+    drops under the window, every tag must be removed."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unproven = [q for q in qs if q in oracles and q not in _DRIVER_GREEN]
+    if len(unproven) <= DRIVER_WINDOW:
+        assert not _deferred(), (
+            f"stale DEFERRED tags with only {len(unproven)} unproven ids: "
+            f"{sorted(_deferred())}"
+        )
+
+
 def test_green_set_parsed_from_correctness_files():
     # round 1 recorded 47 fully-green ids; the parser must recover at
     # least those, and union later rounds' additions (q_collect_set was
