@@ -62,8 +62,13 @@ def write_iceberg(
     classpath; raises RuntimeError otherwise."""
     spark = df.sparkSession
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: SLF001
-    except Exception as exc:  # pragma: no cover - jar-dependent
+        # Class.forName actually resolves the class — plain _jvm attribute
+        # access returns a lazy JavaPackage and NEVER fails, so it cannot
+        # gate on jar presence
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+    except Exception as exc:
         raise RuntimeError(
             "iceberg-spark-runtime not on the classpath; use "
             "session.iceberg_configs() with a Spark build that has the jars"
