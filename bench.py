@@ -94,6 +94,9 @@ EXTENDED = [
     "q_embed_normalize",
     "q_applyinpandas_minmax",
     "q_udtf_chunks",
+    "q_quality_repetition",
+    "q_decontaminate",
+    "q_sample_token_budget",
 ]
 
 

@@ -106,6 +106,39 @@ def q_scd2_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-source whitespace-token budget for the mixing sampler
+TOKEN_BUDGET_PER_SOURCE = 20_000
+
+
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget source mixing: from every source, keep a deterministic
+    md5-ordered prefix of documents whose CUMULATIVE whitespace-token
+    count stays within the per-source budget — how a pretraining mix caps
+    each domain's contribution in tokens (the unit that matters), not
+    documents. md5 ordering makes the kept set layout/retry-invariant,
+    like the other samplers here.
+
+    Plan shape: one shuffle on source, one running-sum window per
+    partition, narrow filter. Skew note: at 100 TB a single giant source
+    funnels into one window partition — shard it (salt the source key,
+    budget/shards per salt) once any source outgrows an executor; with
+    budgets in the 10⁵-token range the prefix that matters is tiny
+    regardless."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    wo = (
+        Window.partitionBy("source")
+        .orderBy(_md5_key(F.col("doc_id")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "source", ntok.alias("ws_tokens"))
+        .withColumn("cum_tokens", F.sum("ws_tokens").over(wo))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "ws_tokens", "cum_tokens")
+    )
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data profile of documents (row count, null count, exact
     distinct count) in ONE aggregate pass — the pre-flight data-quality
@@ -132,6 +165,7 @@ QUERIES = {
     "q_sample_stratified": q_sample_stratified,
     "q_scd2_compress": q_scd2_compress,
     "q_profile_columns": q_profile_columns,
+    "q_sample_token_budget": q_sample_token_budget,
 }
 
 ORACLES = {
@@ -188,5 +222,18 @@ ORACLES = {
                CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
                     AS BIGINT),
                count(DISTINCT n_chars) FROM base
+    """,
+    "q_sample_token_budget": r"""
+        SELECT doc_id, source, ws_tokens, cum_tokens FROM (
+            SELECT doc_id, source,
+                   len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+                   CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                            OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_tokens
+            FROM documents)
+        WHERE cum_tokens <= 20000
     """,
 }

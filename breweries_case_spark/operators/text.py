@@ -168,6 +168,99 @@ def q_pandas_udf_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", _textlen_udf(F.col("text")).alias("text_len"))
 
 
+def _ngram_rows(d: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g) rows of space-joined word n-grams over the normalized
+    (trim→lower→whitespace-split) tokens — NON-distinct, one row per gram
+    occurrence, so downstream counts see repetition. Docs with < n tokens
+    emit no rows (explicit empty-array guard: Spark's sequence(1, 0) is
+    DESCENDING [1, 0], not empty)."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = d.select("doc_id", toks.alias("t"))
+    cnt = F.size(F.col("t")) - (n - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("t"), i + k) for k in range(n)]
+    )
+    grams = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), cnt), gram)
+    )
+    return base.select("doc_id", F.explode(grams).alias("g"))
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/MassiveText repetition-filter
+    pair, Rae et al. 2021 §A1.1, public): per document, the fraction of
+    bigram occurrences taken by the MOST frequent bigram, and the fraction
+    of trigram occurrences that are duplicates (1 − distinct/total). High
+    values flag boilerplate/spam for pretraining filters.
+
+    Plan shape: explode n-grams → two hash aggregates per n — all
+    map-side-combining on (doc_id[, gram]) keys, shuffle rows bounded by
+    distinct grams per doc, then a doc-keyed join AQE plans as broadcast
+    or colocated-shuffle. No UDFs, no windows over the gram stream. Docs
+    too short for an n-gram yield NULL fractions (both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    bgc = _ngram_rows(d, 2).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    bstats = bgc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_c")
+    )
+    tg = _ngram_rows(d, 3)
+    tstats = tg.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.countDistinct("g").alias("n_distinct_tri"),
+    )
+    return (
+        d.select("doc_id")
+        .join(bstats, "doc_id", "left")
+        .join(tstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("top_c") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+            "n_trigrams",
+            F.round(
+                F.lit(1) - F.col("n_distinct_tri") / F.col("n_trigrams"), 6
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+#: stand-in benchmark corpus: every 97th doc plays the held-out eval set
+BENCHMARK_MOD = 97
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing ANY
+    normalized word 3-gram with the benchmark set (stand-in: doc_id ≡ 0
+    mod 97 — the real pipeline swaps in the eval-suite text; production
+    n is 8-13, 3 here so the tiny synthetic docs can actually collide).
+
+    Plan shape: benchmark grams are DISTINCT and broadcast (an eval suite
+    is KBs against a 100 TB corpus); contamination is a broadcast
+    LEFT SEMI on the gram stream → distinct doc_ids → LEFT ANTI against
+    the corpus (left to AQE: usually broadcast, but the contaminated-id
+    set scales with the contamination rate, so it is not hinted). No
+    all-pairs comparison; the only wide ops are the two distincts."""
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    grams = _ngram_rows(d, 3)
+    bench_grams = (
+        grams.filter(F.col("doc_id") % BENCHMARK_MOD == 0).select("g").distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(~is_bench)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
 QUERIES = {
     "q_token_count": q_token_count,
     "q_text_stats": q_text_stats,
@@ -176,6 +269,8 @@ QUERIES = {
     "q_fingerprint": q_fingerprint,
     "q_tfidf": q_tfidf,
     "q_pandas_udf_textlen": q_pandas_udf_textlen,
+    "q_quality_repetition": q_quality_repetition,
+    "q_decontaminate": q_decontaminate,
 }
 
 ORACLES = {
@@ -244,5 +339,50 @@ ORACLES = {
     """,
     "q_pandas_udf_textlen": """
         SELECT doc_id, length(text) AS text_len FROM documents
+    """,
+    "q_quality_repetition": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS tk
+            FROM documents),
+        bg AS (
+            SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+            FROM t, unnest(generate_series(1, len(tk) - 1)) AS s(i)),
+        bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        bstats AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   max(c) AS top_c
+            FROM bgc GROUP BY 1),
+        tg AS (
+            SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+            FROM t, unnest(generate_series(1, len(tk) - 2)) AS s(i)),
+        tstats AS (
+            SELECT doc_id, count(*) AS n_trigrams,
+                   count(DISTINCT g) AS n_distinct_tri
+            FROM tg GROUP BY 1)
+        SELECT d.doc_id, b.n_bigrams,
+               ROUND(b.top_c / b.n_bigrams, 6) AS top_bigram_frac,
+               ts.n_trigrams,
+               ROUND(1 - ts.n_distinct_tri / ts.n_trigrams, 6)
+                   AS dup_trigram_frac
+        FROM documents d
+        LEFT JOIN bstats b ON d.doc_id = b.doc_id
+        LEFT JOIN tstats ts ON d.doc_id = ts.doc_id
+    """,
+    "q_decontaminate": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS tk
+            FROM documents),
+        tg AS (
+            SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+            FROM t, unnest(generate_series(1, len(tk) - 2)) AS s(i)),
+        bench AS (SELECT DISTINCT g FROM tg WHERE doc_id % 97 = 0),
+        bad AS (
+            SELECT DISTINCT doc_id FROM tg
+            WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench))
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM bad)
     """,
 }
