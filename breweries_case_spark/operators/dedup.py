@@ -636,10 +636,10 @@ def connected_components(
     Each round is one equi-join (neighbor labels) + one groupBy (min per
     node): the label front advances one hop per round, so rounds = component
     diameter. Near-dup clusters are short transitive chains, so this
-    converges in a handful of rounds; at petabyte scale the loop body swaps
-    for the large-star/small-star rewrite (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14) for O(log n) rounds with
-    the same output contract. Lineage is truncated every round with an
+    converges in a handful of rounds; at petabyte scale swap in
+    ``connected_components_star`` (implemented below — alternating
+    large-star/small-star, O(log n) rounds, same output contract,
+    equality unit-tested) when component diameters are unbounded. Lineage is truncated every round with an
     eager localCheckpoint — without it the iterated plan nests one join
     per round and the optimizer re-analyzes the whole history each time
     (on a cluster, point spark.sparkContext.setCheckpointDir at durable
@@ -693,6 +693,102 @@ def connected_components(
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     # total assignment: isolated vertices label themselves. The label table
     # is ~2·|E| rows — small next to |V| — so AQE broadcasts it.
+    return vertices.join(labels, "node", "left").select(
+        "node", F.coalesce("label", "node").alias("label")
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm): the O(log n)-round scale path promised in
+    ``connected_components``'s docstring, with the same (node, label)
+    output contract (label = component minimum; isolated vertices label
+    themselves). Equality with the propagation form is unit-tested on
+    chains, random graphs, and the real near-dup pair stream.
+
+    Each round is two edge transforms, each one groupBy + one join on the
+    current edge list — per-round cost is O(|E|) shuffle rows with no
+    vertex-diameter dependence, so a path graph that takes D rounds of
+    label propagation finishes in O(log D) star rounds. Convergence is
+    detected on an order-insensitive edge-list fingerprint (count +
+    sum-of-pair-hashes): one tiny agg job per round, same job count as
+    the propagation loop's `changed` check.
+
+    - large-star: every node u links its LARGER neighbors to
+      m(u) = min(N(u) ∪ {u}) — hooks big ids onto small ones.
+    - small-star: every node u links its smaller-or-equal neighbors and
+      itself to their minimum — flattens chains into stars.
+    """
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # full adjacency: emit each edge both ways so every node sees all
+        # its neighbors (the edge list between rounds is directed)
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient every edge high → low, attach each node to itself, then
+        # point all of a node's low neighbors at their collective min
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        with_self = oriented.union(
+            oriented.select(F.col("u").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mins = with_self.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            with_self.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        # decimal(38,0) accumulator: a long sum of 2^63-scale hashes
+        # overflows (and ANSI mode rightly throws)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    e = (
+        edges.select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} rounds"
+        )
+    # fixpoint is a star forest: every remaining edge points node → root.
+    # Roots and isolated vertices label themselves.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
     return vertices.join(labels, "node", "left").select(
         "node", F.coalesce("label", "node").alias("label")
     )

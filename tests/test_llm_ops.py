@@ -251,6 +251,60 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_star_components_equal_propagation(spark, sf_dir):
+    """The alternating large-star/small-star form must produce the exact
+    same (node, label) assignment as min-label propagation on: a long
+    path (the propagation worst case — D rounds vs O(log D)), a
+    multi-component random graph, and the real near-dup pair stream."""
+    import random
+
+    from breweries_case_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        q_dedup_ngram_jaccard,
+    )
+
+    def both(edges, verts):
+        a = {r.node: r.label for r in connected_components(edges, verts).collect()}
+        b = {
+            r.node: r.label
+            for r in connected_components_star(edges, verts).collect()
+        }
+        return a, b
+
+    # 40-node path + isolated vertex
+    path = [(i, i + 1) for i in range(40)]
+    edges = spark.createDataFrame(path, "u long, v long")
+    verts = spark.createDataFrame(
+        [(i,) for i in range(41)] + [(99,)], "node long"
+    )
+    a, b = both(edges, verts)
+    assert a == b and a[40] == 0 and a[99] == 99
+
+    # deterministic random graph: 120 nodes, 80 edges
+    rng = random.Random(7)
+    redges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(80)
+    ]
+    edges = spark.createDataFrame(redges, "u long, v long")
+    verts = spark.createDataFrame([(i,) for i in range(120)], "node long")
+    a, b = both(edges, verts)
+    assert a == b
+
+    # the production pair stream
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    from breweries_case_spark.io.reader import load_table
+
+    verts = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("node"))
+    )
+    a, b = both(pairs, verts)
+    assert a == b
+
+
 def test_dedup_clusters_total_assignment(spark, sf_dir):
     """Cluster resolution is a TOTAL doc→cluster assignment: member counts
     sum to the corpus size, every keeper is a member of its own cluster,
