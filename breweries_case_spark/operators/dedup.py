@@ -794,22 +794,11 @@ def connected_components_star(
     )
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster resolution — the stage every training-data dedup pipeline
-    ends with: near-dup PAIRS (exact 3-gram Jaccard ≥ 0.5, the
-    oracle-checkable pair source) → connected components → one keeper per
-    cluster. Keeper policy: longest document (n_chars), ties to the
-    smallest doc_id — a quality-based choice rather than the redundant
-    min-id. Singleton docs appear as size-1 clusters (they keep
-    themselves), so the output is a total doc→cluster assignment.
-    Oracle: DuckDB recursive CTE reaching the same fixpoint."""
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    comps = connected_components(
-        pairs, docs.select(F.col("doc_id").alias("node"))
-    )
+def _clusters_output(comps: DataFrame, docs: DataFrame) -> DataFrame:
+    """(node, label) components + (doc_id, n_chars) → the cluster table:
+    size, quality keeper (longest doc, min-id tiebreak), sorted member
+    CSV. Shared by both component algorithms so their outputs are
+    definitionally comparable."""
     members = comps.join(docs, comps.node == docs.doc_id)
     return members.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count("*").alias("cluster_size"),
@@ -828,6 +817,41 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution — the stage every training-data dedup pipeline
+    ends with: near-dup PAIRS (exact 3-gram Jaccard ≥ 0.5, the
+    oracle-checkable pair source) → connected components → one keeper per
+    cluster. Keeper policy: longest document (n_chars), ties to the
+    smallest doc_id — a quality-based choice rather than the redundant
+    min-id. Singleton docs appear as size-1 clusters (they keep
+    themselves), so the output is a total doc→cluster assignment.
+    Oracle: DuckDB recursive CTE reaching the same fixpoint."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comps = connected_components(
+        pairs, docs.select(F.col("doc_id").alias("node"))
+    )
+    return _clusters_output(comps, docs)
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters with components resolved by the alternating-star
+    algorithm (``connected_components_star``) instead of label
+    propagation — registered separately so the O(log n)-round scale path
+    is itself driver-checked against the SAME recursive-CTE oracle, not
+    just unit-tested equal to the propagation form."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comps = connected_components_star(
+        pairs, docs.select(F.col("doc_id").alias("node"))
+    )
+    return _clusters_output(comps, docs)
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -837,7 +861,47 @@ QUERIES = {
     "q_dedup_levenshtein": q_dedup_levenshtein,
     "q_dedup_levenshtein_bounded": q_dedup_levenshtein_bounded,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_clusters_star": q_dedup_clusters_star,
 }
+
+# both component algorithms must reach the same recursive-CTE fixpoint
+_CLUSTERS_ORACLE = r"""
+        WITH RECURSIVE
+        sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+                       i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
+            FROM documents),
+        pairs AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.sh, b.sh)) /
+                       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                           AS jaccard
+                FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+        reach(u, l) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
+        labels AS (SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u),
+        members AS (
+            SELECT l.cluster_id, d.doc_id, d.n_chars,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+            FROM labels l JOIN documents d USING (doc_id))
+        SELECT cluster_id,
+               count(*) AS cluster_size,
+               max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_doc_id,
+               array_to_string(list_sort(list(doc_id)), ',') AS members_csv
+        FROM members GROUP BY cluster_id
+    """
 
 ORACLES = {
     "q_dedup_exact": """
@@ -898,43 +962,8 @@ ORACLES = {
              AND abs(length(a.text) - length(b.text)) <= 20)
         WHERE lev <= 20
     """,
-    "q_dedup_clusters": r"""
-        WITH RECURSIVE
-        sh AS (
-            SELECT doc_id, lang,
-                   list_distinct(list_transform(
-                       generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
-                       i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
-                            string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
-                            string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
-            FROM documents),
-        pairs AS (
-            SELECT doc_a, doc_b FROM (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       len(list_intersect(a.sh, b.sh)) /
-                       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                           AS jaccard
-                FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-            WHERE jaccard >= 0.5),
-        edges AS (
-            SELECT doc_a AS u, doc_b AS v FROM pairs
-            UNION SELECT doc_b, doc_a FROM pairs),
-        reach(u, l) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
-        labels AS (SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u),
-        members AS (
-            SELECT l.cluster_id, d.doc_id, d.n_chars,
-                   row_number() OVER (PARTITION BY l.cluster_id
-                                      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
-            FROM labels l JOIN documents d USING (doc_id))
-        SELECT cluster_id,
-               count(*) AS cluster_size,
-               max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_doc_id,
-               array_to_string(list_sort(list(doc_id)), ',') AS members_csv
-        FROM members GROUP BY cluster_id
-    """,
+    "q_dedup_clusters": _CLUSTERS_ORACLE,
+    "q_dedup_clusters_star": _CLUSTERS_ORACLE,
     # q_dedup_simhash / q_dedup_minhash: rows-only (xxhash64 is Spark-side;
     # LSH recall is probabilistic). Precision of minhash is pinned by a unit
     # test against q_dedup_ngram_jaccard's exact output.
