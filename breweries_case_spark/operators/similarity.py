@@ -327,12 +327,53 @@ def _ivf_assign_expr(vec_col, cents: list[tuple[int, list[float]]]):
     return F.element_at(F.array_sort(F.array(*scored)), -1)["cid"]
 
 
+def ivf_train_centroids(
+    emb: DataFrame, iters: int = 3
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd refinement of the deterministic seed centroids —
+    the 'k-means-trained quantizer' upgrade _ivf_centroids documents.
+    Assign step: the same narrow no-shuffle ``_ivf_assign_expr``; update
+    step: ONE groupBy over the assignment computing per-cell per-dimension
+    sums — k rows ever reach the driver per iteration, the data never
+    does. Sums accumulate in decimal so the result is bit-identical
+    regardless of partition/reduce order (IEEE double sums are
+    order-dependent; see functions/numeric.py), making training fully
+    deterministic. Empty cells keep their previous centroid. Fixed
+    iteration count rather than a convergence test: each extra iteration
+    is a full assign pass, and 3 rounds move seed centroids to cluster
+    interiors on any data; production k-means|| adds a smarter seeding
+    pass, same per-iteration plan."""
+    cents = _ivf_centroids(emb)
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = emb.withColumn("_cell", _ivf_assign_expr(F.col("v"), cents))
+        sums = [
+            F.sum(
+                F.element_at(F.col("v"), i + 1).cast("decimal(28,15)")
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("_cell").agg(F.count("*").alias("n"), *sums)
+        by_cell = {r["_cell"]: r for r in rows.collect()}
+        cents = [
+            (
+                cid,
+                [float(by_cell[cid][f"s{i}"]) / by_cell[cid]["n"] for i in range(dim)]
+                if cid in by_cell and by_cell[cid]["n"] > 0
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
     exclude_vec_id: int | None = None,
     k: int = TOP_K,
     nprobe: int = IVF_NPROBE,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN top-k: vectors are assigned to their nearest centroid
     (the inverted file); a query scores the centroids driver-side, probes
@@ -341,7 +382,8 @@ def ivf_topk(
     table is partitioned/bucketed by it, so a query reads nprobe/
     IVF_CENTROIDS of the data — the same pruning contract as the LSH
     variant but with data-adaptive cells instead of fixed hyperplanes."""
-    cents = _ivf_centroids(emb)
+    if cents is None:
+        cents = _ivf_centroids(emb)
     norm_q = _norm_py(query_vec)
 
     def _cos_py(c: list[float]) -> float:
@@ -376,6 +418,18 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vector(spark, sf_dir), exclude_vec_id=QUERY_VEC_ID)
 
 
+def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat with Lloyd-refined centroids (``ivf_train_centroids``) —
+    the trained-quantizer variant of q_sim_ivf; same probe/re-rank plan,
+    data-adaptive cells. Rows-only; a unit test pins recall vs the exact
+    top-k at least as high as the seeded variant's."""
+    emb = _embeddings_double(spark, sf_dir)
+    cents = ivf_train_centroids(emb)
+    return ivf_topk(
+        emb, _query_vector(spark, sf_dir), exclude_vec_id=QUERY_VEC_ID, cents=cents
+    )
+
+
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalization summary per embedding — the preprocessing step
     every cosine-based ANN index runs first. Emits scalars (norm and the
@@ -405,6 +459,7 @@ QUERIES = {
     "q_sim_knn_join": q_sim_knn_join,
     "q_sim_knn_join_ann": q_sim_knn_join_ann,
     "q_sim_ivf": q_sim_ivf,
+    "q_sim_ivf_trained": q_sim_ivf_trained,
 }
 
 ORACLES = {

@@ -363,6 +363,34 @@ def test_ivf_recall_against_exact(spark, sf_dir):
     assert len(ivf & exact) >= 3, (ivf, exact)
 
 
+def test_ivf_trained_centroids_recall_and_determinism(spark, sf_dir):
+    """Lloyd-refined centroids must (a) be reproducible bit-for-bit —
+    training sums accumulate in decimal, so partition order can't move
+    them — and (b) not lose recall vs the seeded quantizer."""
+    from breweries_case_spark.operators.similarity import (
+        _embeddings_double,
+        ivf_train_centroids,
+        q_sim_ivf,
+        q_sim_ivf_trained,
+        q_sim_topk,
+    )
+
+    emb = _embeddings_double(spark, sf_dir)
+    c1 = ivf_train_centroids(emb)
+    c2 = ivf_train_centroids(emb)
+    assert c1 == c2
+    # centroids actually moved off their seed vectors
+    seeds = {cid: v for cid, v in __import__(
+        "breweries_case_spark.operators.similarity", fromlist=["similarity"]
+    )._ivf_centroids(emb)}
+    assert any(v != seeds[cid] for cid, v in c1)
+
+    exact = {r.vec_id for r in q_sim_topk(spark, sf_dir).collect()}
+    seeded = {r.vec_id for r in q_sim_ivf(spark, sf_dir).collect()}
+    trained = {r.vec_id for r in q_sim_ivf_trained(spark, sf_dir).collect()}
+    assert len(trained & exact) >= len(seeded & exact) - 1, (trained, seeded)
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     """FFD packing: every doc assigned exactly once; no bin exceeds the
     cap unless a single oversized doc owns it alone; bin ids dense."""
