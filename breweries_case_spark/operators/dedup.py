@@ -836,6 +836,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clusters_output(comps, docs)
 
 
+def q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL artifact: the corpus with every near-dup
+    cluster collapsed to its quality keeper (longest doc, min-id
+    tiebreak) — what actually feeds tokenization downstream. Singletons
+    keep themselves, so output size = cluster count. One semi-join of the
+    corpus against the keeper set; at 100 TB keepers ≈ corpus − dup rate,
+    so this stays a shuffle-partitioned semi join (not hinted broadcast)."""
+    keepers = q_dedup_clusters(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return d.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_dedup_clusters with components resolved by the alternating-star
     algorithm (``connected_components_star``) instead of label
@@ -862,10 +878,12 @@ QUERIES = {
     "q_dedup_levenshtein_bounded": q_dedup_levenshtein_bounded,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_clusters_star": q_dedup_clusters_star,
+    "q_dedup_filtered_corpus": q_dedup_filtered_corpus,
 }
 
-# both component algorithms must reach the same recursive-CTE fixpoint
-_CLUSTERS_ORACLE = r"""
+# both component algorithms must reach the same recursive-CTE fixpoint;
+# the filtered-corpus oracle reuses the identical CTE chain
+_CLUSTERS_CTES = r"""
         WITH RECURSIVE
         sh AS (
             SELECT doc_id, lang,
@@ -896,12 +914,28 @@ _CLUSTERS_ORACLE = r"""
                    row_number() OVER (PARTITION BY l.cluster_id
                                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
             FROM labels l JOIN documents d USING (doc_id))
+    """
+
+_CLUSTERS_ORACLE = (
+    _CLUSTERS_CTES
+    + r"""
         SELECT cluster_id,
                count(*) AS cluster_size,
                max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_doc_id,
                array_to_string(list_sort(list(doc_id)), ',') AS members_csv
         FROM members GROUP BY cluster_id
     """
+)
+
+_FILTERED_CORPUS_ORACLE = (
+    _CLUSTERS_CTES
+    + r"""
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        JOIN (SELECT max(CASE WHEN rk = 1 THEN doc_id END) AS doc_id
+              FROM members GROUP BY cluster_id) k USING (doc_id)
+    """
+)
 
 ORACLES = {
     "q_dedup_exact": """
@@ -964,6 +998,7 @@ ORACLES = {
     """,
     "q_dedup_clusters": _CLUSTERS_ORACLE,
     "q_dedup_clusters_star": _CLUSTERS_ORACLE,
+    "q_dedup_filtered_corpus": _FILTERED_CORPUS_ORACLE,
     # q_dedup_simhash / q_dedup_minhash: rows-only (xxhash64 is Spark-side;
     # LSH recall is probabilistic). Precision of minhash is pinned by a unit
     # test against q_dedup_ngram_jaccard's exact output.
