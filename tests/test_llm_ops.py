@@ -123,6 +123,75 @@ def test_embedding_dedup_threshold(spark, sf_dir):
     assert out.filter(F.col("cosine") < COSINE_THRESHOLD).count() == 0
 
 
+def test_wav_bmp_codecs_round_trip():
+    """The stdlib codecs must be real inverses: encode → decode recovers
+    the exact samples/pixels (including chunk walking, padding, and
+    bottom-up row order)."""
+    from breweries_case_spark.operators.multimodal import (
+        make_bmp,
+        make_wav,
+        parse_bmp,
+        parse_wav,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 7]  # even count
+    rate, got = parse_wav(make_wav(samples, 8000))
+    assert (rate, got) == (8000, samples)
+    samples = [5, -5, 123]  # odd data size exercises word-align padding
+    rate, got = parse_wav(make_wav(samples))
+    assert (rate, got) == (16000, samples)
+
+    def px(x, y):
+        return ((x * 31) % 256, (y * 57) % 256, (x * y) % 256)
+
+    w, h, pixels = parse_bmp(make_bmp(5, 3, px))  # width 5 → 1-byte row pad
+    assert (w, h) == (5, 3)
+    assert pixels == [px(x, y) for y in range(3) for x in range(5)]
+
+
+def test_multimodal_real_decode_features(spark, sf_dir):
+    """End-to-end real decode: synthesized WAV/BMP binaries through the
+    Arrow pipeline must yield the generator's closed-form features."""
+    from breweries_case_spark.operators.multimodal import q_multimodal_decode
+
+    rows = {r.media_id: r for r in q_multimodal_decode(spark, sf_dir).collect()}
+    assert rows, "no decoded media"
+    from breweries_case_spark.io.reader import load_table
+
+    nchars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    for mid, r in rows.items():
+        if r.modality == "audio":
+            period = mid % 50 + 2
+            n = min(nchars[mid], 400)
+            samples = [((i % period) * 1200 - period * 600) for i in range(n)]
+            assert r.features[0] == float(n)
+            assert r.features[1] == 16000.0
+            exp_mean = sum(abs(s) for s in samples) / n if n else 0.0
+            assert abs(r.features[2] - exp_mean) < 1e-9
+        else:
+            assert r.modality == "image"
+            assert r.features[0] == 8.0 and r.features[1] == 8.0
+
+
+def test_multimodal_real_resize_round_trips(spark, sf_dir):
+    """Real BMP resize output must itself parse as a 32×32 BMP."""
+    from breweries_case_spark.operators.multimodal import (
+        parse_bmp,
+        q_multimodal_resize_real,
+    )
+
+    out = q_multimodal_resize_real(spark, sf_dir).limit(5).collect()
+    assert out
+    for r in out:
+        w, h, px = parse_bmp(bytes(r.resized))
+        assert (w, h) == (32, 32) and len(px) == 32 * 32
+
+
 def test_multimodal_feature_contract(spark, sf_dir):
     media = build_media_table(spark, sf_dir)
     feats = extract_features(media)
