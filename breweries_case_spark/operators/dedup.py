@@ -75,24 +75,34 @@ _MERSENNE_P = (1 << 31) - 1
 _SHINGLE_MIX = 2654435761 % _MERSENNE_P
 
 
-def _docs_with_hashed_shingles(
-    spark: SparkSession, sf_dir: str, n: int = 3
-) -> DataFrame:
-    """Integer shingles for the probabilistic dedup path: hash each token
-    ONCE (xxhash64 → [0, P)), then roll n-gram hashes with modular mixing —
-    no per-shingle string building. Same distinct-shingle semantics as the
-    string form (collision probability ~n²/P per doc, negligible), at a
-    fraction of the CPU; the string form stays as the DuckDB-checkable
-    ground truth in q_dedup_ngram_jaccard. Token hashes land in a
-    materialized column so CollapseProject can't inline the token-hash
-    array into each of its ~doc_len uses."""
+def _docs_with_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, th64: array<long>) — one 64-bit xxhash64 per token,
+    in document order. The SHARED feature base for the probabilistic
+    blockers: MinHash folds these down to [0, P) and rolls shingle hashes;
+    SimHash votes on the distinct raw 64-bit values. Composite pipelines
+    (q_dedup_levenshtein_bounded, q_dedup_clusters_bounded) localCheckpoint
+    this ONCE so the corpus is scanned/tokenized/hashed a single time for
+    both blockers instead of once per blocker."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = _norm_tokens(F.col("text"))
-    base = d.select(
+    return d.select(
+        "doc_id",
+        "lang",
+        F.transform(_norm_tokens(F.col("text")), lambda t: F.xxhash64(t)).alias(
+            "th64"
+        ),
+    )
+
+
+def _hashed_shingles_from_token_hashes(base: DataFrame, n: int = 3) -> DataFrame:
+    """th64 → distinct rolled n-gram shingle hashes in [0, P). Token hashes
+    land in a materialized column (referenced ~doc_len times by the roll's
+    element_at calls, so CollapseProject keeps it materialized rather than
+    inlining the transform into every use)."""
+    body = base.select(
         "doc_id",
         "lang",
         F.transform(
-            toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE_P))
+            F.col("th64"), lambda h: F.pmod(h, F.lit(_MERSENNE_P))
         ).alias("th"),
     )
     count = F.size(F.col("th")) - (n - 1)
@@ -109,7 +119,21 @@ def _docs_with_hashed_shingles(
     sh = F.when(count < 1, F.array().cast("array<long>")).otherwise(
         F.array_distinct(F.transform(F.sequence(F.lit(1), count), roll))
     )
-    return base.select("doc_id", "lang", sh.alias("sh"))
+    return body.select("doc_id", "lang", sh.alias("sh"))
+
+
+def _docs_with_hashed_shingles(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """Integer shingles for the probabilistic dedup path: hash each token
+    ONCE (xxhash64 → [0, P)), then roll n-gram hashes with modular mixing —
+    no per-shingle string building. Same distinct-shingle semantics as the
+    string form (collision probability ~n²/P per doc, negligible), at a
+    fraction of the CPU; the string form stays as the DuckDB-checkable
+    ground truth in q_dedup_ngram_jaccard."""
+    return _hashed_shingles_from_token_hashes(
+        _docs_with_token_hashes(spark, sf_dir), n
+    )
 
 
 # --- X1: exact dedup --------------------------------------------------------
@@ -224,6 +248,26 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.array_distinct(_norm_tokens(F.col("text")))).alias("tok"),
     ).select("doc_id", "lang", F.xxhash64("tok").alias("h"))
+    return _simhash_from_hash_rows(toks)
+
+
+def _simhash_signatures_from_token_hashes(base: DataFrame) -> DataFrame:
+    """SimHash signatures from the shared ``_docs_with_token_hashes`` base:
+    identical vote arithmetic to ``simhash_signatures``, fed by exploding
+    the already-hashed token array (hash-then-distinct vs the standalone
+    path's distinct-then-hash — the same hash multiset short of an
+    intra-doc xxhash64 collision, ~2^-64). Used by composite pipelines
+    that checkpoint the base once for both blockers; the standalone path
+    keeps its codegen-hash formulation."""
+    toks = base.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.col("th64"))).alias("h")
+    )
+    return _simhash_from_hash_rows(toks)
+
+
+def _simhash_from_hash_rows(toks: DataFrame) -> DataFrame:
+    """(doc_id, lang, h) distinct-token-hash rows → (doc_id, lang, simhash):
+    one packed-lane vote aggregate, as described in ``simhash_signatures``."""
 
     def _group_contrib(g: int):
         parts = [
@@ -319,7 +363,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~chunk-count-inflated candidate stream. Rows-only check (xxhash64 has
     no DuckDB twin); unit tests pin identical docs → distance 0 and
     token-disjoint docs → large distance."""
-    sigs = simhash_signatures(spark, sf_dir)
+    return simhash_pairs(simhash_signatures(spark, sf_dir))
+
+
+def simhash_pairs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, lang, simhash) → (doc_a, doc_b, hamming ≤ HAMMING_MAX)
+    via the pigeonhole chunk join described in ``q_dedup_simhash``."""
     banded = sigs.select(
         "doc_id",
         "lang",
@@ -391,10 +440,12 @@ def minhash_signatures(docs_with_hashed_shingles: DataFrame) -> DataFrame:
     return ex.groupBy("doc_id").agg(*mins)
 
 
-def lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band bucket are
-    candidates. Bucket join is equi (band_idx, band_hash) — shuffle on the
-    bucket key, never all-pairs."""
+def _lsh_banded(sigs: DataFrame) -> DataFrame:
+    """Signature table → exploded (doc_id, band_idx, band_hash) bucket rows.
+    Band hashes are 64-bit (xxhash64 of the band's minhash slots), so the
+    bucket space never saturates with corpus growth — what makes these rows
+    usable both for the self-join (``lsh_candidates``) and as the probe key
+    of the incremental shard-vs-corpus path."""
     rows_per_band = MINHASH_K // LSH_BANDS
     bands = F.array(
         *[
@@ -407,9 +458,16 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
             for j in range(LSH_BANDS)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", "b.band_idx", "b.band_hash"
     )
+
+
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band bucket are
+    candidates. Bucket join is equi (band_idx, band_hash) — shuffle on the
+    bucket key, never all-pairs."""
+    banded = _lsh_banded(sigs)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -581,13 +639,27 @@ def q_dedup_levenshtein_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.001/0.01/0.1 in tests. Precision is exact: every candidate is
     re-checked with Spark's bounded ``levenshtein(l, r, k)`` (early-exit
     at k, −1 filtered) plus the same-lang and length residuals, so the
-    output contract is identical to q_dedup_levenshtein."""
+    output contract is identical to q_dedup_levenshtein.
+
+    Driver-red interpretation: this id is registered against the EXACT
+    all-pairs oracle, so a rows/hash mismatch here means BLOCKER RECALL
+    LOSS (a qualifying pair that both MinHash-LSH and SimHash missed on a
+    new corpus/SF), not a bug in the bounded verify — treat it as a recall
+    metric, re-tune bands/chunks rather than debugging the join.
+
+    Both blockers are fed from ONE checkpointed token-hash base
+    (``_docs_with_token_hashes``): the corpus is scanned, tokenized and
+    64-bit-hashed a single time; MinHash folds the hashes to [0, P) and
+    rolls shingles, SimHash votes on the distinct raw values."""
+    base = _docs_with_token_hashes(spark, sf_dir).localCheckpoint()
     mh = lsh_candidates(
         minhash_signatures(
-            _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint()
+            _hashed_shingles_from_token_hashes(base)
         ).localCheckpoint()
     )
-    sh = q_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    sh = simhash_pairs(_simhash_signatures_from_token_hashes(base)).select(
+        "doc_a", "doc_b"
+    )
     cands = mh.union(sh).distinct()
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", F.length("text").alias("len")
@@ -713,9 +785,13 @@ def connected_components_star(
     current edge list — per-round cost is O(|E|) shuffle rows with no
     vertex-diameter dependence, so a path graph that takes D rounds of
     label propagation finishes in O(log D) star rounds. Convergence is
-    detected on an order-insensitive edge-list fingerprint (count +
-    sum-of-pair-hashes): one tiny agg job per round, same job count as
-    the propagation loop's `changed` check.
+    detected by EXACT edge-set equality: a count per round (one tiny agg
+    job, same job count as the propagation loop's `changed` check), and
+    only when consecutive counts match, an `exceptAll(...).isEmpty()`
+    difference check over the two checkpointed edge lists. Both lists are
+    distinct, so equal counts + empty difference ⟺ identical sets — no
+    reliance on a sum-of-hashes fingerprint whose ~2^-64 collision would
+    have silently terminated early with wrong labels.
 
     - large-star: every node u links its LARGER neighbors to
       m(u) = min(N(u) ∪ {u}) — hooks big ids onto small ones.
@@ -757,31 +833,23 @@ def connected_components_star(
             .distinct()
         )
 
-    def _fingerprint(e: DataFrame) -> tuple:
-        # decimal(38,0) accumulator: a long sum of 2^63-scale hashes
-        # overflows (and ANSI mode rightly throws)
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("h"),
-        ).first()
-        return (row.n, row.h)
-
     e = (
         edges.select("u", "v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    prev = _fingerprint(e)
+    n = e.count()
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        cur = _fingerprint(e)
-        if cur == prev:
+        stepped = _small_star(_large_star(e)).localCheckpoint()
+        m = stepped.count()
+        # exact set equality over the two materialized distinct edge
+        # lists; the difference scan runs only in rounds whose counts
+        # already agree (i.e. at or near the fixpoint)
+        if m == n and stepped.exceptAll(e).isEmpty():
+            e = stepped
             break
-        prev = cur
+        e, n = stepped, m
     else:
         raise RuntimeError(
             f"connected_components_star: no fixpoint in {max_iter} rounds"
@@ -868,6 +936,193 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clusters_output(comps, docs)
 
 
+def q_dedup_clusters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-TOPOLOGY dedup pipeline end to end, driver-checked as
+    one id: candidates from the probabilistic blockers (MinHash-LSH ∪
+    SimHash, both fed from ONE checkpointed token-hash base) → exact-Jaccard
+    verification of ONLY the candidates (hashed 3-gram shingles, same
+    arithmetic as the ground-truth pair source) → alternating-star connected
+    components → cluster table. Every stage is the corpus-linear scale form:
+    no (lang, block) pair enumeration anywhere, candidate volume scales with
+    the near-dup rate, components converge in O(log n) rounds. This is the
+    composition that runs at 100 TB; q_dedup_clusters/_star are its
+    exact-pair-source ground-truth twins.
+
+    Driver-red interpretation: registered against the SAME recursive-CTE
+    oracle as q_dedup_clusters, so equality requires blocker recall to be
+    lossless on the corpus (deterministic seeds make this a reproducible
+    property, verified at sf0.001/0.01/0.1 in tests). A rows/hash mismatch
+    here means a J ≥ 0.5 pair escaped BOTH blockers — a recall metric, not
+    a verify/CC bug (see q_dedup_levenshtein_bounded)."""
+    base = _docs_with_token_hashes(spark, sf_dir).localCheckpoint()
+    # shingles feed the MinHash signatures AND both sides of the
+    # verification join — materialize once
+    sh_docs = _hashed_shingles_from_token_hashes(base).localCheckpoint()
+    mh = lsh_candidates(minhash_signatures(sh_docs).localCheckpoint())
+    sim = simhash_pairs(_simhash_signatures_from_token_hashes(base)).select(
+        "doc_a", "doc_b"
+    )
+    cands = mh.union(sim).distinct()
+    a = sh_docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = sh_docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    # unrounded jaccard, like the cluster oracle's pair CTE; the when-guard
+    # keeps empty-shingle candidate pairs (SimHash can pair sub-3-token
+    # docs) away from a 0/0 division
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    pairs = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter((F.col("lang_a") == F.col("lang_b")) & (jac >= F.lit(JACCARD_THRESHOLD)))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comps = connected_components_star(
+        pairs, docs.select(F.col("doc_id").alias("node"))
+    )
+    return _clusters_output(comps, docs)
+
+
+# --- X2g: incremental corpus dedup (new shard vs deduped corpus) ------------
+
+# deterministic shard split: ~5% of docs play the "new daily shard"
+_SHARD_MOD = 20
+
+
+def incremental_near_candidates(banded, is_shard):
+    """Shard-driven LSH probe: from the full (doc_id, band_idx, band_hash)
+    bucket table and a shard predicate, return
+
+    - ``corpus_hits`` — corpus bucket rows that share a bucket with the
+      shard (everything else is pruned BEFORE any pair forms, by a
+      broadcast left-semi join on the shard's tiny bucket-key set), and
+    - ``cand`` — distinct (shard_id, corpus_id) candidate pairs.
+
+    Exposed separately so the unit test can pin the O(shard) property:
+    |corpus_hits| is bounded by shard bucket collisions, not corpus size."""
+    shard_banded = banded.filter(is_shard)
+    shard_buckets = shard_banded.select("band_idx", "band_hash").distinct()
+    corpus_hits = banded.filter(~is_shard).join(
+        F.broadcast(shard_buckets), ["band_idx", "band_hash"], "left_semi"
+    )
+    cand = (
+        shard_banded.alias("s")
+        .join(
+            corpus_hits.alias("c"),
+            (F.col("s.band_idx") == F.col("c.band_idx"))
+            & (F.col("s.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.col("s.doc_id").alias("shard_id"), F.col("c.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    return corpus_hits, cand
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape none of the batch ids
+    cover: classify a NEW shard of documents against an already-deduped
+    corpus without re-pairing the corpus. Shard = doc_id % 20 == 0 (a
+    deterministic ~5% 'daily delivery'); corpus = the rest.
+
+    Tiers, exactly as a training-data pipeline runs them:
+
+    1. **exact** — shard fingerprints (md5 of normalized text) equi-join
+       corpus fingerprints; at scale the corpus side is a stored
+       fingerprint table, so the join is one shuffle of O(shard) probe
+       rows against it.
+    2. **near** — MinHash-LSH band buckets. The corpus side is probed ONLY
+       where a shard doc shares a bucket: the shard's bucket-key set
+       (O(shard × bands), tiny) broadcast-semi-joins the corpus bucket
+       table before any pair is formed, so corpus-side candidate work is
+       proportional to the SHARD, not the corpus — the unit test pins this
+       (corpus docs reaching verification ≪ corpus). Candidates are
+       verified with exact hashed-shingle Jaccard ≥ 0.5 (same-lang), the
+       same contract as the batch pipeline. MinHash bands are the RIGHT
+       probe key here (64-bit band hashes — selective at any corpus size);
+       SimHash's pigeonhole chunks are deliberately NOT probed: a ~10-bit
+       chunk value saturates as the shard grows, pulling in O(corpus) false
+       bucket hits. Measured on this data: LSH-only recall over
+       shard↔corpus J ≥ 0.5 pairs is lossless at sf0.001/0.01/0.1
+       (1/0/8 truth pairs, 0 missed).
+
+    Output: one row per shard doc — verdict 'exact_dup' / 'near_dup' /
+    'new' with dup_of = the smallest matching corpus doc_id (NULL for
+    'new'). Oracle: brute-force exact SQL over the same split; like the
+    other bounded ids, a driver red here means blocker recall loss, not a
+    verify bug. At 100 TB the corpus signature/bucket tables are the
+    incremental state (pipelines/incremental.py discipline): built once,
+    appended per shard — per-day cost is O(shard), and this operator's
+    join topology is exactly that steady state."""
+    is_shard = F.col("doc_id") % _SHARD_MOD == 0
+    d = load_table(spark, sf_dir, "documents")
+    shard_docs = d.filter(is_shard).select("doc_id", "lang")
+
+    # --- tier 1: exact fingerprint ---
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    with_fp = d.select("doc_id", fp.alias("fp"))
+    ex = (
+        with_fp.filter(is_shard)
+        .alias("s")
+        .join(with_fp.filter(~is_shard).alias("c"), "fp")
+        .groupBy(F.col("s.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("exact_dup_of"))
+    )
+
+    # --- tier 2: near-dup via shard-driven bucket probe ---
+    sh_docs = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint()
+    banded = _lsh_banded(minhash_signatures(sh_docs)).localCheckpoint()
+    corpus_hits, cand = incremental_near_candidates(banded, is_shard)
+    a = sh_docs.select(
+        F.col("doc_id").alias("shard_id"),
+        F.col("lang").alias("lang_s"),
+        F.col("sh").alias("sh_s"),
+    )
+    b = sh_docs.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("lang").alias("lang_c"),
+        F.col("sh").alias("sh_c"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_c")))
+    union = F.size(F.col("sh_s")) + F.size(F.col("sh_c")) - inter
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    near = (
+        cand.join(a, "shard_id")
+        .join(b, "corpus_id")
+        .filter((F.col("lang_s") == F.col("lang_c")) & (jac >= F.lit(JACCARD_THRESHOLD)))
+        .groupBy(F.col("shard_id").alias("doc_id"))
+        .agg(F.min("corpus_id").alias("near_dup_of"))
+    )
+
+    return (
+        shard_docs.join(ex, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -878,7 +1133,9 @@ QUERIES = {
     "q_dedup_levenshtein_bounded": q_dedup_levenshtein_bounded,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_clusters_star": q_dedup_clusters_star,
+    "q_dedup_clusters_bounded": q_dedup_clusters_bounded,
     "q_dedup_filtered_corpus": q_dedup_filtered_corpus,
+    "q_dedup_incremental": q_dedup_incremental,
 }
 
 # both component algorithms must reach the same recursive-CTE fixpoint;
@@ -998,7 +1255,44 @@ ORACLES = {
     """,
     "q_dedup_clusters": _CLUSTERS_ORACLE,
     "q_dedup_clusters_star": _CLUSTERS_ORACLE,
+    # the bounded composition must reach the SAME fixpoint as the exact
+    # pair source — blocker recall is the property under test
+    "q_dedup_clusters_bounded": _CLUSTERS_ORACLE,
     "q_dedup_filtered_corpus": _FILTERED_CORPUS_ORACLE,
+    "q_dedup_incremental": r"""
+        WITH sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+                       i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
+            FROM documents),
+        ex AS (
+            SELECT s.doc_id, min(c.doc_id) AS exact_dup_of
+            FROM documents s JOIN documents c
+              ON s.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+             AND md5(lower(trim(s.text))) = md5(lower(trim(c.text)))
+            GROUP BY s.doc_id),
+        nr AS (
+            SELECT a.doc_id, min(b.doc_id) AS near_dup_of
+            FROM sh a JOIN sh b
+              ON a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+             AND a.lang = b.lang
+             AND len(list_intersect(a.sh, b.sh)) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 >= 0.5
+            GROUP BY a.doc_id)
+        SELECT d.doc_id, d.lang,
+               CASE WHEN ex.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.near_dup_of IS NOT NULL THEN 'near_dup'
+                    ELSE 'new' END AS verdict,
+               COALESCE(ex.exact_dup_of, nr.near_dup_of) AS dup_of
+        FROM documents d
+        LEFT JOIN ex USING (doc_id)
+        LEFT JOIN nr USING (doc_id)
+        WHERE d.doc_id % 20 = 0
+    """,
     # q_dedup_simhash / q_dedup_minhash: rows-only (xxhash64 is Spark-side;
     # LSH recall is probabilistic). Precision of minhash is pinned by a unit
     # test against q_dedup_ngram_jaccard's exact output.

@@ -118,11 +118,13 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def make_wav(samples: list[int], sample_rate: int = 16000) -> bytes:
-    """Encode mono PCM16 samples as a canonical RIFF/WAVE file."""
-    import array
+    """Encode mono PCM16 samples as a canonical RIFF/WAVE file. Sample
+    bytes are packed explicitly little-endian (``<h``), as the WAV spec
+    requires — not via array.array('h'), whose byte order follows the
+    host and would emit non-spec PCM16 on a big-endian machine."""
     import struct
 
-    data = array.array("h", samples).tobytes()
+    data = struct.pack(f"<{len(samples)}h", *samples)
     return (
         b"RIFF"
         + struct.pack("<I", 36 + len(data))
@@ -138,8 +140,8 @@ def make_wav(samples: list[int], sample_rate: int = 16000) -> bytes:
 def parse_wav(content: bytes) -> tuple[int, list[int]]:
     """Decode a mono PCM16 RIFF/WAVE file → (sample_rate, samples). Walks
     the chunk list like a real parser (fmt anywhere before data, odd-size
-    padding) and rejects compressed/stereo/other-width streams."""
-    import array
+    padding) and rejects compressed/stereo/other-width streams. Samples
+    are unpacked explicitly little-endian per spec (see make_wav)."""
     import struct
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -154,9 +156,7 @@ def parse_wav(content: bytes) -> tuple[int, list[int]]:
             if (fmt, ch, bits) != (1, 1, 16):
                 raise ValueError(f"unsupported WAV format {(fmt, ch, bits)}")
         elif cid == b"data":
-            arr = array.array("h")
-            arr.frombytes(body)
-            samples = arr.tolist()
+            samples = list(struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2]))
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or samples is None:
         raise ValueError("WAV missing fmt or data chunk")
@@ -301,10 +301,14 @@ def resize_images(
     """Image resize over the binary column (mapInPandas). The real path
     (``use_real_decode=True``) decodes 24-bit BMP with the stdlib parser,
     nearest-neighbor samples to width×height, and re-encodes BMP — an
-    actual image resize, no codec libs. The default deterministic fake
-    emits a payload of exactly width*height bytes cycled from the source
-    so batch shapes, sizes, and types match the real path on non-BMP
-    payloads. Opt-in flag, not environment sniffing."""
+    actual image resize, no codec libs. It REQUIRES every image-modality
+    payload to be real BMP bytes (synth_media_table-style); any other
+    payload — including build_media_table's fake text-byte payloads —
+    raises ValueError mid-stage, by design (silently faking a resize of
+    undecodable bytes would mask data corruption at scale). The default
+    fake path (flag off) handles arbitrary payloads: it emits exactly
+    width*height bytes cycled from the source so batch shapes, sizes, and
+    types match the real path. Opt-in flag, not environment sniffing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height

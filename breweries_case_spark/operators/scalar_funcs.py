@@ -148,9 +148,17 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (RANGE mode includes same-second peers in both). One shuffle
     on user_id — the partition key — then sorted frames; at scale this is
     the standard sliding-metric shape and the state is bounded by the
-    hour, not history."""
+    hour, not history.
+
+    The epoch-second floor uses FLOOR over double division on BOTH
+    engines (not Spark's ``div``, which truncates toward zero and would
+    diverge from DuckDB's FLOOR for pre-1970 timestamps / negative epoch
+    micros). Double division is exact enough here: for |micros| < 2^53
+    the quotient's distance to the nearest non-equal integer (>= 1e-6)
+    exceeds one ulp, so FLOOR agrees with exact rational floor through
+    year ~2100."""
     ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("unix_micros(ts) div 1000000")
+    sec = F.expr("CAST(FLOOR(unix_micros(ts) / 1000000) AS BIGINT)")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("sec"))
@@ -240,7 +248,7 @@ ORACLES = {
     "q_math_funcs": """
         SELECT l_orderkey, l_linenumber,
                ABS(l_extendedprice - 1000.0) AS abs_delta,
-               SIGN(l_extendedprice - 1000.0) AS sign_delta,
+               CAST(SIGN(l_extendedprice - 1000.0) AS DOUBLE) AS sign_delta,
                CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
                CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
                ROUND(l_extendedprice, 2) AS price_round2,

@@ -62,6 +62,50 @@ def test_levenshtein_bounded_equals_exact(spark, sf_dir):
     assert exact == bounded
 
 
+def test_incremental_probe_corpus_work_is_shard_bounded(spark, sf_dir):
+    """The incremental dedup near tier must touch only the corpus rows that
+    collide with a SHARD bucket — corpus-side candidate work is O(shard),
+    not O(corpus). Pinned two ways: (a) the probed corpus doc set is a
+    small fraction of the corpus; (b) halving the shard at least halves
+    the probed set's upper-bound structure (probe keys come only from
+    shard buckets, so fewer shard docs can only shrink the probe)."""
+    from breweries_case_spark.operators.dedup import (
+        _SHARD_MOD,
+        _docs_with_hashed_shingles,
+        _lsh_banded,
+        incremental_near_candidates,
+        minhash_signatures,
+        q_dedup_incremental,
+    )
+    from breweries_case_spark.io.reader import load_table
+
+    sh_docs = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint()
+    banded = _lsh_banded(minhash_signatures(sh_docs)).localCheckpoint()
+    is_shard = F.col("doc_id") % _SHARD_MOD == 0
+    corpus_hits, cand = incremental_near_candidates(banded, is_shard)
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_corpus = n_docs - (n_docs + _SHARD_MOD - 1) // _SHARD_MOD
+    probed = corpus_hits.select("doc_id").distinct().count()
+    # (a) probed corpus docs ≪ corpus — bucket collisions track the
+    # near-dup rate, not corpus size
+    assert probed <= 0.2 * n_corpus, f"probed {probed} of {n_corpus} corpus docs"
+
+    # (b) probe keys derive only from shard buckets: a half-shard probe
+    # against the SAME corpus is a subset of the full-shard one
+    half_shard = F.col("doc_id") % (2 * _SHARD_MOD) == 0
+    banded_half = banded.filter(half_shard | ~is_shard)
+    half_hits, _ = incremental_near_candidates(banded_half, half_shard)
+    half_probed = half_hits.select("doc_id").distinct().count()
+    assert half_probed <= probed
+
+    # output contract: one verdict row per shard doc
+    out = q_dedup_incremental(spark, sf_dir)
+    shard_n = load_table(spark, sf_dir, "documents").filter(is_shard).count()
+    assert out.count() == shard_n
+    assert out.columns == ["doc_id", "lang", "verdict", "dup_of"]
+
+
 def test_simhash_identical_docs_distance_zero(spark, sf_dir):
     sigs = simhash_signatures(spark, sf_dir)
     # deterministic: same text → same signature. Self-join a sampled sig
