@@ -87,6 +87,12 @@ EXTENDED = [
     # (lang, length-bin) twin is measured corpus-quadratic (SURVEY §6) and
     # stays out of the headline suite by design
     "q_dedup_levenshtein_bounded",
+    # the production-topology compositions added in round 4: blocker
+    # candidates -> verify -> star CC, and the shard-vs-corpus probe
+    "q_dedup_clusters_bounded",
+    "q_dedup_incremental",
+    "q_sim_ivf",
+    "q_sim_ivf_trained",
     "q_sample_hash",
     "q_sample_stratified",
     "q_scd2_compress",

@@ -59,7 +59,24 @@ def write_iceberg(
     """Iceberg v2 writer: explicit ``overwritePartitions`` (clearer than the
     config-dependent v1 path the reference uses — SURVEY §4 'dynamic
     partition overwrite' row). Requires iceberg-spark-runtime on the
-    classpath; raises RuntimeError otherwise."""
+    classpath; raises RuntimeError otherwise.
+
+    Sandbox status (2026-08-13): jar resolution was attempted and CANNOT
+    succeed here — no vendored iceberg jar exists on disk (`find / -name
+    'iceberg*runtime*.jar'` → none) and Maven Central is unreachable
+    (DNS: 'Name or service not known'). The attempted command::
+
+        SparkSession.builder
+          .config('spark.jars.packages',
+                  'org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0')
+          .config('spark.sql.catalog.local',
+                  'org.apache.iceberg.spark.SparkCatalog').getOrCreate()
+
+    dies in spark-submit's ivy resolution ([JAVA_GATEWAY_EXITED]). The
+    round-trip branch of tests/test_catalog.py::
+    test_iceberg_write_roundtrip_or_clean_error (overwritePartitions +
+    read-back + snapshot time travel) therefore remains gated on
+    classpath presence and runs wherever the jars exist."""
     spark = df.sparkSession
     try:
         # Class.forName actually resolves the class — plain _jvm attribute
