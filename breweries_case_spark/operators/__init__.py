@@ -78,6 +78,7 @@ def _modules() -> list:
         "text",
         "multimodal",
         "streaming_queries",
+        "analytics",
     ):
         mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
         modules.append(mod)

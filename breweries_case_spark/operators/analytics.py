@@ -1,0 +1,388 @@
+"""Product/behavioral analytics operators over the ``events`` star-schema
+tables — the query family a warehouse user runs daily on event streams
+(funnel conversion, cohort retention, Markov transitions, histograms) plus
+the reshaping/statistics surface (unpivot, deterministic moments and
+regression aggregates, map columns, positional explode).
+
+These extend SURVEY §2.6's window/agg surface in the same spirit as the
+TPC-H block: each id is a classic analytics shape expressed as one
+declarative plan Catalyst can optimize, with a DuckDB oracle twin.
+
+Determinism discipline (SURVEY §7.3 hard part 5): every float aggregate
+goes through decimal sums or exact integer sums; every derived double is
+computed by the IDENTICAL IEEE expression tree on both engines and rounded
+to 6; no transcendentals (sqrt is IEEE-correctly-rounded, so it is safe —
+unlike exp/log which differ in the last ulp across libm builds).
+
+Scale notes per operator are in the docstrings; the funnel/retention/
+transition family deliberately keys every shuffle on ``user_id`` so at
+100 TB the whole pipeline is ONE exchange of events reused across stages
+(co-partitioned aggregates + joins), not one shuffle per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from breweries_case_spark.functions import decimal_avg, decimal_sum
+from breweries_case_spark.io.reader import load_table
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user reaches
+    stage N when an event of stage-N type occurs at-or-after their earliest
+    stage-N-1 arrival. Output is one row per stage with the user count.
+
+    Plan shape: three per-user min-timestamp aggregates chained by
+    user_id-keyed joins — every exchange in the pipeline hashes on
+    ``user_id``, so on a cluster the events shuffle once and stages 2..N
+    reuse the co-partitioning (Exchange reuse / no new shuffle key). The
+    stage tables shrink monotonically (funnel property), so later joins
+    get cheaper, and each fits broadcast at any realistic scale."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage_min(df: DataFrame, etype: str, after: DataFrame | None) -> DataFrame:
+        s = ev.filter(F.col("event_type") == etype)
+        if after is not None:
+            s = s.join(after, "user_id").filter(F.col("ts") >= F.col("t_prev"))
+        return s.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    reached: list[DataFrame] = []
+    prev = None
+    for etype in FUNNEL_STAGES:
+        prev = stage_min(ev, etype, prev)
+        reached.append(
+            prev.agg(
+                F.lit(etype).alias("stage"), F.count("*").alias("users")
+            )
+        )
+    out = reached[0]
+    for r in reached[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday-truncated week of a user's
+    first event; each (user, active-week) pair counts once toward
+    (cohort_week, week_offset). The canonical retention triangle.
+
+    Both engines truncate weeks to Monday, so ``datediff/7`` is an exact
+    integer. One shuffle on user_id for first-seen + the distinct, then a
+    user_id-keyed join (co-partitioned), then the small final rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.to_date(F.date_trunc("week", c))  # noqa: E731
+    first = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    active = ev.select("user_id", week(F.col("ts")).alias("act_week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    (src → dst) counts plus mean gap seconds. Ordering is total
+    (ts, event_id) so ``lead`` is deterministic under timestamp ties.
+
+    One shuffle on user_id for the sequence window, then a small
+    (|types|²-bounded) aggregate. Gap average is an exact BIGINT
+    microsecond sum divided in double at the end — order-insensitive."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        (F.lead(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts"))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("dst").isNotNull())
+    return seq.groupBy("src", "dst").agg(
+        F.count("*").alias("n_transitions"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("*") / F.lit(1000000.0), 6
+        ).alias("avg_gap_s"),
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram over events (bucket = floor(value/10)):
+    per-bucket count, min/max, decimal-exact sum. The profiling shape that
+    feeds data-skew decisions (e.g. whether a join key needs salting).
+    Single hash aggregate over ~50 buckets — map-side partials collapse
+    virtually all rows before the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / F.lit(10.0)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            decimal_sum(F.col("value"), scale=6).alias("sum_value"),
+        )
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape of part metrics via the native ``unpivot``
+    (melt) operator — a generated projection + union, no shuffle, fully
+    pipelined into the scan."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+def _moment_sums(x, y):
+    """Decimal-exact power sums (per-addend rounded to 6, summed exactly)
+    cast to double for the closed-form moment formulas. The double
+    products feeding the casts are single IEEE multiplies — deterministic
+    on both engines."""
+    d = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return (
+        d(x),
+        d(x * x),
+        d(y),
+        d(y * y),
+        d(x * y),
+        F.count(F.lit(1)).cast("double"),
+    )
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distribution moments of lineitem quantity vs price:
+    mean, sample stddev, Pearson correlation, population covariance —
+    computed from five decimal-exact power sums per group (one aggregate
+    pass), combined by the identical double formula on both engines.
+    This is the scalable form of DataFrame.stat at 100 TB: power sums are
+    algebraic (partial-aggregable map-side), unlike a naive two-pass
+    mean-then-deviation plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    sx, sx2, sy, sy2, sxy, n = _moment_sums(x, y)
+    var_x = (sx2 - sx * sx / n) / (n - F.lit(1.0))
+    cov_pop = (sxy - sx * sy / n) / n
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)
+    )
+    return li.groupBy("l_returnflag").agg(
+        n.cast("long").alias("n"),
+        F.round(sx / n, 6).alias("mean_q"),
+        F.round(F.sqrt(var_x), 6).alias("std_q"),
+        F.round(corr, 6).alias("corr_qp"),
+        F.round(cov_pop, 6).alias("covar_pop_qp"),
+    )
+
+
+def q_regr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (extendedprice ~ quantity):
+    slope, intercept, r² from the same algebraic power sums as
+    q_stats_moments — the SQL-standard REGR_* family re-derived in a form
+    whose float behavior is bit-identical across engines (built-in
+    regr_slope would diverge in the last ulp between Spark and DuckDB
+    because their summation orders differ)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    sx, sx2, sy, sy2, sxy, n = _moment_sums(x, y)
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    intercept = sy / n - slope * (sx / n)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)
+    )
+    return li.groupBy("l_linestatus").agg(
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(corr * corr, 6).alias("r2"),
+    )
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column family over part: construct a string→double map
+    per row, extract by key, cardinality, sorted-key digest. Map values
+    are projected back to scalars before output so the oracle hash never
+    sees an engine-specific map encoding. Pure narrow projection."""
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("size"),
+        F.col("p_size").cast("double"),
+        F.lit("retail"),
+        F.col("p_retailprice").cast("double"),
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "size").alias("size_val"),
+        F.element_at(m, "retail").alias("retail_val"),
+        F.size(m).alias("m_card"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode of part-name tokens: (p_partkey, pos, word) with
+    0-based positions — the LATERAL VIEW shape used for ordered nested
+    data. Narrow 1→N row generation pipelined into the scan."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    ).select("p_partkey", F.col("pos").cast("int").alias("pos"), "word")
+
+
+QUERIES = {
+    "q_funnel": q_funnel,
+    "q_retention_cohort": q_retention_cohort,
+    "q_event_transitions": q_event_transitions,
+    "q_histogram": q_histogram,
+    "q_unpivot": q_unpivot,
+    "q_stats_moments": q_stats_moments,
+    "q_regr_funcs": q_regr_funcs,
+    "q_map_funcs": q_map_funcs,
+    "q_posexplode": q_posexplode,
+}
+
+_MOMENT_SUMS_SQL = """
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx2,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy2,
+            CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+            CAST(COUNT(*) AS DOUBLE) AS n
+"""
+
+ORACLES = {
+    "q_funnel": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t FROM events e
+            JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+            WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t FROM events e
+            JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+            WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT 'view' AS stage, COUNT(*) AS users FROM v
+        UNION ALL SELECT 'click', COUNT(*) FROM c
+        UNION ALL SELECT 'purchase', COUNT(*) FROM p
+    """,
+    "q_retention_cohort": """
+        WITH first AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY 1),
+        active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS act_week
+            FROM events)
+        SELECT cohort_week,
+               CAST(datediff('day', cohort_week, act_week) / 7 AS INT)
+                   AS week_offset,
+               COUNT(*) AS active_users
+        FROM active JOIN first USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "q_event_transitions": """
+        WITH seq AS (
+            SELECT event_type AS src,
+                   LEAD(event_type) OVER w AS dst,
+                   LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT src, dst, COUNT(*) AS n_transitions,
+               ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+                   AS avg_gap_s
+        FROM seq WHERE dst IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    "q_histogram": """
+        SELECT CAST(FLOOR(value / 10.0) AS INT) AS bucket,
+               COUNT(*) AS n_events,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "q_unpivot": """
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+    "q_stats_moments": f"""
+        WITH s AS (
+            SELECT l_returnflag,
+{_MOMENT_SUMS_SQL}
+            FROM lineitem GROUP BY 1)
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               ROUND(sx / n, 6) AS mean_q,
+               ROUND(SQRT((sx2 - sx * sx / n) / (n - 1.0)), 6) AS std_q,
+               ROUND((n * sxy - sx * sy)
+                     / (SQRT(n * sx2 - sx * sx) * SQRT(n * sy2 - sy * sy)),
+                     6) AS corr_qp,
+               ROUND((sxy - sx * sy / n) / n, 6) AS covar_pop_qp
+        FROM s
+    """,
+    "q_regr_funcs": f"""
+        WITH s AS (
+            SELECT l_linestatus,
+{_MOMENT_SUMS_SQL}
+            FROM lineitem GROUP BY 1),
+        d AS (
+            SELECT l_linestatus, n,
+                   (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope,
+                   (n * sxy - sx * sy)
+                       / (SQRT(n * sx2 - sx * sx) * SQRT(n * sy2 - sy * sy))
+                       AS corr,
+                   sx, sy
+            FROM s)
+        SELECT l_linestatus,
+               CAST(n AS BIGINT) AS n,
+               ROUND(slope, 6) AS slope,
+               ROUND(sy / n - slope * (sx / n), 6) AS intercept,
+               ROUND(corr * corr, 6) AS r2
+        FROM d
+    """,
+    "q_map_funcs": """
+        WITH m AS (
+            SELECT p_partkey,
+                   MAP(['size', 'retail'],
+                       [CAST(p_size AS DOUBLE), p_retailprice]) AS m
+            FROM part)
+        SELECT p_partkey,
+               m['size'][1] AS size_val,
+               m['retail'][1] AS retail_val,
+               CAST(cardinality(m) AS INT) AS m_card,
+               array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
+        FROM m
+    """,
+    "q_posexplode": """
+        SELECT p_partkey,
+               CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1
+                    AS INT) AS pos,
+               unnest(string_split(p_name, ' ')) AS word
+        FROM part
+    """,
+}
