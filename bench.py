@@ -103,6 +103,17 @@ EXTENDED = [
     "q_quality_repetition",
     "q_decontaminate",
     "q_sample_token_budget",
+    # round-4 analytics + LLM additions (trivial narrow ops — unpivot,
+    # map_funcs, posexplode, histogram — and regr_funcs, whose plan is
+    # q_stats_moments', stay out to keep the suite lean)
+    "q_funnel",
+    "q_retention_cohort",
+    "q_event_transitions",
+    "q_stats_moments",
+    "q_ngram_lm_score",
+    "q_doc_ngram_topk",
+    "q_embed_quantize",
+    "q_sim_centroid",
 ]
 
 

@@ -24,11 +24,29 @@ def decimal_sum(col: Column, scale: int = 2) -> Column:
 
 
 def decimal_avg(col: Column, scale: int = 6) -> Column:
-    """Order-insensitive average: exact decimal sum / count, rounded to
-    ``scale`` digits then cast to double.
+    """Order-insensitive average: exact decimal sum, then ONE double
+    division, rounded to ``scale`` digits by the identical IEEE
+    expression ``FLOOR(q·10^s + 0.5)/10^s`` on both engines.
 
-    Oracle twin: ``CAST(ROUND(SUM(CAST(x AS DECIMAL(18,6))) / COUNT(x), s)
-    AS DOUBLE)``.
+    Why not engine ROUND: DuckDB types ``SUM(DECIMAL)/COUNT`` as double,
+    and the two engines' ROUND(double) disagree exactly when the
+    quotient's SHORTEST decimal repr terminates in a half one digit past
+    the rounding scale — Spark rounds the shortest repr (BigDecimal
+    .valueOf: "0.0315315" → tie → HALF_UP → 0.031532) while DuckDB
+    rounds the true binary value (0.03153149999… → 0.031531). Averages
+    of 6-decimal-quantized sums over small counts hit this (seen on
+    q_ngram_lm_score: S=0.378378/n=12; q_sim_centroid's −0.0008235 is
+    the decimal-division variant of the same bug). floor/multiply/add
+    are single correctly-rounded IEEE ops, so the expression is
+    bit-identical cross-engine; its tie rule is half-toward-+inf at the
+    representable-double level — a documented contract, applied to both
+    twins.
+
+    Oracle twin:
+    ``CAST(FLOOR(SUM(CAST(x AS DECIMAL(18,6))) / COUNT(x) * 1e0S + 0.5)
+    / 1e0S AS DOUBLE)`` with ``1e0S`` = 10^scale written as a double
+    literal (DuckDB's decimal/count division is already double).
     """
-    total = F.sum(col.cast("decimal(18,6)"))
-    return F.round(total / F.count(col), scale).cast("double")
+    total = F.sum(col.cast("decimal(18,6)")).cast("double")
+    p = F.lit(float(10**scale))
+    return (F.floor(total / F.count(col) * p + F.lit(0.5)) / p).cast("double")

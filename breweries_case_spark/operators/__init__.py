@@ -79,6 +79,7 @@ def _modules() -> list:
         "multimodal",
         "streaming_queries",
         "analytics",
+        "modern_sql",
     ):
         mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
         modules.append(mod)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from breweries_case_spark.functions import decimal_avg, decimal_sum
+from breweries_case_spark.functions import decimal_sum
 from breweries_case_spark.io.reader import load_table
 
 FUNNEL_STAGES = ("view", "click", "purchase")

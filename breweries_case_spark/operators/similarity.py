@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from breweries_case_spark.functions import decimal_avg
 from breweries_case_spark.io.reader import load_table
 
 TOP_K = 10
@@ -493,6 +494,61 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding (the memory-compression
+    step before an ANN index ships to serving): scale = max|x|/127,
+    q_i = round-half-up(x_i/scale), plus the squared reconstruction
+    error. Emits scalars only (quantized sum, error) — same
+    array-unhashability rationale as q_embed_normalize.
+
+    Determinism: rounding is FLOOR(x/scale + 0.5) on BOTH engines —
+    floor/divide/add are single correctly-rounded IEEE ops, immune to the
+    round-half engine conventions; folds run left-to-right in both
+    engines (Spark ``aggregate`` ≡ DuckDB ``list_reduce``). Assumes a
+    nonzero vector (random embeddings; an all-zero vector would yield
+    NULL/NaN on both engines identically). Narrow per-row projection, no
+    shuffle — pipelines into the scan at any scale."""
+    emb = _embeddings_double(spark, sf_dir)
+    vabs = F.transform(F.col("v"), lambda x: F.abs(x))
+    amax = F.aggregate(vabs, F.lit(0.0), lambda a, x: F.greatest(a, x))
+    base = emb.select("vec_id", "v", (amax / F.lit(127.0)).alias("scale"))
+    qi = lambda x: F.floor(x / F.col("scale") + F.lit(0.5))  # noqa: E731
+    err_term = lambda x: (x - qi(x) * F.col("scale")) * (  # noqa: E731
+        x - qi(x) * F.col("scale")
+    )
+    return base.select(
+        "vec_id",
+        F.size(F.col("v")).alias("dim"),
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate(
+            F.col("v"), F.lit(0).cast("long"), lambda a, x: a + qi(x).cast("long")
+        ).alias("q_sum"),
+        F.round(
+            F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + err_term(x)), 6
+        ).alias("err_sq"),
+    )
+
+
+def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long form (label, pos, centroid component) —
+    step 1 of SemDeDup-style semantic dedup and the evaluation pass of
+    any clustering: positional explode of the embedding, then a
+    decimal-exact mean per (label, dimension).
+
+    Plan shape: explode (narrow, 64× rows) → ONE hash aggregate keyed
+    (label, pos) with map-side partials — at 100 TB the exchange carries
+    only |labels|×dim partial states per task, not the exploded stream.
+    The long-form output IS the scale-correct representation: a
+    collect_list-per-label reassembly would funnel every component of a
+    label through one task."""
+    emb = _embeddings_double(spark, sf_dir)
+    ex = emb.select("label", F.posexplode(F.col("v")).alias("pos", "x"))
+    return ex.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
+        F.count("*").alias("n_vecs"),
+        decimal_avg(F.col("x"), 6).alias("centroid"),
+    )
+
+
 QUERIES = {
     "q_embed_normalize": q_embed_normalize,
     "q_sim_topk": q_sim_topk,
@@ -501,9 +557,47 @@ QUERIES = {
     "q_sim_knn_join_ann": q_sim_knn_join_ann,
     "q_sim_ivf": q_sim_ivf,
     "q_sim_ivf_trained": q_sim_ivf_trained,
+    "q_embed_quantize": q_embed_quantize,
+    "q_sim_centroid": q_sim_centroid,
 }
 
 ORACLES = {
+    "q_embed_quantize": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (
+            SELECT vec_id, v,
+                   list_reduce(
+                       list_prepend(0.0, list_transform(v, x -> abs(x))),
+                       (a, x) -> greatest(a, x)) / 127.0 AS scale
+            FROM e)
+        SELECT vec_id,
+               CAST(len(v) AS INT) AS dim,
+               ROUND(scale, 6) AS scale_r,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(v,
+                           x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT))),
+                   (a, x) -> a + x) AS q_sum,
+               ROUND(list_reduce(
+                   list_prepend(0.0, list_transform(v,
+                       x -> (x - FLOOR(x / scale + 0.5) * scale)
+                            * (x - FLOOR(x / scale + 0.5) * scale))),
+                   (a, x) -> a + x), 6) AS err_sq
+        FROM s
+    """,
+    "q_sim_centroid": """
+        WITH ex AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings)
+        SELECT label, pos, COUNT(*) AS n_vecs,
+               CAST(FLOOR(SUM(CAST(x AS DECIMAL(18,6))) / COUNT(x)
+                          * 1000000.0 + 0.5) / 1000000.0
+                    AS DOUBLE) AS centroid
+        FROM ex GROUP BY 1, 2
+    """,
     "q_embed_normalize": """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -16,7 +16,7 @@ at 100 TB these pipeline into the scan stage."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -168,14 +168,14 @@ def q_pandas_udf_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", _textlen_udf(F.col("text")).alias("text_len"))
 
 
-def _ngram_rows(d: DataFrame, n: int) -> DataFrame:
-    """(doc_id, g) rows of space-joined word n-grams over the normalized
+def _ngram_rows(d: DataFrame, n: int, keep: tuple = ("doc_id",)) -> DataFrame:
+    """(*keep, g) rows of space-joined word n-grams over the normalized
     (trim→lower→whitespace-split) tokens — NON-distinct, one row per gram
     occurrence, so downstream counts see repetition. Docs with < n tokens
     emit no rows (explicit empty-array guard: Spark's sequence(1, 0) is
     DESCENDING [1, 0], not empty)."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    base = d.select("doc_id", toks.alias("t"))
+    base = d.select(*keep, toks.alias("t"))
     cnt = F.size(F.col("t")) - (n - 1)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(F.col("t"), i + k) for k in range(n)]
@@ -183,7 +183,7 @@ def _ngram_rows(d: DataFrame, n: int) -> DataFrame:
     grams = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(1), cnt), gram)
     )
-    return base.select("doc_id", F.explode(grams).alias("g"))
+    return base.select(*keep, F.explode(grams).alias("g"))
 
 
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +268,64 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document:
+    for each bigram occurrence (w1, w2), the conditional probability
+    P(w2|w1) = count(w1 w2) / count(w1 ·) estimated from the corpus
+    itself, averaged per document. The CCNet/KenLM quality-scoring shape
+    with the LM trained in-plan — low scores flag token soup, high scores
+    repetitive/templated text. Probabilities are averaged directly (not
+    log-perplexity) so the oracle avoids cross-libm transcendentals.
+
+    Plan shape: one gram explode feeds BOTH count tables and the scoring
+    join (Catalyst reuses the exchange); the LM tables are vocab-bounded
+    (Zipf-truncated in practice, ≪ corpus), so at 100 TB they broadcast —
+    here AQE picks the strategy at runtime. Final per-doc aggregate
+    shuffles on doc_id. Single-token docs have no bigrams and drop out
+    (both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    big = _ngram_rows(d, 2).select(
+        "doc_id", "g", F.substring_index("g", " ", 1).alias("w1")
+    )
+    c2 = big.groupBy("g").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        big.join(c2, "g")
+        .join(c1, "w1")
+        .select("doc_id", (F.col("c2") / F.col("c1")).alias("p"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        decimal_avg(F.col("p"), 6).alias("avg_cond_p"),
+    )
+
+
+NGRAM_TOPK = 10
+
+
+def q_doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-K trigrams by corpus frequency — the vocabulary /
+    boilerplate-inspection pass of a corpus audit. Total ordering
+    (count DESC, gram ASC) makes the ranking deterministic under count
+    ties. Gram counts partial-aggregate map-side; the ranking window
+    partitions by lang (|langs| partitions, each vocab-bounded — at
+    100 TB rank over a pre-aggregated count table, never the gram
+    stream)."""
+    d = load_table(spark, sf_dir, "documents")
+    tg = _ngram_rows(d, 3, keep=("doc_id", "lang"))
+    cnt = tg.groupBy("lang", "g").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("g"))
+    return (
+        cnt.select(
+            "lang",
+            F.col("g").alias("trigram"),
+            "cnt",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= NGRAM_TOPK)
+    )
+
+
 QUERIES = {
     "q_token_count": q_token_count,
     "q_text_stats": q_text_stats,
@@ -278,9 +336,45 @@ QUERIES = {
     "q_pandas_udf_textlen": q_pandas_udf_textlen,
     "q_quality_repetition": q_quality_repetition,
     "q_decontaminate": q_decontaminate,
+    "q_ngram_lm_score": q_ngram_lm_score,
+    "q_doc_ngram_topk": q_doc_ngram_topk,
 }
 
 ORACLES = {
+    "q_ngram_lm_score": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS tk
+            FROM documents),
+        bg AS (
+            SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g, tk[i] AS w1
+            FROM t, unnest(generate_series(1, len(tk) - 1)) AS s(i)),
+        c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               CAST(FLOOR(SUM(CAST(CAST(c2.c2 AS DOUBLE) / c1.c1
+                                   AS DECIMAL(18,6))) / COUNT(*)
+                          * 1000000.0 + 0.5) / 1000000.0
+                    AS DOUBLE) AS avg_cond_p
+        FROM bg JOIN c2 USING (g) JOIN c1 USING (w1)
+        GROUP BY bg.doc_id
+    """,
+    "q_doc_ngram_topk": r"""
+        WITH t AS (
+            SELECT lang,
+                   string_split_regex(lower(trim(text)), '\s+') AS tk
+            FROM documents),
+        tg AS (
+            SELECT lang, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+            FROM t, unnest(generate_series(1, len(tk) - 2)) AS s(i)),
+        c AS (SELECT lang, g, count(*) AS cnt FROM tg GROUP BY 1, 2)
+        SELECT * FROM (
+            SELECT lang, g AS trigram, cnt,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY cnt DESC, g) AS INT) AS rnk
+            FROM c)
+        WHERE rnk <= 10
+    """,
     "q_tfidf": r"""
         WITH toks AS (
             SELECT doc_id, t.term
@@ -306,8 +400,9 @@ ORACLES = {
     "q_text_stats": r"""
         SELECT lang, source, count(*) AS doc_count,
                min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-               CAST(ROUND(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(18,6)))
-                          / COUNT(n_chars), 4) AS DOUBLE) AS avg_chars
+               CAST(FLOOR(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(18,6)))
+                          / COUNT(n_chars) * 10000.0 + 0.5) / 10000.0
+                    AS DOUBLE) AS avg_chars
         FROM documents GROUP BY lang, source
     """,
     "q_lang_id": r"""

@@ -727,11 +727,14 @@ ORACLES = {
                CAST(SUM({_DISC_SQL}) AS DOUBLE) AS sum_disc_price,
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))) / COUNT(l_quantity), 6)
+               CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6))) / COUNT(l_quantity)
+                          * 1000000.0 + 0.5) / 1000000.0
                     AS DOUBLE) AS avg_qty,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / COUNT(l_extendedprice), 6)
+               CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / COUNT(l_extendedprice)
+                          * 1000000.0 + 0.5) / 1000000.0
                     AS DOUBLE) AS avg_price,
-               CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,6))) / COUNT(l_discount), 6)
+               CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(18,6))) / COUNT(l_discount)
+                          * 1000000.0 + 0.5) / 1000000.0
                     AS DOUBLE) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
@@ -976,8 +979,9 @@ ORACLES = {
     "q_tpch_q17": """
         WITH avg_qty AS (
             SELECT l_partkey AS aq_partkey,
-                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6)))
-                        / COUNT(l_quantity), 6) AS DOUBLE) AS avg_qty
+                   CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                        / COUNT(l_quantity) * 1000000.0 + 0.5) / 1000000.0
+                        AS DOUBLE) AS avg_qty
             FROM lineitem
             GROUP BY l_partkey
         )
@@ -1034,8 +1038,9 @@ ORACLES = {
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                    AS totacctbal
         FROM cust
-        WHERE c_acctbal > (SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
-                                / COUNT(c_acctbal), 6) AS DOUBLE)
+        WHERE c_acctbal > (SELECT CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                                / COUNT(c_acctbal) * 1000000.0 + 0.5) / 1000000.0
+                                AS DOUBLE)
                            FROM cust WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
