@@ -282,6 +282,45 @@ def test_stateful_state_accumulates_across_batches(spark, tmp_path):
     assert (final_u1.n_events, final_u1.total_value) == (3, 13.0)
 
 
+def test_transform_with_state_or_clean_error(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 successor API): where
+    google.protobuf exists, the replayed totals must equal
+    applyInPandasWithState's; in protobuf-less sandboxes, pin the OTHER
+    contract — a descriptive RuntimeError, not a mid-query streaming
+    crash (same branch-gate pattern as the Iceberg writer test)."""
+    from breweries_case_spark.streaming.stateful import running_user_totals_tws
+
+    path = str(tmp_path / "tws_in")
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 5.0)], "user_id long, value double"
+    ).write.mode("overwrite").parquet(path)
+    events = spark.readStream.schema("user_id long, value double").parquet(path)
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            running_user_totals_tws(events)
+        return
+
+    q = (
+        running_user_totals_tws(events)
+        .writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("tws_out").collect()
+    }
+    assert got == {1: (2, 3.0), 2: (1, 5.0)}
+
+
 def test_asof_join_matches_per_row_semantics(spark, sf_dir):
     """Every purchase matches the max view_ts <= purchase_ts for its user
     (spot-checked row-wise against a collect-side computation)."""
