@@ -114,6 +114,9 @@ EXTENDED = [
     "q_doc_ngram_topk",
     "q_embed_quantize",
     "q_sim_centroid",
+    # the four-stage exact-tier curation composite (quality -> decontam
+    # -> dedup -> budget) — the pipeline users actually run end to end
+    "q_training_mix",
 ]
 
 

@@ -80,6 +80,7 @@ def _modules() -> list:
         "streaming_queries",
         "analytics",
         "modern_sql",
+        "training_mix",
     ):
         mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
         modules.append(mod)
