@@ -109,6 +109,7 @@ EXTENDED = [
     "q_funnel",
     "q_retention_cohort",
     "q_event_transitions",
+    "q_rolling_distinct",
     "q_stats_moments",
     "q_ngram_lm_score",
     "q_doc_ngram_topk",

@@ -114,6 +114,34 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day distinct users per day (the DAU/WAU board).
+    Rolling DISTINCT is the aggregate windows can't do (no
+    countDistinct over a frame), and the naive day-spine range join
+    plans as a nested loop. The scale-correct form used here: each
+    (user, day) row CONTRIBUTES to the 7 trailing windows it belongs to
+    (explode of a 7-date sequence — narrow 7× expansion), then one
+    hash aggregate per day counts distinct contributors. Inner join back
+    to real days drops the phantom day+1..+6 tails. At 100 TB: the
+    expansion factor is the window length (constant), both aggregates
+    partial map-side, and no plan shape degrades with row count."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        F.to_date(F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = user_days.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    roll = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau_7d")
+    )
+    return dau.join(roll, "day")
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram over events (bucket = floor(value/10)):
     per-bucket count, min/max, decimal-exact sum. The profiling shape that
@@ -253,6 +281,7 @@ QUERIES = {
     "q_funnel": q_funnel,
     "q_retention_cohort": q_retention_cohort,
     "q_event_transitions": q_event_transitions,
+    "q_rolling_distinct": q_rolling_distinct,
     "q_histogram": q_histogram,
     "q_unpivot": q_unpivot,
     "q_stats_moments": q_stats_moments,
@@ -315,6 +344,19 @@ ORACLES = {
                    AS avg_gap_s
         FROM seq WHERE dst IS NOT NULL
         GROUP BY 1, 2
+    """,
+    "q_rolling_distinct": """
+        WITH ud AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        contrib AS (
+            SELECT ud.day + CAST(s.i AS INT) AS day, user_id
+            FROM ud, unnest(generate_series(0, 6)) AS s(i)),
+        roll AS (
+            SELECT day, COUNT(DISTINCT user_id) AS wau_7d
+            FROM contrib GROUP BY 1)
+        SELECT d.day, d.dau, r.wau_7d
+        FROM dau d JOIN roll r USING (day)
     """,
     "q_histogram": """
         SELECT CAST(FLOOR(value / 10.0) AS INT) AS bucket,
