@@ -202,6 +202,27 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family over part keys: and/or/xor, shifts, popcount,
+    complement — the primitives the engine's own SimHash/bucketing code
+    leans on, surfaced as a checked query family. Integer ops are exact
+    on both engines; only the SPELLINGS differ (Spark ``^`` is DuckDB
+    ``xor()``; Spark 4 uses ``shiftleft``/``shiftright`` functions).
+    Narrow projection, no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("and_255"),
+        k.bitwiseOR(F.lit(4096)).alias("or_4096"),
+        k.bitwiseXOR(F.lit(0x5A5A)).alias("xor_5a5a"),
+        F.shiftleft(k, 3).alias("shl_3"),
+        F.shiftright(k, 2).alias("shr_2"),
+        F.bit_count(k).alias("popcount"),
+        F.bitwise_not(k).alias("complement"),
+    )
+
+
 # (Round-2 DEFERRED tags removed in round 3: the unproven id count fits
 # the driver's 50-slot window, so deferral would only delay checking.)
 
@@ -213,9 +234,21 @@ QUERIES = {
     "q_higher_order": q_higher_order,
     "q_window_range_frame": q_window_range_frame,
     "q_pii_redact": q_pii_redact,
+    "q_bitwise_funcs": q_bitwise_funcs,
 }
 
 ORACLES = {
+    "q_bitwise_funcs": """
+        SELECT p_partkey,
+               p_partkey & 255 AS and_255,
+               p_partkey | 4096 AS or_4096,
+               xor(p_partkey, 23130) AS xor_5a5a,
+               p_partkey << 3 AS shl_3,
+               p_partkey >> 2 AS shr_2,
+               CAST(bit_count(p_partkey) AS INT) AS popcount,
+               ~p_partkey AS complement
+        FROM part
+    """,
     "q_string_funcs": """
         SELECT p_partkey,
                UPPER(p_name) AS name_upper,

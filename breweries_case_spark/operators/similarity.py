@@ -549,6 +549,39 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector squared distance to its label centroid — SemDeDup's
+    pruning signal (keep-farthest within a cluster; drop the redundant
+    core). Composes q_sim_centroid's long-form mean with a positional
+    explode of each vector, joined on (label, pos) and re-aggregated per
+    vec_id with decimal-exact sums — aggregation order never touches the
+    result, unlike a float fold over shuffled rows.
+
+    Plan shape: the centroid table is |labels|×dim rows (KBs at ANY
+    corpus size) → broadcast join onto the exploded stream; one hash
+    aggregate keyed vec_id. Rounding: centroid components round to 6
+    first (matching q_sim_centroid's published values), then the
+    per-component squared deltas go through the same decimal-sum
+    discipline."""
+    emb = _embeddings_double(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(F.col("v")).alias("pos", "x")
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        decimal_avg(F.col("x"), 6).alias("c")
+    )
+    d = F.col("x") - F.col("c")
+    return (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((d * d).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("dist_sq")
+        )
+    )
+
+
 QUERIES = {
     "q_embed_normalize": q_embed_normalize,
     "q_sim_topk": q_sim_topk,
@@ -559,6 +592,7 @@ QUERIES = {
     "q_sim_ivf_trained": q_sim_ivf_trained,
     "q_embed_quantize": q_embed_quantize,
     "q_sim_centroid": q_sim_centroid,
+    "q_sim_centroid_distance": q_sim_centroid_distance,
 }
 
 ORACLES = {
@@ -585,6 +619,24 @@ ORACLES = {
                             * (x - FLOOR(x / scale + 0.5) * scale))),
                    (a, x) -> a + x), 6) AS err_sq
         FROM s
+    """,
+    "q_sim_centroid_distance": """
+        WITH ex AS (
+            SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+        cent AS (
+            SELECT label, pos,
+                   CAST(FLOOR(SUM(CAST(x AS DECIMAL(18,6))) / COUNT(x)
+                              * 1000000.0 + 0.5) / 1000000.0
+                        AS DOUBLE) AS c
+            FROM ex GROUP BY 1, 2)
+        SELECT ex.vec_id, ex.label,
+               CAST(SUM(CAST((ex.x - cent.c) * (ex.x - cent.c)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS dist_sq
+        FROM ex JOIN cent USING (label, pos)
+        GROUP BY 1, 2
     """,
     "q_sim_centroid": """
         WITH ex AS (
