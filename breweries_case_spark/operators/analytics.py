@@ -142,6 +142,32 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(roll, "day")
 
 
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom: distinct (user, day), rank days per user,
+    then ``day − rank`` is constant within an island of consecutive
+    days; group on it and take the max island length. Two exchanges
+    (user window, then the per-user max), both partial-aggregating;
+    island detection itself is a narrow derived column, not a self-join
+    (the naive formulation joins day to day−1 per row)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date(F.col("ts")).alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = ud.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island"),
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(F.count("*").alias("len"))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").cast("int").alias("longest_streak"),
+            F.count("*").cast("int").alias("n_streaks"),
+        )
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram over events (bucket = floor(value/10)):
     per-bucket count, min/max, decimal-exact sum. The profiling shape that
@@ -282,6 +308,7 @@ QUERIES = {
     "q_retention_cohort": q_retention_cohort,
     "q_event_transitions": q_event_transitions,
     "q_rolling_distinct": q_rolling_distinct,
+    "q_user_streaks": q_user_streaks,
     "q_histogram": q_histogram,
     "q_unpivot": q_unpivot,
     "q_stats_moments": q_stats_moments,
@@ -357,6 +384,22 @@ ORACLES = {
             FROM contrib GROUP BY 1)
         SELECT d.day, d.dau, r.wau_7d
         FROM dau d JOIN roll r USING (day)
+    """,
+    "q_user_streaks": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        islands AS (
+            SELECT user_id,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INT) AS island
+            FROM ud),
+        runs AS (
+            SELECT user_id, island, COUNT(*) AS len
+            FROM islands GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(MAX(len) AS INT) AS longest_streak,
+               CAST(COUNT(*) AS INT) AS n_streaks
+        FROM runs GROUP BY 1
     """,
     "q_histogram": """
         SELECT CAST(FLOOR(value / 10.0) AS INT) AS bucket,
