@@ -81,6 +81,7 @@ def _modules() -> list:
         "analytics",
         "modern_sql",
         "training_mix",
+        "graph",
     ):
         mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
         modules.append(mod)
