@@ -73,11 +73,34 @@ def test_oracle_parity(spark, sf_dir, qid):
     assert not mismatches, f"{qid}: first diffs {mismatches[:3]}"
 
 
+#: ids whose plans deliberately contain a nested-loop join: 1-row scalar
+#: crossJoins (corpus/total constants, PageRank's n_nodes, TPC-H scalar
+#: subqueries) and the naive inequality-join ground-truth tier. Anything
+#: OUTSIDE this set growing a CartesianProduct/BNLJ is an accidental
+#: O(n²) plan — the regression this sweep exists to catch.
+NESTED_LOOP_OK = {
+    "q_tfidf",
+    "q_tpch_q11",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q22",
+    "q_pagerank",
+    "q_join_range",
+    "q_join_range_binned",
+}
+
+
 def test_all_queries_run(spark, sf_dir):
-    """Every registered query (oracle or not) executes and has a schema."""
+    """Every registered query (oracle or not) executes, has a schema, and
+    plans without an ACCIDENTAL quadratic join (cartesian / nested-loop
+    outside the documented scalar-broadcast and ground-truth set)."""
     for qid, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.columns, qid
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if qid not in NESTED_LOOP_OK:
+            assert "CartesianProduct" not in plan, qid
+            assert "BroadcastNestedLoopJoin" not in plan, qid
         assert df.count() >= 0, qid
 
 
