@@ -16,8 +16,10 @@ from pyspark.sql.window import Window
 
 from breweries_case_spark.io.reader import load_table
 from breweries_case_spark.streaming.windows import (
+    collapse_outer_probe_rows,
     dedup_events,
     interval_join,
+    interval_join_outer,
     run_stream_to_memory,
     session_counts,
     sliding_counts,
@@ -147,6 +149,28 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join replay: every signup with
+    its within-60 s purchase, or NULLs once the watermark proves no
+    purchase can still arrive — conversion-timeout detection, the
+    semantic an inner stream join cannot express (result emission IS the
+    state-eviction event). Signups whose timeout the final watermark has
+    not passed are withheld, exactly as a live query would withhold
+    them; tests/test_streaming.py pins both the matched==batch and the
+    withheld-tail properties on a controlled fixture. Rows-only
+    (streaming execution)."""
+    ev = stream_events(spark, sf_dir)
+    raw = run_stream_to_memory(
+        interval_join_outer(
+            ev.filter(F.col("event_type") == "signup"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ),
+        "stream_join_outer_out",
+        output_mode="append",
+    )
+    return collapse_outer_probe_rows(raw)
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     (count, sum) state, replayed to completion — the final row per user
@@ -216,6 +240,7 @@ QUERIES = {
     "q_stream_stateful": q_stream_stateful,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_join": q_stream_join,
+    "q_stream_join_outer": q_stream_join_outer,
 }
 
 # Spark's F.window FLOORS from the Unix epoch. DuckDB's // truncates

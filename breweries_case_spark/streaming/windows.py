@@ -219,6 +219,80 @@ def interval_join(signups: DataFrame, purchases: DataFrame) -> DataFrame:
     ).select("signup_id", "purchase_id", delta_us.alias("delta_us"))
 
 
+def interval_join_outer(signups: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every signup row emits —
+    with its purchase when one lands within [0, 60 s], or with NULLs
+    once the purchase-side watermark passes ``s_ts + 60 s`` and no match
+    arrived (conversion-timeout detection: "signups that never
+    converted"). This is the semantic inner joins can't express on a
+    stream: the NULL row can only be emitted when late data is
+    provably impossible, i.e. state eviction and result emission are the
+    same watermark event. Same bin-equality rewrite as interval_join
+    (Spark requires an equi-key), same analyzer-visible time-range
+    residual; rows withheld at end-of-replay are exactly the signups
+    whose timeout the final watermark has not yet passed — the test
+    accounts for that tail."""
+    bin_of = F.floor(
+        F.unix_micros(F.col("ts")).cast("long") / F.lit(INTERVAL_JOIN_US)
+    )
+    s = signups.withWatermark("ts", WATERMARK).select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+        F.explode(F.array(bin_of, bin_of + 1)).alias("s_bin"),
+    )
+    p = purchases.withWatermark("ts", WATERMARK).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        bin_of.alias("p_bin"),
+    )
+    joined = s.join(
+        p,
+        (F.col("s_bin") == F.col("p_bin"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("s_ts") + F.expr(f"INTERVAL {INTERVAL_JOIN_US} MICROSECOND")
+        ),
+        "leftOuter",
+    )
+    delta_us = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("s_ts"))
+    return joined.select("signup_id", "purchase_id", delta_us.alias("delta_us"))
+
+
+def collapse_outer_probe_rows(raw: DataFrame) -> DataFrame:
+    """Batch post-pass for interval_join_outer's replay output: the bin
+    explode doubled each signup (bin, bin+1), so an unmatched signup
+    emits two NULL rows and a matched one emits its match plus the other
+    probe's NULL — collapse per signup: a match wins over NULL, and the
+    (delta, id) struct-min keeps the surviving pair COHERENT (earliest
+    purchase, keyed tie-break), where independent per-column MINs could
+    mix fields from different purchases. Kept OUT of the streaming plan
+    on purpose: chaining an aggregation after a stream-stream outer join
+    stacks a second stateful operator whose own watermark would withhold
+    rows further — the collapse is cheap, exact, and stateless once rows
+    are final."""
+    best = (
+        raw.filter(F.col("purchase_id").isNotNull())
+        .groupBy("signup_id")
+        .agg(F.min(F.struct("delta_us", "purchase_id")).alias("m"))
+        # renamed key sidesteps the self-join attribute clash (both
+        # branches read the same memory-sink view)
+        .select(
+            F.col("signup_id").alias("b_signup_id"),
+            F.col("m.purchase_id").alias("b_purchase_id"),
+            F.col("m.delta_us").alias("b_delta_us"),
+        )
+    )
+    ids = raw.select("signup_id").distinct()
+    return ids.join(
+        best, F.col("signup_id") == F.col("b_signup_id"), "left"
+    ).select(
+        "signup_id",
+        F.col("b_purchase_id").alias("purchase_id"),
+        F.col("b_delta_us").alias("delta_us"),
+    )
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

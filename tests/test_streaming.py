@@ -282,6 +282,68 @@ def test_stateful_state_accumulates_across_batches(spark, tmp_path):
     assert (final_u1.n_events, final_u1.total_value) == (3, 13.0)
 
 
+def test_stream_outer_join_emits_timeouts_and_withholds_tail(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join semantics on a controlled
+    fixture: a matched signup emits its purchase; an unmatched signup
+    whose 60 s timeout the purchase-side watermark has passed emits a
+    NULL row; an unmatched signup still inside the unprovable window is
+    WITHHELD entirely (the property that distinguishes watermark-driven
+    outer emission from a batch left join)."""
+    import datetime as dt
+
+    from breweries_case_spark.streaming.windows import (
+        collapse_outer_probe_rows,
+        interval_join_outer,
+        run_stream_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minute, etype, sec=0):
+        return (
+            eid,
+            t0 + dt.timedelta(minutes=minute, seconds=sec),
+            1,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 0, "signup"),          # matched by purchase 100 at +30 s
+        ev(100, 0, "purchase", 30),
+        ev(2, 1, "signup"),          # never matched; timeout 00:02:00
+        ev(3, 55, "signup"),         # never matched; timeout 00:56:00
+        ev(101, 60, "purchase"),     # watermark advancer -> wm = 00:50:00
+    ]
+    path = str(tmp_path / "outer_in")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(path)
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(path)
+
+    raw = run_stream_to_memory(
+        interval_join_outer(
+            src.filter("event_type = 'signup'"),
+            src.filter("event_type = 'purchase'"),
+        ),
+        "outer_join_test",
+        output_mode="append",
+    )
+    got = {
+        r.signup_id: (r.purchase_id, r.delta_us)
+        for r in collapse_outer_probe_rows(raw).collect()
+    }
+    # signup 1 matched; signup 2's timeout (00:02) < watermark (00:50) ->
+    # NULL row emitted; signup 3's timeout (00:56) > watermark -> withheld
+    assert got == {1: (100, 30_000_000), 2: (None, None)}
+
+
 def test_transform_with_state_or_clean_error(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 successor API): where
     google.protobuf exists, the replayed totals must equal
