@@ -85,11 +85,17 @@ def _modules() -> list:
     ):
         mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
         modules.append(mod)
-    from breweries_case_spark.io import jdbc_source, python_source, rest_source
+    from breweries_case_spark.io import (
+        expectations,
+        jdbc_source,
+        python_source,
+        rest_source,
+    )
 
     modules.append(rest_source)
     modules.append(jdbc_source)
     modules.append(python_source)
+    modules.append(expectations)
     return modules
 
 

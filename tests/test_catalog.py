@@ -135,3 +135,31 @@ def test_iceberg_write_roundtrip_or_clean_error(spark, tmp_path):
         "icetest.db.t"
     )
     assert first.count() == 3
+
+
+def test_expectations_enforce_raises_with_failing_checks(spark):
+    """enforce() names exactly the failed checks; evaluate() computes
+    violation counts (incl. the reference's tested empty-string id
+    semantics and the count-minus-distinct uniqueness form) in one pass."""
+    from breweries_case_spark.io.expectations import (
+        enforce,
+        evaluate,
+        expect_non_empty,
+        expect_unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "  "), (2, None)], "k long, name string"
+    )
+    got = {
+        r.check: (r.n_violations, r.passed)
+        for r in evaluate(
+            df, [expect_unique("k"), expect_non_empty("name")]
+        ).collect()
+    }
+    assert got == {
+        "k_unique": (1, False),  # duplicate k=1
+        "name_non_empty": (2, False),  # blank + NULL
+    }
+    with pytest.raises(ValueError, match="k_unique"):
+        enforce(df, [expect_unique("k")])
