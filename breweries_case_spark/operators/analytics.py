@@ -271,6 +271,78 @@ def q_regr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZSCORE_THRESHOLD = 3.0
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection over event values (|z| > 3) —
+    the monitoring query behind metric alerting. Group stats come from
+    the same algebraic decimal power sums as q_stats_moments (one
+    aggregate pass), broadcast back onto the stream (|event types| rows),
+    so the whole detector is scan → tiny agg → broadcast join → narrow
+    filter; the threshold comparison runs on the UNROUNDED z (identical
+    IEEE doubles on both engines), rounding only the reported value."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    d = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    stats = ev.groupBy("event_type").agg(
+        d(x).alias("sx"),
+        d(x * x).alias("sx2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(
+        (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - F.lit(1.0))
+    )
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > F.lit(ZSCORE_THRESHOLD))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.floor(z * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .cast("double")
+            .alias("z"),
+        )
+    )
+
+
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: per-user daily value totals densified onto
+    the full user × day grid, missing days filled by
+    last-observation-carried-forward (IGNORE NULLS window). The grid
+    crossJoin is DELIBERATE dense-grid construction over two
+    dimension-sized inputs (users × days — never fact-scale); the LOCF
+    window shuffles once on user_id. Days before a user's first
+    observation stay NULL (both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    days = ev.select(F.to_date(F.col("ts")).alias("day")).distinct()
+    actual = (
+        ev.select("user_id", F.to_date(F.col("ts")).alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(decimal_sum(F.col("value"), scale=6).alias("day_value"))
+    )
+    grid = users.crossJoin(days)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(actual, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled"),
+        )
+    )
+
+
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column family over part: construct a string→double map
     per row, extract by key, cardinality, sorted-key digest. Map values
@@ -309,6 +381,8 @@ QUERIES = {
     "q_event_transitions": q_event_transitions,
     "q_rolling_distinct": q_rolling_distinct,
     "q_user_streaks": q_user_streaks,
+    "q_anomaly_zscore": q_anomaly_zscore,
+    "q_locf_fill": q_locf_fill,
     "q_histogram": q_histogram,
     "q_unpivot": q_unpivot,
     "q_stats_moments": q_stats_moments,
@@ -384,6 +458,41 @@ ORACLES = {
             FROM contrib GROUP BY 1)
         SELECT d.day, d.dau, r.wau_7d
         FROM dau d JOIN roll r USING (day)
+    """,
+    "q_anomaly_zscore": """
+        WITH s AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sx2,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1),
+        z AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   (e.value - s.sx / s.n)
+                       / SQRT((s.sx2 - s.sx * s.sx / s.n) / (s.n - 1.0))
+                       AS zraw
+            FROM events e JOIN s USING (event_type))
+        SELECT event_id, event_type, value,
+               FLOOR(zraw * 1000000.0 + 0.5) / 1000000.0 AS z
+        FROM z WHERE ABS(zraw) > 3.0
+    """,
+    "q_locf_fill": """
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        actual AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS day_value
+            FROM events GROUP BY 1, 2)
+        SELECT g.user_id, g.day, a.day_value,
+               LAST_VALUE(a.day_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled
+        FROM (SELECT * FROM users, days) g
+        LEFT JOIN actual a
+          ON g.user_id = a.user_id AND g.day = a.day
     """,
     "q_user_streaks": """
         WITH ud AS (

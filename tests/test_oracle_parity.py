@@ -87,6 +87,7 @@ NESTED_LOOP_OK = {
     "q_pagerank",
     "q_join_range",
     "q_join_range_binned",
+    "q_locf_fill",  # deliberate dense-grid crossJoin of two dimensions
 }
 
 
