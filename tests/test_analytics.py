@@ -174,3 +174,81 @@ def test_stats_moments_match_numpy(spark, sf_dir):
         assert r.corr_qp == pytest.approx(
             float(np.corrcoef(x, y)[0, 1]), abs=2e-6
         )
+
+
+def test_pagerank_is_a_probability_distribution(spark, sf_dir):
+    """No dangling nodes in the event graph ⇒ ranks stay a distribution:
+    positive, summing to 1 within the per-iteration quantization error."""
+    from breweries_case_spark.operators.graph import q_pagerank
+
+    rows = q_pagerank(spark, sf_dir).collect()
+    assert all(r.rank > 0 for r in rows)
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
+
+
+def test_training_mix_stages_narrow_monotonically(spark, sf_dir):
+    """Every curation stage may only REMOVE documents, and every kept doc
+    passes the quality gate."""
+    import pyspark.sql.functions as F
+
+    from breweries_case_spark.io.reader import load_table
+    from breweries_case_spark.operators.training_mix import (
+        MEAN_TOKEN_LEN_RANGE,
+        MIN_TOKENS,
+        q_training_mix,
+    )
+
+    out = q_training_mix(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    assert out.count() <= d.count()
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    mean_len = F.length(F.col("text")).cast("double") / n_tok
+    lo, hi = MEAN_TOKEN_LEN_RANGE
+    bad_kept = (
+        out.join(d, "doc_id")
+        .filter(~((n_tok >= MIN_TOKENS) & mean_len.between(lo, hi)))
+        .count()
+    )
+    assert bad_kept == 0
+
+
+def test_quantize_reconstruction_is_bounded(spark, sf_dir):
+    """int8 quantization invariants: |q|≤127 ⇒ q_sum bounded by 127·dim,
+    and per-element error ≤ scale/2 ⇒ err_sq ≤ dim·(scale/2)²."""
+    from breweries_case_spark.operators.similarity import q_embed_quantize
+
+    for r in q_embed_quantize(spark, sf_dir).collect():
+        assert abs(r.q_sum) <= 127 * r.dim
+        # scale_r is rounded to 6; pad the bound accordingly
+        bound = r.dim * ((r.scale_r + 1e-6) / 2) ** 2
+        assert r.err_sq <= bound + 1e-9, (r.vec_id, r.err_sq, bound)
+
+
+def test_locf_fill_matches_actuals_and_carries_forward(spark, sf_dir):
+    """filled == day_value wherever observed; after a user's first
+    observation, filled is never NULL."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from breweries_case_spark.operators.analytics import q_locf_fill
+
+    out = q_locf_fill(spark, sf_dir)
+    assert (
+        out.filter(
+            F.col("day_value").isNotNull()
+            & (F.col("filled") != F.col("day_value"))
+        ).count()
+        == 0
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seen = F.max(F.col("day_value").isNotNull().cast("int")).over(w)
+    assert (
+        out.withColumn("seen", seen)
+        .filter((F.col("seen") == 1) & F.col("filled").isNull())
+        .count()
+        == 0
+    )
