@@ -90,12 +90,14 @@ def _modules() -> list:
         jdbc_source,
         python_source,
         rest_source,
+        snapshots,
     )
 
     modules.append(rest_source)
     modules.append(jdbc_source)
     modules.append(python_source)
     modules.append(expectations)
+    modules.append(snapshots)
     return modules
 
 

@@ -1,0 +1,150 @@
+"""Snapshot-log semantics (io/snapshots.py): atomic partition-overwrite
+commits, snapshot isolation / time travel, append-only rollback, commit
+race resolution, and vacuum safety — the lakehouse contract the
+reference delegates to Iceberg, pinned here on the jar-less
+implementation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from breweries_case_spark.io.snapshots import (
+    commit_overwrite_partitions,
+    history,
+    latest_version,
+    read_snapshot,
+    rollback,
+    vacuum,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, day string")
+
+
+def _counts(spark, tdir, version=None):
+    rows = read_snapshot(spark, tdir, version=version).collect()
+    out: dict[str, set] = {}
+    for r in rows:
+        out.setdefault(r.day, set()).add(r.id)
+    return out
+
+
+def test_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v1 = commit_overwrite_partitions(
+        _df(spark, [(1, "d1"), (2, "d1"), (3, "d2")]), t, "day"
+    )
+    v2 = commit_overwrite_partitions(_df(spark, [(9, "d2"), (4, "d3")]), t, "day")
+    assert (v1, v2) == (1, 2)
+    assert _counts(spark, t) == {"d1": {1, 2}, "d2": {9}, "d3": {4}}
+
+
+def test_time_travel_sees_replaced_rows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1"), (3, "d2")]), t, "day")
+    commit_overwrite_partitions(_df(spark, [(9, "d2")]), t, "day")
+    assert _counts(spark, t, version=1) == {"d1": {1}, "d2": {3}}
+    assert _counts(spark, t, version=2) == {"d1": {1}, "d2": {9}}
+
+
+def test_manifest_level_partition_pruning(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(
+        _df(spark, [(1, "d1"), (3, "d2"), (5, "d3")]), t, "day"
+    )
+    got = read_snapshot(spark, t, partitions=["d2"]).collect()
+    assert {(r.id, r.day) for r in got} == {(3, "d2")}
+
+
+def test_rollback_is_append_only(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1")]), t, "day")
+    commit_overwrite_partitions(_df(spark, [(2, "d1")]), t, "day")
+    v3 = rollback(t, to_version=1)
+    assert v3 == 3
+    assert _counts(spark, t) == {"d1": {1}}          # latest == v1 content
+    assert _counts(spark, t, version=2) == {"d1": {2}}  # v2 still readable
+    assert history(t)[-1]["rollback_of"] == 1
+
+
+def test_commit_race_yields_distinct_versions_and_merges(spark, tmp_path):
+    """Simulate the race: two commits prepared against the SAME base
+    version must both land (distinct versions) with the loser's merge
+    preserving the winner's partitions."""
+    from breweries_case_spark.io import snapshots as S
+
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1")]), t, "day")
+
+    # force a collision: pre-claim version 2 exactly once
+    real_open = os.open
+    claimed = {"done": False}
+
+    def racing_open(path, flags, *a):
+        if (
+            not claimed["done"]
+            and path.endswith("v00000002.json")
+            and flags & os.O_EXCL
+        ):
+            claimed["done"] = True
+            # the "other writer" wins v2 with a d9 partition
+            fd = real_open(path, flags, *a)
+            import json
+
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {
+                        "version": 2,
+                        "committed_at": 0.0,
+                        "partition_col": "day",
+                        "partitions": {"d9": []},
+                    },
+                    f,
+                )
+            raise FileExistsError(path)
+        return real_open(path, flags, *a)
+
+    S.os.open = racing_open
+    try:
+        v = commit_overwrite_partitions(_df(spark, [(5, "d5")]), t, "day")
+    finally:
+        S.os.open = real_open
+    assert v == 3
+    m = S._read_manifest(t, 3)
+    # loser re-merged onto the winner's v2: d9 carried forward, d5 added
+    assert set(m["partitions"]) == {"d9", "d5"}
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1")]), t, "day")
+    commit_overwrite_partitions(_df(spark, [(2, "d1")]), t, "day")
+    commit_overwrite_partitions(_df(spark, [(3, "d1")]), t, "day")
+    deleted = vacuum(t, keep_versions=2)
+    assert deleted  # v1's d1 files are unreferenced by v2/v3
+    # retained snapshots still read correctly
+    assert _counts(spark, t, version=2) == {"d1": {2}}
+    assert _counts(spark, t, version=3) == {"d1": {3}}
+    # expired manifest is gone
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=1).collect()
+    assert latest_version(t) == 3
+
+
+def test_registered_time_travel_query(spark, sf_dir):
+    """The registered demo returns both versions' per-day counts and
+    proves v1's replaced day is still visible via time travel."""
+    from breweries_case_spark.io.snapshots import q_snapshot_time_travel
+
+    rows = q_snapshot_time_travel(spark, sf_dir).collect()
+    by_ver: dict[int, dict[str, int]] = {}
+    for r in rows:
+        by_ver.setdefault(r.version, {})[r.day] = r.n
+    d1, d2 = sorted(by_ver[1])
+    # v2 rewrote d2 down to one row; time travel still sees v1's full day
+    assert by_ver[2][d2] == 1 < by_ver[1][d2]
+    assert by_ver[2][d1] == by_ver[1][d1]
+    assert len(by_ver[2]) == 3
