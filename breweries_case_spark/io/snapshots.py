@@ -137,6 +137,39 @@ def commit_overwrite_partitions(
     )
 
 
+def commit_delete_partitions(table_dir: str, values: list[str]) -> int:
+    """Publish a version WITHOUT the given partition values — the
+    explicit-delete half of the overwrite contract (an overwrite carrying
+    zero rows for a partition must still remove it; Iceberg's
+    overwritePartitions of an empty frame behaves the same). Data files
+    stay on disk for time travel until vacuum."""
+    drop = set(values)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        base = latest_version(table_dir)
+        if base is None:
+            raise FileNotFoundError(f"no snapshots under {table_dir!r}")
+        m = _read_manifest(table_dir, base)
+        partitions = {
+            k: v for k, v in m["partitions"].items() if k not in drop
+        }
+        version = base + 1
+        target = _manifest_path(table_dir, version)
+        manifest = {
+            "version": version,
+            "committed_at": time.time(),
+            "partition_col": m["partition_col"],
+            "partitions": partitions,
+        }
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return version
+    raise RuntimeError("delete-partitions commit lost every version race")
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,

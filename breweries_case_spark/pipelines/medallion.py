@@ -197,3 +197,83 @@ def silver_to_gold(
         )
         .agg(*aggs)
     )
+
+
+def run_medallion_snapshotted(
+    spark: SparkSession,
+    records: Iterable[Mapping],
+    extraction_date: _dt.date,
+    base_path: str,
+) -> dict[str, int]:
+    """``run_medallion`` on the snapshot log (``io/snapshots.py``): every
+    layer write is an ATOMIC versioned commit, so a daily rerun replaces
+    exactly that date's partitions while the previous run stays
+    time-travel-readable — the reference's Iceberg contract
+    (``breweries_bronze_processors.py:133,149-153`` + snapshot commits)
+    delivered without the unresolvable jars. An empty rerun publishes an
+    explicit partition delete (``commit_delete_partitions``), which the
+    plain-parquet path has to emulate with directory removal
+    (see ``_persist_layer``) — here it is a first-class log entry.
+
+    The snapshot log stores partition values as strings (directory-name
+    encoding); reads restore ``extraction_date`` to DATE before the next
+    stage consumes it."""
+    from breweries_case_spark.io.snapshots import (
+        commit_delete_partitions,
+        commit_overwrite_partitions,
+        latest_version,
+        read_snapshot,
+    )
+
+    day = extraction_date.isoformat()
+
+    def persist(df: DataFrame, layer: str) -> str:
+        tdir = f"{base_path}/{layer}"
+        if df.isEmpty():
+            if latest_version(tdir) is not None:
+                commit_delete_partitions(tdir, [day])
+        else:
+            commit_overwrite_partitions(df, tdir, "extraction_date")
+        return tdir
+
+    def read_layer(tdir: str) -> DataFrame | None:
+        if latest_version(tdir) is None:
+            return None
+        try:
+            snap = read_snapshot(spark, tdir)
+        except ValueError:  # snapshot exists but holds zero partitions
+            return None
+        return snap.withColumn(
+            "extraction_date", F.col("extraction_date").cast("date")
+        )
+
+    def count_day(tdir: str) -> int:
+        t = read_layer(tdir)
+        if t is None:
+            return 0
+        return t.filter(
+            F.col("extraction_date") == F.lit(extraction_date)
+        ).count()
+
+    bronze = ingest_to_bronze(spark, records, extraction_date)
+    bdir = persist(bronze, "bronze")
+    bronze_n = count_day(bdir)
+
+    if bronze_n:
+        silver = bronze_to_silver(read_layer(bdir), extraction_date)
+    else:
+        silver = spark.createDataFrame([], SILVER_SCHEMA)
+    sdir = persist(silver, "silver")
+    silver_n = count_day(sdir)
+
+    if silver_n:
+        gold = silver_to_gold(read_layer(sdir), extraction_date)
+    else:
+        gold = spark.createDataFrame([], GOLD_SCHEMA)
+    gdir = persist(gold, "gold")
+
+    return {
+        "bronze": bronze_n,
+        "silver": silver_n,
+        "gold": count_day(gdir),
+    }

@@ -148,3 +148,41 @@ def test_registered_time_travel_query(spark, sf_dir):
     assert by_ver[2][d2] == 1 < by_ver[1][d2]
     assert by_ver[2][d1] == by_ver[1][d1]
     assert len(by_ver[2]) == 3
+
+
+def test_snapshotted_medallion_rerun_time_travel_and_empty_delete(
+    spark, tmp_path
+):
+    """The medallion pipeline on the snapshot log: reruns replace the
+    date atomically, the previous run stays time-travel-readable, and an
+    empty rerun removes the date via an explicit delete commit."""
+    import datetime as dt
+
+    from breweries_case_spark.pipelines.medallion import (
+        run_medallion_snapshotted,
+    )
+
+    day = dt.date(2024, 1, 5)
+    recs = [
+        {
+            "id": f"b{i}",
+            "name": f"Brewery {i}",
+            "brewery_type": "micro",
+            "city": "Portland",
+            "state": "OR",
+            "country": "usa",
+        }
+        for i in range(4)
+    ]
+    base = str(tmp_path / "lake")
+    c1 = run_medallion_snapshotted(spark, recs, day, base)
+    assert c1 == {"bronze": 4, "silver": 4, "gold": 1}
+
+    c2 = run_medallion_snapshotted(spark, recs[:2], day, base)
+    assert c2 == {"bronze": 2, "silver": 2, "gold": 1}
+    # v1 of bronze still shows the first run's 4 rows
+    assert read_snapshot(spark, f"{base}/bronze", version=1).count() == 4
+
+    c3 = run_medallion_snapshotted(spark, [], day, base)
+    assert c3 == {"bronze": 0, "silver": 0, "gold": 0}
+    assert history(f"{base}/bronze")[-1]["n_partitions"] == 0
