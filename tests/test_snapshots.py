@@ -186,3 +186,22 @@ def test_snapshotted_medallion_rerun_time_travel_and_empty_delete(
     c3 = run_medallion_snapshotted(spark, [], day, base)
     assert c3 == {"bronze": 0, "silver": 0, "gold": 0}
     assert history(f"{base}/bronze")[-1]["n_partitions"] == 0
+
+
+def test_snapshot_diff_is_a_minimal_change_feed(spark, tmp_path):
+    """Diffing two versions yields exactly the inserted/deleted rows of
+    CHANGED partitions; identical partitions are pruned at the manifest
+    level (their files never load)."""
+    from breweries_case_spark.io.snapshots import snapshot_diff
+
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(
+        _df(spark, [(1, "d1"), (2, "d2"), (3, "d2")]), t, "day"
+    )
+    commit_overwrite_partitions(_df(spark, [(3, "d2"), (4, "d2")]), t, "day")
+    got = {
+        (r.id, r.day, r._change)
+        for r in snapshot_diff(spark, t, 1, 2).collect()
+    }
+    # d1 untouched -> absent; d2: row 2 deleted, row 4 inserted, row 3 kept
+    assert got == {(4, "d2", "insert"), (2, "d2", "delete")}
