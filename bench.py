@@ -118,6 +118,14 @@ EXTENDED = [
     # the four-stage exact-tier curation composite (quality -> decontam
     # -> dedup -> budget) — the pipeline users actually run end to end
     "q_training_mix",
+    "q_user_streaks",
+    "q_anomaly_zscore",
+    "q_locf_fill",
+    "q_pagerank",
+    "q_lateral_topn",
+    "q_variant_json",
+    "q_recursive_cte",
+    "q_quality_expectations",
 ]
 
 
