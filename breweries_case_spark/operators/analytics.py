@@ -65,6 +65,42 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+FUNNEL_WINDOW_HOURS = 24
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: stage N counts only when it occurs
+    within 24 h of the user's stage-N-1 arrival — the product-analytics
+    default (an unbounded funnel overstates conversion by crediting
+    purchases weeks later). Same user_id-keyed chain as q_funnel with a
+    bounded BETWEEN on each hop; the bound also caps join state at
+    scale: a stream-side implementation could evict stage anchors after
+    the window, exactly like the stream-stream interval join."""
+    ev = load_table(spark, sf_dir, "events")
+    bound = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+
+    def stage_min(etype: str, after: DataFrame | None) -> DataFrame:
+        s = ev.filter(F.col("event_type") == etype)
+        if after is not None:
+            s = s.join(after, "user_id").filter(
+                (F.col("ts") >= F.col("t_prev"))
+                & (F.col("ts") <= F.col("t_prev") + bound)
+            )
+        return s.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    reached: list[DataFrame] = []
+    prev = None
+    for etype in FUNNEL_STAGES:
+        prev = stage_min(etype, prev)
+        reached.append(
+            prev.agg(F.lit(etype).alias("stage"), F.count("*").alias("users"))
+        )
+    out = reached[0]
+    for r in reached[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: cohort = Monday-truncated week of a user's
     first event; each (user, active-week) pair counts once toward
@@ -377,6 +413,7 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_funnel": q_funnel,
+    "q_funnel_windowed": q_funnel_windowed,
     "q_retention_cohort": q_retention_cohort,
     "q_event_transitions": q_event_transitions,
     "q_rolling_distinct": q_rolling_distinct,
@@ -412,6 +449,26 @@ ORACLES = {
         p AS (
             SELECT e.user_id, MIN(e.ts) AS t FROM events e
             JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+            WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT 'view' AS stage, COUNT(*) AS users FROM v
+        UNION ALL SELECT 'click', COUNT(*) FROM c
+        UNION ALL SELECT 'purchase', COUNT(*) FROM p
+    """,
+    "q_funnel_windowed": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t FROM events e
+            JOIN v ON e.user_id = v.user_id
+                  AND e.ts >= v.t
+                  AND e.ts <= v.t + INTERVAL 24 HOURS
+            WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t FROM events e
+            JOIN c ON e.user_id = c.user_id
+                  AND e.ts >= c.t
+                  AND e.ts <= c.t + INTERVAL 24 HOURS
             WHERE e.event_type = 'purchase' GROUP BY 1)
         SELECT 'view' AS stage, COUNT(*) AS users FROM v
         UNION ALL SELECT 'click', COUNT(*) FROM c

@@ -38,7 +38,11 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     the variant parse is the single-parse upgrade of 12 stacked
     ``get_json_object`` calls (SURVEY §2.2 P2)."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json: malformed payloads become NULL variants instead of
+    # failing the scan (DuckDB's json_extract errors on garbage, so the
+    # oracle twin relies on the data contract that props is valid JSON —
+    # the Spark side no longer does)
+    v = F.try_parse_json(F.col("props"))
     k = F.try_variant_get(v, "$.k", "int")
     return ev.select(
         "event_id",
