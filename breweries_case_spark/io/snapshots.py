@@ -203,6 +203,76 @@ def read_snapshot(
     return out
 
 
+def compact_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    values: list[str] | None = None,
+    target_files: int = 1,
+) -> int:
+    """Small-file compaction as a COMMIT (Iceberg's ``rewrite_data_files``
+    analog on the snapshot log): rewrite each selected partition's file
+    set into ``target_files`` files and publish a new version whose
+    content is bit-for-bit the same rows. Readers of older versions keep
+    the original files (vacuum reclaims them later); a concurrent
+    overwrite of the same partition wins harmlessly — the retry re-reads
+    the latest manifest and SKIPS partitions whose file list changed
+    since the rewrite was planned, so compaction never clobbers newer
+    data (the same no-lost-update rule Iceberg enforces via sequence
+    numbers)."""
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"no snapshots under {table_dir!r}")
+    m = _read_manifest(table_dir, base)
+    pcol = m["partition_col"]
+    todo = {
+        val: files
+        for val, files in m["partitions"].items()
+        if files and (values is None or val in values)
+    }
+    commit_id = uuid.uuid4().hex
+    rewritten: dict[str, tuple[list[str], list[str]]] = {}
+    for val, files in todo.items():
+        out_dir = os.path.join(
+            table_dir, "data", commit_id, f"{pcol}={val}"
+        )
+        spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in files]
+        ).coalesce(target_files).write.parquet(out_dir)
+        new_files = sorted(
+            os.path.join("data", commit_id, f"{pcol}={val}", f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+        rewritten[val] = (files, new_files)
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        cur = latest_version(table_dir)
+        curm = _read_manifest(table_dir, cur)
+        partitions = dict(curm["partitions"])
+        for val, (old_files, new_files) in rewritten.items():
+            # no-lost-update: only swap if the partition still holds
+            # exactly the files this rewrite was planned against
+            if partitions.get(val) == old_files:
+                partitions[val] = new_files
+        version = cur + 1
+        manifest = {
+            "version": version,
+            "committed_at": time.time(),
+            "partition_col": curm["partition_col"],
+            "partitions": partitions,
+            "compaction_of": base,
+        }
+        target = _manifest_path(table_dir, version)
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return version
+    raise RuntimeError("compaction commit lost every version race")
+
+
 def snapshot_diff(
     spark: SparkSession, table_dir: str, v_from: int, v_to: int
 ) -> DataFrame:

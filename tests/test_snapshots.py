@@ -205,3 +205,32 @@ def test_snapshot_diff_is_a_minimal_change_feed(spark, tmp_path):
     }
     # d1 untouched -> absent; d2: row 2 deleted, row 4 inserted, row 3 kept
     assert got == {(4, "d2", "insert"), (2, "d2", "delete")}
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
+    """Compaction rewrites a partition's files into one, content
+    bit-identical, as a NEW version — older snapshots keep reading the
+    original files; a partition overwritten after the compaction was
+    planned is skipped (no lost update)."""
+    from breweries_case_spark.io.snapshots import (
+        _read_manifest,
+        compact_partitions,
+    )
+
+    t = str(tmp_path / "t")
+    # two commits into d1 -> d1 holds files from... (each commit replaces
+    # d1, so force many files in ONE commit via repartition)
+    commit_overwrite_partitions(
+        _df(spark, [(i, "d1") for i in range(8)]).repartition(4), t, "day"
+    )
+    commit_overwrite_partitions(_df(spark, [(99, "d2")]), t, "day")
+    before = _read_manifest(t, 2)["partitions"]
+    assert len(before["d1"]) > 1
+
+    v = compact_partitions(spark, t, values=["d1"])
+    after = _read_manifest(t, v)["partitions"]
+    assert len(after["d1"]) == 1
+    assert after["d2"] == before["d2"]  # untouched partition carried over
+    assert _counts(spark, t) == {"d1": set(range(8)), "d2": {99}}
+    # pre-compaction version still reads the original files
+    assert _counts(spark, t, version=2) == {"d1": set(range(8)), "d2": {99}}
