@@ -582,6 +582,48 @@ def q_sim_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: every 97th vector plays the benchmark/eval embedding set (mirrors
+#: text.py's BENCHMARK_MOD convention for the token-level decontaminator)
+BENCH_VEC_MOD = 97
+SEMANTIC_DECON_TAU = 0.9
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) benchmark decontamination: drop every
+    corpus vector whose cosine to ANY benchmark vector reaches τ=0.9 —
+    the modern complement to token n-gram decontamination
+    (`text.py::q_decontaminate`), catching paraphrased contamination
+    that shares no 3-gram. Output: surviving vectors with their max
+    benchmark cosine (value-checked, so the comparison math is verified
+    even when nothing crosses τ).
+
+    Plan shape: the benchmark set is eval-suite-sized (|corpus|/97 here;
+    KBs against 100 TB), so it BROADCASTS into a nested-loop pairing —
+    a deliberate allowlisted NL join, corpus-linear because the inner
+    side is a constant: each corpus row scans |bench| vectors once, then
+    a vec-keyed max-aggregate (order-insensitive, exact) and a narrow
+    filter. The cosine uses the same fold expression as q_sim_topk, so
+    DuckDB's list_dot_product reproduces it bitwise."""
+    emb = _embeddings_double(spark, sf_dir)
+    is_bench = F.col("vec_id") % BENCH_VEC_MOD == 0
+    bench = emb.filter(is_bench).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    corpus = emb.filter(~is_bench)
+    cos = _dot(F.col("v"), F.col("bv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v")))
+        * F.sqrt(_dot(F.col("bv"), F.col("bv")))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id", "label")
+        .agg(F.max(cos).alias("max_cos"))
+    )
+    return scored.filter(F.col("max_cos") < F.lit(SEMANTIC_DECON_TAU)).select(
+        "vec_id", "label", F.round(F.col("max_cos"), 6).alias("max_bench_cos")
+    )
+
+
 QUERIES = {
     "q_embed_normalize": q_embed_normalize,
     "q_sim_topk": q_sim_topk,
@@ -593,6 +635,7 @@ QUERIES = {
     "q_embed_quantize": q_embed_quantize,
     "q_sim_centroid": q_sim_centroid,
     "q_sim_centroid_distance": q_sim_centroid_distance,
+    "q_decontaminate_semantic": q_decontaminate_semantic,
 }
 
 ORACLES = {
@@ -619,6 +662,24 @@ ORACLES = {
                             * (x - FLOOR(x / scale + 0.5) * scale))),
                    (a, x) -> a + x), 6) AS err_sq
         FROM s
+    """,
+    "q_decontaminate_semantic": f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        bench AS (
+            SELECT vec_id AS b_id, v AS bv FROM e
+            WHERE vec_id % {BENCH_VEC_MOD} = 0),
+        scored AS (
+            SELECT c.vec_id, c.label,
+                   MAX(list_dot_product(c.v, b.bv)
+                       / (sqrt(list_dot_product(c.v, c.v))
+                          * sqrt(list_dot_product(b.bv, b.bv)))) AS max_cos
+            FROM e c, bench b
+            WHERE c.vec_id % {BENCH_VEC_MOD} <> 0
+            GROUP BY 1, 2)
+        SELECT vec_id, label, ROUND(max_cos, 6) AS max_bench_cos
+        FROM scored WHERE max_cos < {SEMANTIC_DECON_TAU}
     """,
     "q_sim_centroid_distance": """
         WITH ex AS (

@@ -88,6 +88,9 @@ NESTED_LOOP_OK = {
     "q_join_range",
     "q_join_range_binned",
     "q_locf_fill",  # deliberate dense-grid crossJoin of two dimensions
+    # deliberate broadcast-NL pairing against the eval-suite-sized
+    # benchmark side — corpus-linear with a constant inner side
+    "q_decontaminate_semantic",
 }
 
 
