@@ -72,6 +72,31 @@ def evaluate(df: DataFrame, expectations: list) -> DataFrame:
     )
 
 
+def evaluate_foreign_key(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """Referential-integrity check as the same (check, n_violations,
+    passed) frame: child keys with no parent, counted via a left-anti
+    join (one shuffle — or broadcast when the parent key set is
+    dim-sized, AQE's call). NULL child keys are NOT violations here
+    (SQL FK semantics); pair with expect_not_null to forbid them.
+    Union the result with evaluate()'s for a single report."""
+    viol = (
+        child.filter(F.col(child_col).isNotNull())
+        .join(
+            parent.select(F.col(parent_col).alias("__pk")).distinct(),
+            F.col(child_col) == F.col("__pk"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    )
+    return viol.select(
+        F.lit(f"{child_col}_references_{parent_col}").alias("check"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
 def enforce(df: DataFrame, expectations: list) -> None:
     """Raise ValueError naming every failed check (the pipeline gate)."""
     failed = [
@@ -89,8 +114,9 @@ def q_quality_expectations(spark, sf_dir: str) -> DataFrame:
     from breweries_case_spark.io.reader import load_table
 
     c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
     segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
-    return evaluate(
+    single_pass = evaluate(
         c,
         [
             expect_unique("c_custkey"),
@@ -100,6 +126,8 @@ def q_quality_expectations(spark, sf_dir: str) -> DataFrame:
             expect_in_set("c_mktsegment", segs),
         ],
     )
+    fk = evaluate_foreign_key(c, "c_nationkey", n, "n_nationkey")
+    return single_pass.unionByName(fk)
 
 
 QUERIES = {
@@ -130,5 +158,13 @@ ORACLES = {
             UNION ALL SELECT 'c_name_non_empty', ne
             UNION ALL SELECT 'c_acctbal_in_range', rng
             UNION ALL SELECT 'c_mktsegment_in_set', st) t
+        UNION ALL
+        SELECT 'c_nationkey_references_n_nationkey',
+               fk.v, fk.v = 0
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS v
+              FROM customer c
+              WHERE c.c_nationkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey)) fk
     """,
 }

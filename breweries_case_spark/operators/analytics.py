@@ -307,6 +307,56 @@ def q_regr_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over (user, day) baskets of event types:
+    pairwise support, confidence, and lift — the A-Priori L2 pass as
+    pure relational algebra. Baskets are tiny (≤|event types| items), so
+    the within-basket self-join fans out ≤ C(|types|,2) rows per basket
+    — linear in baskets, never all-pairs across the corpus. All ratios
+    are single IEEE divisions of exact counts (no float sums at all);
+    the basket-count scalar is a driver-side 1-row aggregate (the
+    parameter-scale collect class, not a data collect)."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date(F.col("ts")).alias("day"), "event_type"
+    ).distinct()
+    n_baskets = baskets.select("user_id", "day").distinct().count()
+    item = baskets.groupBy("event_type").agg(F.count("*").alias("c_item"))
+    a = baskets.select(
+        "user_id", "day", F.col("event_type").alias("item_a")
+    )
+    b = baskets.select(
+        "user_id", "day", F.col("event_type").alias("item_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("c_pair"))
+    )
+    ca = item.select(
+        F.col("event_type").alias("item_a"), F.col("c_item").alias("c_a")
+    )
+    cb = item.select(
+        F.col("event_type").alias("item_b"), F.col("c_item").alias("c_b")
+    )
+    n = F.lit(float(n_baskets))
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "c_pair",
+            F.round(F.col("c_pair") / n, 6).alias("support"),
+            F.round(F.col("c_pair") / F.col("c_a"), 6).alias("conf_a_to_b"),
+            F.round(
+                F.col("c_pair") * n / (F.col("c_a") * F.col("c_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
 ZSCORE_THRESHOLD = 3.0
 
 
@@ -414,6 +464,7 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_funnel": q_funnel,
     "q_funnel_windowed": q_funnel_windowed,
+    "q_market_basket": q_market_basket,
     "q_retention_cohort": q_retention_cohort,
     "q_event_transitions": q_event_transitions,
     "q_rolling_distinct": q_rolling_distinct,
@@ -453,6 +504,32 @@ ORACLES = {
         SELECT 'view' AS stage, COUNT(*) AS users FROM v
         UNION ALL SELECT 'click', COUNT(*) FROM c
         UNION ALL SELECT 'purchase', COUNT(*) FROM p
+    """,
+    "q_market_basket": """
+        WITH baskets AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+            FROM events),
+        n AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_baskets
+            FROM (SELECT DISTINCT user_id, day FROM baskets)),
+        item AS (
+            SELECT event_type, COUNT(*) AS c_item FROM baskets GROUP BY 1),
+        pairs AS (
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   COUNT(*) AS c_pair
+            FROM baskets a
+            JOIN baskets b
+              ON a.user_id = b.user_id AND a.day = b.day
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT item_a, item_b, c_pair,
+               ROUND(c_pair / n.n_baskets, 6) AS support,
+               ROUND(c_pair / ca.c_item, 6) AS conf_a_to_b,
+               ROUND(c_pair * n.n_baskets / (ca.c_item * cb.c_item), 6)
+                   AS lift
+        FROM pairs
+        JOIN item ca ON ca.event_type = pairs.item_a
+        JOIN item cb ON cb.event_type = pairs.item_b, n
     """,
     "q_funnel_windowed": """
         WITH v AS (

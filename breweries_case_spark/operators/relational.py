@@ -954,6 +954,51 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a key is "hot" when it carries this multiple of the mean per-key load
+HOT_KEY_FACTOR = 1.5
+
+
+def q_join_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-only skew mitigation — the PRODUCTION form SURVEY §6's skew
+    measurement identified (hot-only salting landed between full-salt
+    and unsalted at 90% hot: pay replication only where it helps). Plan:
+    (1) one histogram pass finds keys above HOT_KEY_FACTOR× the mean
+    per-key load; (2) the fact stream splits — hot rows join the
+    hot-slice of the dimension via BROADCAST (the skewed mass never
+    shuffles), cold rows take the ordinary equi-join; (3) union. The
+    split is plan-only: the oracle is the plain join, so any threshold
+    produces identical results — which is exactly why the threshold can
+    be tuned per workload without a correctness risk. The mean-load
+    scalar rides a 1-row broadcast crossJoin (allowlisted idiom)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    mean_row = counts.agg(
+        (F.sum("cnt") / F.count("*")).alias("mean_cnt")
+    )
+    hot = (
+        counts.crossJoin(F.broadcast(mean_row))
+        .filter(F.col("cnt") >= F.lit(HOT_KEY_FACTOR) * F.col("mean_cnt"))
+        .select("l_partkey")
+    )
+    li_hot = li.join(F.broadcast(hot), "l_partkey", "left_semi")
+    li_cold = li.join(F.broadcast(hot), "l_partkey", "left_anti")
+    part_hot = part.join(
+        F.broadcast(hot),
+        part.p_partkey == hot.l_partkey,
+        "left_semi",
+    )
+    joined = li_hot.join(
+        F.broadcast(part_hot), li_hot.l_partkey == part_hot.p_partkey
+    ).unionByName(
+        li_cold.join(part, li_cold.l_partkey == part.p_partkey)
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("line_count"),
+        decimal_sum(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO expressed declaratively (SCD-1 upsert): a deterministic
     update feed (urgent orders repriced ×1.1; every 97th order key arrives
@@ -1048,6 +1093,7 @@ QUERIES = {
     "q_date_arith": q_date_arith,
     "q_null_handling": q_null_handling,
     "q_join_salted": q_join_salted,
+    "q_join_skew_split": q_join_skew_split,
     "q_merge_upsert": q_merge_upsert,
 }
 
@@ -1306,6 +1352,14 @@ ORACLES = {
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS revenue
         FROM lineitem GROUP BY 1
+    """,
+    "q_join_skew_split": """
+        SELECT p_brand,
+               count(*) AS line_count,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
     """,
     "q_merge_upsert": """
         WITH feed AS (

@@ -91,6 +91,7 @@ NESTED_LOOP_OK = {
     # deliberate broadcast-NL pairing against the eval-suite-sized
     # benchmark side — corpus-linear with a constant inner side
     "q_decontaminate_semantic",
+    "q_join_skew_split",  # 1-row mean-load scalar crossJoin
 }
 
 
