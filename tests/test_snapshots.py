@@ -234,3 +234,74 @@ def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
     assert _counts(spark, t) == {"d1": set(range(8)), "d2": {99}}
     # pre-compaction version still reads the original files
     assert _counts(spark, t, version=2) == {"d1": set(range(8)), "d2": {99}}
+
+
+# --- model-based property test (hypothesis) --------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PARTS = ["p1", "p2"]
+_op = st.one_of(
+    st.tuples(
+        st.just("overwrite"),
+        st.sampled_from(_PARTS),
+        st.frozensets(st.integers(min_value=0, max_value=9), max_size=4),
+    ),
+    st.tuples(st.just("delete"), st.sampled_from(_PARTS)),
+    st.tuples(st.just("compact")),
+)
+
+
+@given(ops=st.lists(_op, min_size=1, max_size=6))
+@settings(max_examples=12, deadline=None)
+def test_snapshot_log_matches_sequential_model(spark, tmp_path_factory, ops):
+    """Model-based check: apply a random sequence of
+    overwrite/delete/compact operations to BOTH the snapshot log and an
+    in-memory {partition: rowset} model, then verify EVERY committed
+    version reads back as the model's state at that point — i.e. history
+    is immutable and each commit captures exactly one model transition."""
+    from breweries_case_spark.io.snapshots import (
+        commit_delete_partitions,
+        commit_overwrite_partitions,
+        compact_partitions,
+        latest_version,
+        read_snapshot,
+    )
+
+    t = str(tmp_path_factory.mktemp("snapmodel") / "t")
+    model: dict[str, frozenset] = {}
+    states: dict[int, dict[str, frozenset]] = {}
+
+    for op in ops:
+        if op[0] == "overwrite":
+            _, part, rows = op
+            if not rows:
+                continue  # empty frames write no partition dirs — no-op
+            df = spark.createDataFrame(
+                [(i, part) for i in sorted(rows)], "id long, day string"
+            )
+            v = commit_overwrite_partitions(df, t, "day")
+            model[part] = rows
+        elif op[0] == "delete":
+            if latest_version(t) is None:
+                continue
+            v = commit_delete_partitions(t, [op[1]])
+            model.pop(op[1], None)
+        else:  # compact
+            if latest_version(t) is None or not model:
+                continue
+            v = compact_partitions(spark, t)
+        states[v] = dict(model)
+
+    for v, want in states.items():
+        if not want:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError):
+                read_snapshot(spark, t, version=v)
+            continue
+        got: dict[str, set] = {}
+        for r in read_snapshot(spark, t, version=v).collect():
+            got.setdefault(r.day, set()).add(r.id)
+        assert got == {k: set(vset) for k, vset in want.items()}, (v, ops)
