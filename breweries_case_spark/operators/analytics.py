@@ -461,6 +461,147 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", F.col("pos").cast("int").alias("pos"), "word")
 
 
+#: synthetic service-window length for interval construction
+INTERVAL_DAYS = 30
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per customer: each order opens a
+    30-day service window [o_orderdate, o_orderdate+30d]; consolidate
+    overlapping-or-touching windows into maximal covered spans with the
+    order count per span — the range-consolidation primitive behind
+    contract coverage, sensor uptime, and IP-range merging.
+
+    Single-pass plan: one customer-keyed shuffle, a running-max-of-end
+    window flags a new island whenever the next start exceeds every
+    previous end, a running sum numbers the islands, one groupBy emits
+    the spans. All three windows + the final aggregate reuse the SAME
+    o_custkey partitioning — one exchange total, any per-customer
+    interval count."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("ivl_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), INTERVAL_DAYS).alias(
+            "ivl_end"
+        ),
+    )
+    wo = Window.partitionBy("o_custkey").orderBy(
+        "ivl_start", "ivl_end", "o_orderkey"
+    )
+    prev_max_end = F.max("ivl_end").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_max_end.isNull() | (F.col("ivl_start") > prev_max_end)
+    ).cast("int")
+    return (
+        o.withColumn("_new", new_island)
+        .withColumn(
+            "island",
+            F.sum("_new").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("o_custkey", "island")
+        .agg(
+            F.min("ivl_start").alias("span_start"),
+            F.max("ivl_end").alias("span_end"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("o_custkey", "span_start", "span_end", "n_orders")
+    )
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of parts: the (retailprice, size)
+    pairs not dominated by any pair that is cheaper-or-equal AND
+    larger-or-equal (one strict) — minimize price, maximize size.
+
+    Scale path: collapse to per-price max size (one hash agg — equal
+    prices can only be dominated by their own max), then a sorted sweep:
+    a price group survives iff its size beats the running max over all
+    strictly cheaper groups. O(n log n) vs the oracle's O(n²) NOT
+    EXISTS. The sweep window is global-ordered (1 partition) but runs on
+    ≤|distinct prices| rows, and the frontier-of-local-frontiers
+    property means a 100 TB input pre-prunes per partition first — the
+    union of per-partition frontiers contains the global frontier."""
+    p = load_table(spark, sf_dir, "part")
+    best = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("size")
+    )
+    sweep = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_best = F.max("size").over(sweep)
+    return (
+        best.withColumn("_prev", prev_best)
+        .filter(F.col("_prev").isNull() | (F.col("size") > F.col("_prev")))
+        .select("price", "size")
+    )
+
+
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language spread statistics over document length:
+    exact median, IQR (p75−p25), and MAD (median absolute deviation
+    from the median) — the outlier-resistant profile a corpus audit
+    uses where mean/stddev are distorted by the long tail.
+
+    MAD needs the median joined back: phase 1 is one grouped sort-agg,
+    the per-lang medians broadcast (a few rows) into the narrow
+    deviation compute, phase 2 is a second grouped sort-agg. At 100 TB:
+    two shuffles on lang (skew-prone for giant languages — exact
+    percentile sorts within group; swap to percentile_approx per the
+    q_percentile_approx twin when a stratum outgrows sort-spill
+    comfort)."""
+    d = load_table(spark, sf_dir, "documents")
+    quart = d.groupBy("lang").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.5)).alias("_med"),
+        F.percentile(F.col("n_chars"), F.lit(0.25)).alias("_p25"),
+        F.percentile(F.col("n_chars"), F.lit(0.75)).alias("_p75"),
+    )
+    dev = d.join(F.broadcast(quart), "lang").withColumn(
+        "_absdev", F.abs(F.col("n_chars") - F.col("_med"))
+    )
+    return dev.groupBy("lang").agg(
+        F.round(F.first("_med"), 6).alias("median_chars"),
+        F.round(F.first("_p75") - F.first("_p25"), 6).alias("iqr_chars"),
+        F.round(F.percentile(F.col("_absdev"), F.lit(0.5)), 6).alias(
+            "mad_chars"
+        ),
+    )
+
+
+def q_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure rollup: treat each user's event ``value`` as
+    a balance reading — per month, take every user's LAST reading (by
+    ts, event_id tiebreak) and sum those across users. The
+    account-balance/inventory-level pattern where summing over time
+    double-counts but summing the period-end snapshot is correct.
+
+    Plan: one (user, month)-keyed window picks the last reading, the
+    month re-aggregate reuses a prefix of the same hash partitioning.
+    Decimal sums keep the cross-user total reduce-order-invariant."""
+    e = load_table(spark, sf_dir, "events")
+    month = F.date_trunc("month", F.col("ts")).cast("date")
+    w = Window.partitionBy("user_id", "_month").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        e.withColumn("_month", month)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        last.groupBy(F.col("_month").alias("month"))
+        .agg(
+            F.count("*").alias("n_users_reporting"),
+            decimal_sum(F.col("value")).alias("eom_balance"),
+        )
+        .orderBy("month")
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_funnel_windowed": q_funnel_windowed,
@@ -477,6 +618,10 @@ QUERIES = {
     "q_regr_funcs": q_regr_funcs,
     "q_map_funcs": q_map_funcs,
     "q_posexplode": q_posexplode,
+    "q_merge_intervals": q_merge_intervals,
+    "q_pareto_frontier": q_pareto_frontier,
+    "q_robust_stats": q_robust_stats,
+    "q_semi_additive_balance": q_semi_additive_balance,
 }
 
 _MOMENT_SUMS_SQL = """
@@ -712,5 +857,82 @@ ORACLES = {
                     AS INT) AS pos,
                unnest(string_split(p_name, ' ')) AS word
         FROM part
+    """,
+    "q_merge_intervals": f"""
+        WITH iv AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS ivl_start,
+                   CAST(o_orderdate AS DATE) + INTERVAL {INTERVAL_DAYS} DAY
+                       AS ivl_end
+            FROM orders),
+        flagged AS (
+            SELECT o_custkey, ivl_start, ivl_end,
+                   CASE WHEN MAX(ivl_end) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY ivl_start, ivl_end, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR ivl_start > MAX(ivl_end) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY ivl_start, ivl_end, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS _new,
+                   o_orderkey
+            FROM iv),
+        islands AS (
+            SELECT o_custkey, ivl_start, ivl_end,
+                   SUM(_new) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY ivl_start, ivl_end, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+            FROM flagged)
+        SELECT o_custkey,
+               CAST(MIN(ivl_start) AS DATE) AS span_start,
+               CAST(MAX(ivl_end) AS DATE) AS span_end,
+               COUNT(*) AS n_orders
+        FROM islands GROUP BY o_custkey, island
+    """,
+    "q_pareto_frontier": """
+        WITH pts AS (
+            SELECT DISTINCT p_retailprice AS price, p_size AS size
+            FROM part)
+        SELECT price, size FROM pts a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts b
+            WHERE b.price <= a.price AND b.size >= a.size
+              AND (b.price < a.price OR b.size > a.size))
+    """,
+    "q_robust_stats": """
+        WITH q AS (
+            SELECT lang,
+                   quantile_cont(n_chars, 0.5)  AS _med,
+                   quantile_cont(n_chars, 0.25) AS _p25,
+                   quantile_cont(n_chars, 0.75) AS _p75
+            FROM documents GROUP BY lang)
+        SELECT d.lang,
+               ROUND(ANY_VALUE(q._med), 6) AS median_chars,
+               ROUND(ANY_VALUE(q._p75) - ANY_VALUE(q._p25), 6)
+                   AS iqr_chars,
+               ROUND(quantile_cont(ABS(d.n_chars - q._med), 0.5), 6)
+                   AS mad_chars
+        FROM documents d JOIN q USING (lang)
+        GROUP BY d.lang
+    """,
+    "q_semi_additive_balance": """
+        WITH ranked AS (
+            SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+                   user_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('month', ts)
+                       ORDER BY ts DESC, event_id DESC) AS _rn
+            FROM events)
+        SELECT month,
+               COUNT(*) AS n_users_reporting,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS eom_balance
+        FROM ranked WHERE _rn = 1
+        GROUP BY month
     """,
 }

@@ -160,12 +160,85 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: weighted-sample size for priority sampling
+WEIGHTED_SAMPLE_K = 500
+#: train/val/test split percentages (out of 100 hash buckets)
+SPLIT_TRAIN_LT = 80
+SPLIT_VAL_LT = 90
+
+
+def _md5_uniform(col):
+    """Deterministic uniform in (0, 1]: the first 48 bits of md5(key) as
+    an integer, +1, over 2^48. Spark spells hex→int as ``conv(h,16,10)``,
+    DuckDB as ``CAST('0x'||h AS BIGINT)`` — both exact, and the division
+    is one IEEE op, so the doubles are bit-identical across engines
+    (the module's no-transcendentals determinism stance)."""
+    h = F.substring(F.md5(col.cast("string")), 1, 12)
+    return (F.conv(h, 16, 10).cast("long") + F.lit(1)) / F.lit(
+        float(2**48)
+    )
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample-without-replacement of documents, weight =
+    ``n_chars``, via priority sampling (Duffield–Lund–Thorup): each row
+    gets priority ``w / u`` with a deterministic md5-derived uniform
+    ``u``; keep the top-k priorities. Long documents are proportionally
+    likelier, yet the kept set is layout/retry/engine-invariant — unlike
+    ``df.sample``-style weighted reservoirs whose output depends on
+    partitioning.
+
+    Exact arithmetic only (one division — no ``pow(u, 1/w)`` as in the
+    A-ES scheme, whose exp/log round differently across libm builds), so
+    the DuckDB twin matches bit-for-bit. Plan shape: narrow per-row
+    priority compute → global top-k = TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows, no shuffle of the data itself)."""
+    d = load_table(spark, sf_dir, "documents")
+    pri = (F.col("n_chars") / _md5_uniform(F.col("doc_id"))).alias(
+        "priority"
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", pri)
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: bucket =
+    md5-derived 48-bit integer mod 100. The split every eval pipeline
+    needs to be REPRODUCIBLE — same doc lands in the same split on any
+    cluster, any re-run, any engine; adding new docs never reshuffles
+    existing assignments (the property a random split with a seed does
+    NOT have under repartitioning). Stateless per-row expression: zero
+    shuffles, scan-adjacent at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
 QUERIES = {
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
     "q_scd2_compress": q_scd2_compress,
     "q_profile_columns": q_profile_columns,
     "q_sample_token_budget": q_sample_token_budget,
+    "q_sample_weighted": q_sample_weighted,
+    "q_split_train_val_test": q_split_train_val_test,
 }
 
 ORACLES = {
@@ -235,5 +308,28 @@ ORACLES = {
                         AS BIGINT) AS cum_tokens
             FROM documents)
         WHERE cum_tokens <= 20000
+    """,
+    "q_sample_weighted": f"""
+        SELECT doc_id, source, n_chars,
+               n_chars / ((CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) + 1) / {float(2**48)!r}) AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id
+        LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+    "q_split_train_val_test": f"""
+        SELECT doc_id, source,
+               CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                   AS BIGINT) % 100 AS bucket,
+               CASE WHEN CAST(concat('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) % 100 < {SPLIT_TRAIN_LT} THEN 'train'
+                    WHEN CAST(concat('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) % 100 < {SPLIT_VAL_LT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
     """,
 }
