@@ -82,6 +82,7 @@ def _modules() -> list:
         "modern_sql",
         "training_mix",
         "graph",
+        "entity",
     ):
         mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
         modules.append(mod)

@@ -326,6 +326,54 @@ def q_doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: span width (tokens) for fine-grained duplication analysis
+DUP_SPAN_N = 8
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained substring duplication: per document, the fraction of
+    8-token spans that also occur in ANOTHER document — the
+    span-level signal behind Lee et al. 2022's "Deduplicating Training
+    Data Makes Language Models Better" (ExactSubstr), re-expressed as
+    n-gram inventory instead of suffix arrays: a span is duplicated iff
+    its 8-gram appears under >1 distinct doc_id. Doc-level dedup misses
+    these partial overlaps (quote farms, boilerplate headers, syndicated
+    paragraphs); this id quantifies them for span-masking or filtering.
+
+    Plan: explode spans (narrow) → md5 the gram so the shuffle carries a
+    32-char key instead of arbitrary-width text → distinct-doc count per
+    gram (map-side combining) → gram-keyed join back → doc-keyed
+    aggregate. Two shuffles on the gram hash, one on doc_id — the exact
+    MapReduce shape of the paper's scalable variant. Docs shorter than
+    8 tokens emit no spans and drop out (both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = _ngram_rows(d, DUP_SPAN_N).select(
+        "doc_id", F.md5(F.col("g")).alias("h")
+    )
+    docs_per_gram = g.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    counted = (
+        g.join(docs_per_gram, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return counted.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        (
+            F.floor(
+                F.col("n_dup_spans") / F.col("n_spans") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("dup_frac"),
+    )
+
+
 QUERIES = {
     "q_token_count": q_token_count,
     "q_text_stats": q_text_stats,
@@ -338,6 +386,7 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_ngram_lm_score": q_ngram_lm_score,
     "q_doc_ngram_topk": q_doc_ngram_topk,
+    "q_dup_span_fraction": q_dup_span_fraction,
 }
 
 ORACLES = {
@@ -486,5 +535,28 @@ ORACLES = {
         SELECT doc_id, lang, source FROM documents
         WHERE doc_id % 97 <> 0
           AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    "q_dup_span_fraction": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS tk
+            FROM documents),
+        g AS (
+            SELECT doc_id, md5(gram) AS h FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(tk) - 7),
+                           i -> array_to_string(tk[i:i+7], ' '))) AS gram
+                FROM t)),
+        nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY h)
+        SELECT g.doc_id,
+               count(*) AS n_spans,
+               CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans,
+               FLOOR(CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) / count(*) * 1000000.0 + 0.5)
+                   / 1000000.0 AS dup_frac
+        FROM g JOIN nd USING (h)
+        GROUP BY g.doc_id
     """,
 }
