@@ -126,6 +126,17 @@ EXTENDED = [
     "q_variant_json",
     "q_recursive_cte",
     "q_quality_expectations",
+    # round-4 second wave: record linkage (blocked JW verify is the one
+    # pandas-UDF hot path — blocking ratio is what's being measured),
+    # span-level duplication (two gram-hash shuffles), grid spatial
+    # join, and the heavier of the new analytics (two grouped
+    # percentile passes). The narrow ones (weighted/split samplers,
+    # interval merge, Pareto sweep, semi-additive) stay out for leanness.
+    "q_join_jaro",
+    "q_entity_resolution",
+    "q_dup_span_fraction",
+    "q_geo_join_radius",
+    "q_robust_stats",
 ]
 
 

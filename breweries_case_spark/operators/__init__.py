@@ -83,6 +83,7 @@ def _modules() -> list:
         "training_mix",
         "graph",
         "entity",
+        "geo",
     ):
         mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
         modules.append(mod)

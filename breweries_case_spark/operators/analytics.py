@@ -602,6 +602,38 @@ def q_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, value-checked: split events into an
+    'existing state' shard (event_id % 5 != 4) and a 'new arrivals'
+    shard, partial-aggregate EACH SEPARATELY as (count, exact decimal
+    sum) state rows, then MERGE states by re-aggregating the union — and
+    the result must equal the oracle's one-shot aggregate over all
+    events. This is the mergeable-state discipline of
+    pipelines/incremental.py (HLL rollups) made driver-checkable: counts
+    and decimal sums are exactly mergeable, so the nightly-delta merge
+    path provably equals full recompute. Finalization (cast to double)
+    happens only AFTER the merge — merging finalized doubles would
+    reintroduce reduce-order drift."""
+    e = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+
+    old_state = partial(e.filter(F.col("event_id") % 5 != 4))
+    new_state = partial(e.filter(F.col("event_id") % 5 == 4))
+    return (
+        old_state.unionByName(new_state)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("double").alias("total_value"),
+        )
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_funnel_windowed": q_funnel_windowed,
@@ -622,6 +654,7 @@ QUERIES = {
     "q_pareto_frontier": q_pareto_frontier,
     "q_robust_stats": q_robust_stats,
     "q_semi_additive_balance": q_semi_additive_balance,
+    "q_incremental_agg_merge": q_incremental_agg_merge,
 }
 
 _MOMENT_SUMS_SQL = """
@@ -934,5 +967,13 @@ ORACLES = {
                    AS eom_balance
         FROM ranked WHERE _rn = 1
         GROUP BY month
+    """,
+    "q_incremental_agg_merge": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY event_type
     """,
 }

@@ -150,13 +150,72 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas_udf: per-returnflag trimmed
+    mean of l_quantity (drop one min and one max occurrence, average the
+    rest) — the aggregate-API shape the other two operators here don't
+    cover (applyInPandas = grouped MAP, UDTF = lateral; this is grouped
+    REDUCE, usable inside ``.agg`` beside built-ins and partially
+    Arrow-batched per group).
+
+    Oracle-exactness argument: l_quantity values are integral doubles,
+    so pandas' ``s.sum()`` is exact regardless of reduce order (< 2^53),
+    min/max are exact, and the single division is one IEEE op — the
+    same no-transcendentals discipline as functions/numeric.py. Scale:
+    one shuffle on the group key; a GROUPED_AGG UDF must see each group
+    whole, so giant groups need the same sub-salt + re-merge treatment
+    as applyInPandas (trimmed mean is not losslessly mergeable — the
+    min/max must be global)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _tm(s):
+        n = len(s)
+        if n <= 2:
+            return float("nan")
+        return float((s.sum() - s.min() - s.max()) / (n - 2))
+
+    # real annotation objects (Series -> float selects the GROUPED_AGG
+    # eval type); the module's `from __future__ import annotations`
+    # would stringify inline hints and break the inference
+    _tm.__annotations__ = {"s": pd.Series, "return": float}
+    trimmed_mean = pandas_udf("double")(_tm)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one .agg (INVALID_PANDAS_UDF_PLACEMENT), so the row
+    # count comes from a second tiny aggregate joined back (3 groups —
+    # AQE broadcasts it)
+    tm = li.groupBy("l_returnflag").agg(
+        trimmed_mean(F.col("l_quantity")).alias("_tm")
+    )
+    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
+    return tm.join(counts, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        (F.floor(F.col("_tm") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "trimmed_mean_qty"
+        ),
+    )
+
+
 QUERIES = {
     "q_applyinpandas_minmax": q_applyinpandas_minmax,
+    "q_pandas_grouped_agg": q_pandas_grouped_agg,
     "q_udtf_chunks": q_udtf_chunks,
     "q_pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
+    "q_pandas_grouped_agg": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               FLOOR((SUM(l_quantity) - MIN(l_quantity) - MAX(l_quantity))
+                     / (count(*) - 2) * 1000000.0 + 0.5) / 1000000.0
+                   AS trimmed_mean_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "q_applyinpandas_minmax": """
         SELECT doc_id, lang, n_chars,
                CAST(n_chars - min(n_chars) OVER (PARTITION BY lang) AS DOUBLE)
