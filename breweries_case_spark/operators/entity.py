@@ -156,34 +156,60 @@ def _dirty_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked candidate pairs with raw JW attached (shared by both
-    registered ids)."""
-    clean = _clean_records(spark, sf_dir).withColumn(
-        "block", F.substring("addr", 1, BLOCK_PREFIX)
-    )
-    dirty = _dirty_records(spark, sf_dir).withColumn(
-        "block", F.substring("addr", 1, BLOCK_PREFIX)
-    )
-    # staged verify: blocking leaves ~n²/16^p candidates (≈880k at
-    # sf0.1) — far too many rows to hand a 20 µs/pair Python UDF.
-    # Spark's bounded levenshtein(l, r, k) is whole-stage-codegen
-    # JVM-side and O(k·min(l₁,l₂)): it prunes candidates to ~the true
-    # pairs (measured 18.5 s → ~1 s at sf0.1), and the gate is part of
-    # the declared match contract (lev ≤ 2 AND jw ≥ 0.9), mirrored in
-    # the oracle, so the cascade changes cost, never semantics.
-    return (
-        clean.alias("c")
-        .join(dirty.alias("d"), "block")
-        .filter(
-            F.levenshtein(F.col("c.addr"), F.col("d.addr"), LEV_GATE)
-            != F.lit(-1)
+    registered ids).
+
+    Dual-pass blocking (prefix block ∪ suffix block): a candidate pair
+    must agree on the first OR the last BLOCK_PREFIX characters. A
+    single-character edit cannot change both ends of a ≥ 2·prefix-char
+    string, so true one-edit pairs have 100 % blocking recall — the
+    pigeonhole argument of SimHash's chunk blocking and the standard
+    multi-pass remedy for prefix-only blocking's dropped-first-char
+    blind spot. Implemented as two equi-joins UNION'd then
+    pair-deduplicated (NOT one OR-join, which Catalyst could only plan
+    as a nested loop).
+
+    Staged verify: blocking still leaves ~2·n²/16^p candidates (≈1.8 M
+    at sf0.1) — far too many rows to hand a ~20 µs/pair Python UDF.
+    Spark's bounded levenshtein(l, r, k) is whole-stage-codegen
+    JVM-side and O(k·min(l₁,l₂)): it prunes candidates to ~the true
+    pairs (measured 18.5 s → ~2 s at sf0.1), and the gate is part of
+    the declared match contract (lev ≤ 2 AND jw ≥ 0.9), mirrored in
+    the oracle, so the cascade changes cost, never semantics."""
+    clean = _clean_records(spark, sf_dir)
+    dirty = _dirty_records(spark, sf_dir)
+
+    def blocked(prefix: bool) -> DataFrame:
+        key = (
+            F.substring("addr", 1, BLOCK_PREFIX)
+            if prefix
+            else F.substring("addr", -BLOCK_PREFIX, BLOCK_PREFIX)
         )
-        .select(
-            "clean_id",
-            "dirty_id",
-            _jw_udf()(F.col("c.addr"), F.col("d.addr")).alias("_jw"),
+        return (
+            clean.withColumn("block", key)
+            .alias("c")
+            .join(dirty.withColumn("block", key).alias("d"), "block")
+            .filter(
+                F.levenshtein(F.col("c.addr"), F.col("d.addr"), LEV_GATE)
+                != F.lit(-1)
+            )
+            .select(
+                "clean_id",
+                "dirty_id",
+                F.col("c.addr").alias("addr_c"),
+                F.col("d.addr").alias("addr_d"),
+            )
         )
-        .filter(F.col("_jw") >= JW_THRESHOLD)
+
+    cand = (
+        blocked(prefix=True)
+        .unionByName(blocked(prefix=False))
+        .dropDuplicates(["clean_id", "dirty_id"])
     )
+    return cand.select(
+        "clean_id",
+        "dirty_id",
+        _jw_udf()(F.col("addr_c"), F.col("addr_d")).alias("_jw"),
+    ).filter(F.col("_jw") >= JW_THRESHOLD)
 
 
 def q_join_jaro(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,8 +280,12 @@ _RECORDS_CTES = f"""
             SELECT clean_id, dirty_id,
                    jaro_winkler_similarity(c.addr, d.addr) AS jw_raw
             FROM clean c JOIN dirty d
-              ON substr(c.addr, 1, {BLOCK_PREFIX}) =
-                 substr(d.addr, 1, {BLOCK_PREFIX})
+              ON (substr(c.addr, 1, {BLOCK_PREFIX}) =
+                  substr(d.addr, 1, {BLOCK_PREFIX})
+                  OR substr(c.addr, length(c.addr) - {BLOCK_PREFIX - 1},
+                            {BLOCK_PREFIX}) =
+                     substr(d.addr, length(d.addr) - {BLOCK_PREFIX - 1},
+                            {BLOCK_PREFIX}))
             WHERE levenshtein(c.addr, d.addr) <= {LEV_GATE}
               AND jaro_winkler_similarity(c.addr, d.addr)
                       >= {JW_THRESHOLD})

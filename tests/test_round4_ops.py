@@ -46,10 +46,11 @@ def test_jaro_winkler_matches_duckdb_bitwise():
 def test_join_jaro_links_are_exactly_the_blocked_true_pairs(spark, sf_dir):
     """On the clean-vs-one-char-dropped fixture the output must be
     PRECISE (every link is a true clean/dirty pairing — no impostors at
-    threshold 0.9 on 20-char hex) and its recall loss must be exactly
-    the blocking loss: a true pair appears iff the two records' block
-    prefixes still agree after the drop (a one-char drop always passes
-    the lev ≤ 2 gate, so the gate never costs recall here)."""
+    threshold 0.9 on 20-char hex) and COMPLETE: dual prefix∪suffix
+    blocking means a one-char drop cannot escape both blocks
+    (pigeonhole), and a one-char drop always passes the lev ≤ 2 gate —
+    so EVERY true pair with jw ≥ 0.9 must appear. The test derives the
+    expected set from the block rule from first principles."""
     from breweries_case_spark.operators.entity import (
         BLOCK_PREFIX,
         DIRTY_OFFSET,
@@ -73,10 +74,20 @@ def test_join_jaro_links_are_exactly_the_blocked_true_pairs(spark, sf_dir):
     expected = {
         (k, k + DIRTY_OFFSET)
         for k, addr in clean.items()
-        if addr[:BLOCK_PREFIX] == dirty[k + DIRTY_OFFSET][:BLOCK_PREFIX]
+        if (
+            addr[:BLOCK_PREFIX]
+            == dirty[k + DIRTY_OFFSET][:BLOCK_PREFIX]
+            or addr[-BLOCK_PREFIX:] == dirty[k + DIRTY_OFFSET][-BLOCK_PREFIX:]
+        )
         and jaro_winkler(addr, dirty[k + DIRTY_OFFSET]) >= 0.9
     }
     assert got == expected
+    # pigeonhole: dual blocking recovers EVERY true pair above threshold
+    assert expected == {
+        (k, k + DIRTY_OFFSET)
+        for k, addr in clean.items()
+        if jaro_winkler(addr, dirty[k + DIRTY_OFFSET]) >= 0.9
+    }
     assert len(got) > 0
 
 
