@@ -340,26 +340,32 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     these partial overlaps (quote farms, boilerplate headers, syndicated
     paragraphs); this id quantifies them for span-masking or filtering.
 
-    Plan: explode spans (narrow) → md5 the gram so the shuffle carries a
-    32-char key instead of arbitrary-width text → distinct-doc count per
-    gram (map-side combining) → gram-keyed join back → doc-keyed
-    aggregate. Two shuffles on the gram hash, one on doc_id — the exact
+    Plan: explode spans (narrow) → md5 the gram so every later key is 32
+    chars instead of arbitrary-width text → ONE partial-aggregating
+    shuffle to per-(doc, gram) occurrence counts (the corpus is scanned,
+    tokenized and hashed exactly once — a groupBy-then-join-back shape
+    was measured re-exploding the corpus twice with no exchange reuse) →
+    a gram-keyed window for the total per gram: a span is duplicated iff
+    the gram's corpus total exceeds its own-doc occurrences — exactly
+    "appears in another doc", with no distinct-count and no join → one
+    doc-keyed aggregate. Three shuffles over shrinking row sets, the
     MapReduce shape of the paper's scalable variant. Docs shorter than
     8 tokens emit no spans and drop out (both engines)."""
     d = load_table(spark, sf_dir, "documents")
     g = _ngram_rows(d, DUP_SPAN_N).select(
         "doc_id", F.md5(F.col("g")).alias("h")
     )
-    docs_per_gram = g.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("nd")
+    occ = g.groupBy("doc_id", "h").agg(F.count("*").alias("occ"))
+    tot = occ.withColumn(
+        "tot", F.sum("occ").over(Window.partitionBy("h"))
     )
-    counted = (
-        g.join(docs_per_gram, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_spans"),
-        )
+    counted = tot.groupBy("doc_id").agg(
+        F.sum("occ").alias("n_spans"),
+        F.sum(
+            F.when(F.col("tot") > F.col("occ"), F.col("occ")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_dup_spans"),
     )
     return counted.select(
         "doc_id",
