@@ -228,6 +228,26 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, daily.schema)
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the third streaming join mode
+    beside stream-stream inner/outer: the event stream broadcast-joined
+    per microbatch against the (batch) customer dimension. The static
+    side is RE-READ each microbatch by Spark's contract, so dimension
+    updates between batches are picked up — the standard Kafka-enrich
+    topology. No watermark and append-mode inner join make the replay
+    output deterministic, so unlike the other true-streaming ids this
+    one is ORACLE-BACKED: the driver value-checks real Structured
+    Streaming execution against the plain batch join SQL."""
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id").select(
+        "event_id", "user_id", "event_type", "c_mktsegment"
+    )
+    return run_stream_to_memory(joined, "stream_static_out")
+
+
 QUERIES = {
     "q_stream_tumbling_batch": q_stream_tumbling_batch,
     "q_stream_sink_parquet": q_stream_sink_parquet,
@@ -241,6 +261,7 @@ QUERIES = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_join": q_stream_join,
     "q_stream_join_outer": q_stream_join_outer,
+    "q_stream_static_join": q_stream_static_join,
 }
 
 # Spark's F.window FLOORS from the Unix epoch. DuckDB's // truncates
@@ -274,6 +295,10 @@ _SESSIONS_CTE = f"""
 """
 
 ORACLES = {
+    "q_stream_static_join": """
+        SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
     "q_stream_tumbling_batch": f"""
         SELECT {_BUCKET5} AS window_start, event_type,
                count(*) AS n_events,
