@@ -7,15 +7,18 @@ Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
 Python row objects.
 
 Decode is REAL for the formats a pure-stdlib parser covers: RIFF/WAV
-(PCM16) and 24-bit BMP, with matching synthesizers (``synth_media_table``)
-so the decode/resize pipelines run end-to-end on genuine binaries —
-``q_multimodal_decode`` / ``q_multimodal_resize_real``. Video containers
-need an actual codec library (av/ffmpeg) absent here, so that branch is
-the one remaining clearly-marked ``NotImplementedError`` stub, shadowed by
-a deterministic fake that keeps the Spark-side contract — schema, batch
-shape, 1→N cardinality — real and tested. The driver's testdata has no
-binary table, so the oracle-checked metadata query derives media from
-``documents`` (text bytes as payload)."""
+(PCM16), 24-bit BMP, and the IVF video container (libvpx/AV1's
+test-stream format — 32-byte DKIF header + size/PTS-prefixed frames),
+with matching synthesizers (``synth_media_table``) so the
+decode/resize/frame-sample pipelines run end-to-end on genuine binaries
+— ``q_multimodal_decode`` / ``q_multimodal_resize_real`` /
+``q_multimodal_frames_real``. COMPRESSED codecs (JPEG/MP3/H.264 frame
+payloads) genuinely need av/ffmpeg/PIL, absent here: that single
+``NotImplementedError`` remains, shadowed by the container-level real
+paths and the deterministic fakes that keep the Spark-side contract —
+schema, batch shape, 1→N cardinality — real and tested. The driver's
+testdata has no binary table, so the oracle-checked metadata query
+derives media from ``documents`` (text bytes as payload)."""
 
 from __future__ import annotations
 
@@ -54,14 +57,14 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media table whose audio/image payloads are REAL binaries the
-    stdlib codecs above can round-trip: audio docs carry a deterministic
-    sawtooth PCM16 WAV (period/length derived from doc_id/n_chars),
-    image docs an 8×8 24-bit BMP whose pixels hash (x, y, doc_id).
-    Video docs keep fake bytes — synthesizing a real container needs the
-    same codec libs decoding one would. Built in mapInPandas so bytes are
-    assembled batch-wise Python-side and travel to the JVM as Arrow
-    binary, never row objects."""
+    """Media table whose payloads are REAL binaries the stdlib codecs
+    above can round-trip: audio docs carry a deterministic sawtooth
+    PCM16 WAV (period/length derived from doc_id/n_chars), image docs an
+    8×8 24-bit BMP whose pixels hash (x, y, doc_id), video docs an IVF
+    container of 4 BMP frames at 250 ms cadence (frame pixels vary with
+    PTS so sampled frames are distinguishable). Built in mapInPandas so
+    bytes are assembled batch-wise Python-side and travel to the JVM as
+    Arrow binary, never row objects."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
     def run(batches):
@@ -86,7 +89,22 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                     )
                 else:
-                    content = bytes((int(doc_id) + i) % 256 for i in range(64))
+                    # real IVF container: 4 BMP frames at 250 ms cadence
+                    frames = [
+                        (
+                            ms,
+                            make_bmp(
+                                8, 8,
+                                lambda x, y, s=int(doc_id), k=ms: (
+                                    (x * 31 + s + k) % 256,
+                                    (y * 57 + s) % 256,
+                                    (x * y + s + k) % 256,
+                                ),
+                            ),
+                        )
+                        for ms in (0, 250, 500, 750)
+                    ]
+                    content = make_ivf(frames, 8, 8)
                 out["media_id"].append(int(doc_id))
                 out["modality"].append(m)
                 out["content"].append(content)
@@ -112,9 +130,9 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-# --- real pure-stdlib codecs: RIFF/WAV (PCM16 mono) and BMP (24-bit) --------
-# Public formats, no external libs. Video containers genuinely need a codec
-# library, so that branch stays a clearly-marked stub.
+# --- real pure-stdlib codecs: RIFF/WAV (PCM16 mono), BMP (24-bit), and ----
+# the IVF video container (DKIF). Public formats, no external libs;
+# only COMPRESSED payloads (JPEG/MP3/H.264) would need a codec library.
 
 
 def make_wav(samples: list[int], sample_rate: int = 16000) -> bytes:
@@ -186,6 +204,61 @@ def make_bmp(width: int, height: int, pixel_fn) -> bytes:
     )
 
 
+def make_ivf(
+    frames: list[tuple[int, bytes]], width: int, height: int
+) -> bytes:
+    """Encode timestamped frame payloads as an IVF container — the
+    public fixed-layout format libvpx/AV1 test streams use (32-byte
+    "DKIF" file header; per-frame 12-byte size+PTS header). Timebase is
+    1/1000 so PTS is in milliseconds. Payload codec here is our 24-bit
+    BMP (FourCC "BMP "), keeping the whole stack stdlib-decodable; a
+    real VP9/AV1 payload changes only the FourCC and the frame bytes."""
+    import struct
+
+    head = (
+        b"DKIF"
+        + struct.pack("<HH", 0, 32)  # version, header size
+        + b"BMP "
+        + struct.pack("<HH", width, height)
+        + struct.pack("<II", 1000, 1)  # timebase den, num → PTS in ms
+        + struct.pack("<II", len(frames), 0)
+    )
+    body = b"".join(
+        struct.pack("<IQ", len(payload), pts) + payload
+        for pts, payload in frames
+    )
+    return head + body
+
+
+def parse_ivf(content: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """Decode an IVF container → (width, height, [(pts_ms, payload)]).
+    Walks the frame headers like a real demuxer (size-prefixed, no
+    index); validates magic, header size, and the 1/1000 timebase this
+    encoder emits; rejects truncated frames."""
+    import struct
+
+    if content[:4] != b"DKIF":
+        raise ValueError("not an IVF stream")
+    _, hdr_size = struct.unpack("<HH", content[4:8])
+    width, height = struct.unpack("<HH", content[12:16])
+    den, num = struct.unpack("<II", content[16:24])
+    n_frames = struct.unpack("<I", content[24:28])[0]
+    if (den, num) != (1000, 1):
+        raise ValueError(f"unsupported IVF timebase {num}/{den}")
+    frames: list[tuple[int, bytes]] = []
+    pos = hdr_size
+    for _ in range(n_frames):
+        if pos + 12 > len(content):
+            raise ValueError("truncated IVF frame header")
+        size, pts = struct.unpack("<IQ", content[pos : pos + 12])
+        payload = content[pos + 12 : pos + 12 + size]
+        if len(payload) != size:
+            raise ValueError("truncated IVF frame payload")
+        frames.append((int(pts), payload))
+        pos += 12 + size
+    return width, height, frames
+
+
 def parse_bmp(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """Decode a 24-bit uncompressed BMP → (width, height, row-major
     top-down pixel list)."""
@@ -218,11 +291,11 @@ def parse_bmp(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
 
 def _decode_real(content: bytes, modality: str) -> list[float]:
     """REAL decode/feature-extract for the formats a pure-stdlib parser
-    can handle: RIFF/WAV audio (rate, n_samples, mean|amplitude|, peak)
-    and 24-bit BMP images (width, height, mean intensity, peak). Video
-    containers require an actual codec library (av/ffmpeg) absent from
-    this container — that branch is the one remaining clearly-marked
-    stub."""
+    can handle: RIFF/WAV audio (n_samples, rate, mean|amplitude|, peak),
+    24-bit BMP images (width, height, mean intensity, peak), and IVF
+    video containers (n_frames, last PTS ms, width, height). Compressed
+    codecs (JPEG/MP3/H.264) would need av/ffmpeg/PIL, absent here —
+    that single branch remains the clearly-marked NotImplementedError."""
     if content[:4] == b"RIFF":
         rate, samples = parse_wav(content)
         n = len(samples)
@@ -234,9 +307,14 @@ def _decode_real(content: bytes, modality: str) -> list[float]:
         flat = [c for p in px for c in p]
         mean_px = sum(flat) / len(flat) if flat else 0.0
         return [float(w), float(h), mean_px, float(max(flat, default=0))]
+    if content[:4] == b"DKIF":
+        w, h, frames = parse_ivf(content)
+        last_pts = float(frames[-1][0]) if frames else 0.0
+        return [float(len(frames)), last_pts, float(w), float(h)]
     raise NotImplementedError(
-        "video/compressed media decode requires codec libraries "
-        "(av/ffmpeg/PIL) not installed; WAV and BMP decode ARE real here"
+        "compressed media decode (JPEG/MP3/H.264 ...) requires codec "
+        "libraries (av/ffmpeg/PIL) not installed; WAV, BMP and IVF "
+        "demux ARE real here"
     )
 
 
@@ -358,17 +436,47 @@ def sample_frames(
     media: DataFrame, every_ms: int = 1000, use_real_decode: bool = False
 ) -> DataFrame:
     """Video frame sampling (mapInPandas, 1→N rows per video): one frame
-    per ``every_ms`` of duration_ms. The real path
-    (``use_real_decode=True``) needs a video codec and is a
-    clearly-marked STUB; the default fake emits a 16-byte slice per
-    sampled timestamp. The 1→N batch shape (output rows ≠ input rows) is
-    exactly what a real frame sampler produces — mapInPandas is the right
-    tool because a pandas_udf cannot change cardinality."""
+    per ``every_ms``. The real path (``use_real_decode=True``) demuxes
+    the IVF container: for each ``every_ms`` bucket it emits the first
+    frame whose PTS is at-or-after the bucket start — the standard
+    "one keyframe per interval" sampler — with the BMP payload intact
+    (decodable downstream by ``parse_bmp``). It expects
+    ``synth_media_table``-style IVF content and raises on anything else
+    (same contract as ``resize_images(use_real_decode=True)``). The fake
+    path emits a 16-byte slice per ``duration_ms`` tick over arbitrary
+    bytes. Either way the 1→N batch shape (output rows ≠ input rows) is
+    exactly what a real frame sampler produces — mapInPandas is the
+    right tool because a pandas_udf cannot change cardinality."""
     if use_real_decode:
-        raise NotImplementedError(
-            "real frame sampling requires av/ffmpeg wiring; the default "
-            "fake path exercises the full Spark plumbing"
-        )
+
+        def run_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf[pdf["modality"] == "video"]
+                out = {
+                    "media_id": [],
+                    "frame_idx": [],
+                    "frame_ms": [],
+                    "frame": [],
+                }
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    _, _, frames = parse_ivf(bytes(content or b""))
+                    next_bucket = 0
+                    idx = 0
+                    for pts, payload in frames:  # PTS-ordered by demux
+                        if pts >= next_bucket:
+                            out["media_id"].append(mid)
+                            out["frame_idx"].append(idx)
+                            out["frame_ms"].append(pts)
+                            out["frame"].append(payload)
+                            idx += 1
+                            next_bucket = (
+                                pts // every_ms + 1
+                            ) * every_ms
+                yield pd.DataFrame(out)
+
+        return media.mapInPandas(run_real, FRAME_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -401,17 +509,27 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(build_media_table(spark, sf_dir))
 
 
+def q_multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame-sampling pipeline (rows-only): genuine IVF containers
+    (``synth_media_table``) demuxed by the stdlib parser, one frame per
+    500 ms bucket, BMP payloads intact. Closed-form equality with the
+    synthesized frame list is unit-tested."""
+    return sample_frames(
+        synth_media_table(spark, sf_dir),
+        every_ms=500,
+        use_real_decode=True,
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode pipeline (rows-only): synthesize genuine WAV/BMP
+    """REAL decode pipeline (rows-only): synthesize genuine WAV/BMP/IVF
     binaries (``synth_media_table``), then extract features with the
     stdlib parsers — audio rows carry (n_samples, rate, mean|amp|, peak),
-    image rows (w, h, mean intensity, peak). Video is excluded here
-    because its decode is the one honest stub left. This is the
-    end-to-end path a real multimodal pipeline runs: binary column in,
-    Arrow batch to Python, bytes → parsed media → features, Arrow back."""
-    media = synth_media_table(spark, sf_dir).filter(
-        F.col("modality") != "video"
-    )
+    image rows (w, h, mean intensity, peak), video rows (n_frames,
+    last PTS, w, h). This is the end-to-end path a real multimodal
+    pipeline runs: binary column in, Arrow batch to Python, bytes →
+    parsed media → features, Arrow back."""
+    media = synth_media_table(spark, sf_dir)
     return extract_features(media, use_real_decode=True)
 
 
@@ -450,6 +568,7 @@ QUERIES = {
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_resize_real": q_multimodal_resize_real,
+    "q_multimodal_frames_real": q_multimodal_frames_real,
 }
 
 ORACLES = {

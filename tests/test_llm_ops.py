@@ -193,6 +193,48 @@ def test_wav_bmp_codecs_round_trip():
     assert pixels == [px(x, y) for y in range(3) for x in range(5)]
 
 
+def test_ivf_container_round_trip():
+    """The IVF muxer/demuxer must be real inverses: header fields,
+    per-frame size/PTS walking, truncation rejection."""
+    from breweries_case_spark.operators.multimodal import make_ivf, parse_ivf
+
+    frames = [(0, b"alpha"), (250, b"bee"), (1000, b"c" * 300)]
+    blob = make_ivf(frames, 320, 240)
+    w, h, got = parse_ivf(blob)
+    assert (w, h) == (320, 240)
+    assert got == frames
+    assert parse_ivf(make_ivf([], 8, 8)) == (8, 8, [])
+    with pytest.raises(ValueError):
+        parse_ivf(b"nope")
+    with pytest.raises(ValueError):
+        parse_ivf(blob[:-1])  # truncated last payload
+
+
+def test_multimodal_real_frame_sampling(spark, sf_dir):
+    """Real IVF frame sampling: one frame per 500 ms bucket over the
+    synthesized 0/250/500/750 ms streams → PTS 0 and 500 exactly, and
+    every emitted payload must itself parse as the synthesized 8×8 BMP
+    for that (doc, PTS)."""
+    from breweries_case_spark.operators.multimodal import (
+        parse_bmp,
+        q_multimodal_frames_real,
+    )
+
+    rows = q_multimodal_frames_real(spark, sf_dir).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_media.items():
+        assert sorted(r.frame_ms for r in rs) == [0, 500]
+        assert sorted(r.frame_idx for r in rs) == [0, 1]
+        for r in rs:
+            w, h, px = parse_bmp(bytes(r.frame))
+            assert (w, h) == (8, 8)
+            s, k = mid, r.frame_ms
+            assert px[0] == ((s + k) % 256, s % 256, (s + k) % 256)
+
+
 def test_multimodal_real_decode_features(spark, sf_dir):
     """End-to-end real decode: synthesized WAV/BMP binaries through the
     Arrow pipeline must yield the generator's closed-form features."""
@@ -217,9 +259,12 @@ def test_multimodal_real_decode_features(spark, sf_dir):
             assert r.features[1] == 16000.0
             exp_mean = sum(abs(s) for s in samples) / n if n else 0.0
             assert abs(r.features[2] - exp_mean) < 1e-9
-        else:
-            assert r.modality == "image"
+        elif r.modality == "image":
             assert r.features[0] == 8.0 and r.features[1] == 8.0
+        else:
+            assert r.modality == "video"
+            # 4 frames at 0/250/500/750 ms, 8x8
+            assert r.features == [4.0, 750.0, 8.0, 8.0]
 
 
 def test_multimodal_real_resize_round_trips(spark, sf_dir):
