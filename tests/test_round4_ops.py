@@ -307,6 +307,38 @@ def test_semi_additive_takes_last_reading_per_user_month(
     assert out == {"2024-01-01": (2, 35.0), "2024-02-01": (1, 99.0)}
 
 
+# ------------------------------------------------------------ pruning
+
+#: ids whose plans must NOT read documents.text — they project only
+#: metadata columns, and at 100 TB dragging the wide text column through
+#: the scan is the difference between a metadata query and a full-corpus
+#: read. (q_sample_weighted keys on n_chars, q_split on doc_id.)
+TEXT_FREE_IDS = [
+    "q_sample_weighted",
+    "q_split_train_val_test",
+    "q_robust_stats",
+]
+
+
+def test_document_metadata_queries_prune_text_column(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for qid in TEXT_FREE_IDS:
+        df = qs[qid](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = [
+            ln
+            for ln in plan.splitlines()
+            if "ReadSchema" in ln and "documents" in ln
+        ]
+        assert scans, f"{qid}: no documents scan found\n{plan}"
+        for ln in scans:
+            assert "text" not in ln.split("ReadSchema")[1], (
+                f"{qid} reads documents.text: {ln}"
+            )
+
+
 # ------------------------------------------------------------- sampling
 
 def test_weighted_sample_is_deterministic_and_formula_exact(spark, sf_dir):
