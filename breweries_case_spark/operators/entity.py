@@ -154,9 +154,18 @@ def _dirty_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jw_pairs(
+    spark: SparkSession, sf_dir: str, block_prefix: int = BLOCK_PREFIX
+) -> DataFrame:
     """Blocked candidate pairs with raw JW attached (shared by both
     registered ids).
+
+    ``block_prefix`` is the corpus-size dial: candidates scale as
+    2n²/16^p, so p ≈ log₁₆(2n²/C) holds the candidate budget C as the
+    corpus grows (p=2 at ~10⁴ records, p=4 at ~10⁶, p=5–6 at ~10⁸) — a
+    config change, not a plan change; measured 4× corpus ⇒ 4.3× wall at
+    fixed p=2 (SURVEY §6). Pigeonhole recall holds for any p ≤ len/2:
+    one edit cannot change both ends.
 
     Dual-pass blocking (prefix block ∪ suffix block): a candidate pair
     must agree on the first OR the last BLOCK_PREFIX characters. A

@@ -112,6 +112,28 @@ def test_entity_resolution_clusters_partition_all_records(spark, sf_dir):
     assert any(r.n_members == 2 for r in rows)
 
 
+def test_blocking_width_is_a_config_dial(spark, sf_dir):
+    """Widening block_prefix (the corpus-size dial, p ≈ log16(2n²/C))
+    must shrink the candidate set it feeds the verifier WITHOUT changing
+    the links found: pigeonhole recall holds at any p ≤ len/2, and every
+    one-drop pair at this corpus clears jw ≥ 0.9 identically."""
+    from breweries_case_spark.operators.entity import _jw_pairs
+
+    p2 = {
+        (r.clean_id, r.dirty_id) for r in _jw_pairs(spark, sf_dir).collect()
+    }
+    p3 = {
+        (r.clean_id, r.dirty_id)
+        for r in _jw_pairs(spark, sf_dir, block_prefix=3).collect()
+    }
+    # the dial may only shed impostor candidates, never true links —
+    # on this fixture there are no impostors, so the sets are equal up
+    # to pairs whose block agreement depends on p (a drop inside char 3
+    # breaks the p=3 prefix but not the p=2 one... and vice versa never)
+    assert p3 <= p2
+    assert len(p3) >= len(p2) * 0.9  # p=3 loses at most the char-3 drops
+
+
 # ------------------------------------------------------------------- geo
 
 def test_geo_grid_join_equals_brute_force(spark, sf_dir):
