@@ -137,6 +137,16 @@ EXTENDED = [
     "q_dup_span_fraction",
     "q_geo_join_radius",
     "q_robust_stats",
+    # round-4 third wave: retrieval scoring (explode cut to query-term
+    # postings), triangle counting (degree-ordered wedge join — the
+    # quadratic-risk shape worth watching), reconciliation checksum
+    # (single-pass multi-agg), per-dim embedding stats, and the
+    # distributed-moments + driver-eigensolve PCA (mapInPandas partials).
+    "q_text_bm25",
+    "q_graph_triangles",
+    "q_table_checksum",
+    "q_embed_dim_stats",
+    "q_embed_pca",
 ]
 
 

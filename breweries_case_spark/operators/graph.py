@@ -93,6 +93,124 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("event_type"), "rank")
 
 
+#: co-purchase edge support threshold — the production dial that keeps the
+#: graph at the "repeatedly co-bought" signal instead of one-off noise
+TRIANGLE_MIN_SUPPORT = 2
+
+#: BFS hop budget (events graph diameter is far below it)
+BFS_MAX_HOPS = 6
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph —
+    triangle counting, the standard graph-analytics kernel for cohesion
+    / community signal (Suri & Vassilvitskii's MapReduce node-iterator,
+    public). Nodes are parts; an undirected edge connects two parts
+    co-occurring in ≥ TRIANGLE_MIN_SUPPORT distinct orders.
+
+    Scale design: the edge build self-joins the DISTINCT (order, part)
+    pairs on orderkey — quadratic only in basket size (bounded, ~4-7
+    lines/order), linear in orders. Triangle enumeration orients every
+    edge from the lower (degree, key) endpoint to the higher; orienting
+    along this total order (a) counts each triangle exactly once with NO
+    post-hoc dedup and (b) bounds every node's out-degree by O(√E), so
+    the wedge join (e1 ⋈ e2 on the middle node) — the only quadratic
+    risk — generates at most O(E^1.5) candidate wedges instead of
+    Σ deg² (the hub-explosion failure mode on skewed degree
+    distributions). Three shuffles on node keys; the support filter cuts
+    the edge set before any of them. The oriented edge set feeds THREE
+    join branches, so it is localCheckpoint-ed (the
+    ``connected_components`` lineage-cut pattern at ``dedup.py``) —
+    without it Catalyst re-derives the whole pair-build per branch and
+    the fact table is scanned six times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    left = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    right = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        left.join(right, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= TRIANGLE_MIN_SUPPORT)
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = pairs.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    e = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).localCheckpoint()
+    e1 = e.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = e.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = e.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "p_partkey"
+            )
+        )
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("triangles"))
+    )
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the event-type transition
+    graph (source = MIN(src), a deterministic query parameter).
+    Frontier-iterated: each round joins ONLY the newly-reached frontier
+    against the edge list and anti-joins the visited set — the classic
+    Pregel/BSP shape where per-round work is O(frontier out-edges), not
+    O(graph). The driver-side empty-frontier early exit is one tiny
+    count per round, the same stopping job every iterative Spark
+    algorithm pays (cf. ``connected_components`` at ``dedup.py``).
+
+    The oracle is a recursive CTE enumerating all walk depths ≤
+    BFS_MAX_HOPS then taking MIN per node — first-visit depth and
+    min-over-walks are the same function, so the iterative engine form
+    is checked against a declarative spelling, not a twin of itself.
+    At real scale the per-round lineage is cut with ``localCheckpoint``
+    (as ``connected_components`` does); at ≤6 rounds on a
+    handful-of-nodes graph the plan stays whole so Catalyst sees it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .distinct()
+    )
+    dist = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("int").alias("hops")
+    )
+    frontier = dist
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(h).cast("int").alias("hops"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist
+
+
 def _oracle_iteration(prev: str, cur: str) -> str:
     return f"""
         {cur} AS (
@@ -110,9 +228,65 @@ def _oracle_iteration(prev: str, cur: str) -> str:
 
 QUERIES = {
     "q_pagerank": q_pagerank,
+    "q_graph_triangles": q_graph_triangles,
+    "q_graph_bfs": q_graph_bfs,
 }
 
+#: q_graph_bfs registered the round the driver window was already packed
+#: with 50 unproven oracle ids — it queues for the next round's slots
+#: (see _registry_rank); the sf0.001/sf0.01 parity suite still checks it
+#: every run.
+DEFERRED = ("q_graph_bfs",)
+
 ORACLES = {
+    "q_graph_triangles": f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        pairs AS (
+            SELECT a.pk AS u, b.pk AS v
+            FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}),
+        deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM pairs
+                UNION ALL SELECT v FROM pairs) GROUP BY 1),
+        e AS (
+            SELECT CASE WHEN (du.deg, p.u) < (dv.deg, p.v)
+                        THEN p.u ELSE p.v END AS s,
+                   CASE WHEN (du.deg, p.u) < (dv.deg, p.v)
+                        THEN p.v ELSE p.u END AS t
+            FROM pairs p
+            JOIN deg du ON du.node = p.u
+            JOIN deg dv ON dv.node = p.v),
+        tri AS (
+            SELECT e1.s AS a, e1.t AS b, e2.t AS c
+            FROM e e1
+            JOIN e e2 ON e2.s = e1.t
+            JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t)
+        SELECT node AS p_partkey, COUNT(*) AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        GROUP BY 1
+    """,
+    "q_graph_bfs": f"""
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT event_type AS src,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+                FROM events)
+            WHERE dst IS NOT NULL),
+        walk(node, hops) AS (
+            SELECT (SELECT MIN(src) FROM edges), 0
+            UNION
+            SELECT e.dst, w.hops + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.hops < {BFS_MAX_HOPS})
+        SELECT node, CAST(MIN(hops) AS INT) AS hops
+        FROM walk GROUP BY node
+    """,
     "q_pagerank": f"""
         WITH seq AS (
             SELECT event_type AS src,

@@ -231,6 +231,115 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: canonical NULL sentinel for checksum hashing (concat_ws silently drops
+#: nulls, so every column is coalesced BEFORE hashing/concatenation)
+_CK_NULL = "<NULL>"
+
+#: orders canonicalization: column -> engine-neutral string rendering.
+#: Doubles render via the cents quantization FLOOR(x*100+0.5) — an
+#: integer spelling both engines print identically, sidestepping double
+#: formatting divergence (SURVEY §7.3 hard part 5). Timestamps render as
+#: the plain 'YYYY-MM-DD HH:MM:SS' string cast, which is tz-independent
+#: for TIMESTAMP_NTZ storage and byte-identical across Spark/DuckDB on
+#: whole-second values (unix_micros would need an NTZ→TZ cast whose
+#: result depends on the session time zone — worse for reconciliation).
+#: The canonicalization IS part of the contract, as in any
+#: cross-system migration check.
+_CK_CANON = {
+    "o_orderkey": "CAST(o_orderkey AS STRING)",
+    "o_custkey": "CAST(o_custkey AS STRING)",
+    "o_orderstatus": "o_orderstatus",
+    "o_totalprice": "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)",
+    "o_orderdate": "CAST(o_orderdate AS STRING)",
+    "o_orderpriority": "o_orderpriority",
+}
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum over orders — the reconciliation
+    fingerprint for cross-system migration (lakehouse copy vs source,
+    snapshot vs snapshot): one row per column plus a ``__row__``
+    composite, each carrying (n_rows, n_nulls, hash_sum) where hash_sum
+    is the exact decimal SUM of a 60-bit md5 chunk of the column's
+    canonical rendering. Equal checksums ⇒ equal multisets of values
+    (up to md5-chunk collisions, ~2^-60 per pair); unequal localize the
+    drift to a COLUMN without row-by-row diffing.
+
+    Scale shape: ONE aggregate pass over the table — every per-column
+    sum is a commutative partial aggregate (map-side combine), so the
+    exchange carries 13 numbers per task regardless of table size, and
+    the stack() unpivot reshapes the single result row. Sum-of-chunks
+    (not xor) is deliberate: xor would cancel duplicate rows pairwise,
+    sums keep multiset sensitivity; DECIMAL(38,0) holds 2^60 × any
+    realistic row count without overflow."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = list(_CK_CANON)
+    canon = {
+        c: F.coalesce(F.expr(e), F.lit(_CK_NULL)) for c, e in _CK_CANON.items()
+    }
+
+    def hsum(col):
+        chunk = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        return F.sum(chunk.cast("decimal(38,0)"))
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(F.col(c))).alias(f"_nn_{c}"))
+        aggs.append(hsum(canon[c]).alias(f"_hs_{c}"))
+    any_null = None
+    for c in cols:
+        cond = F.col(c).isNull()
+        any_null = cond if any_null is None else (any_null | cond)
+    aggs.append(F.count(F.when(any_null, F.lit(1))).alias("_nn___row__"))
+    aggs.append(hsum(F.concat_ws("|", *[canon[c] for c in cols])).alias("_hs___row__"))
+    names = cols + ["__row__"]
+    stack_args = ", ".join(f"'{c}', _nn_{c}, _hs_{c}" for c in names)
+    return o.agg(*aggs).selectExpr(
+        "n_rows",
+        f"stack({len(names)}, {stack_args}) AS (column_name, n_nulls, hash_sum)",
+    )
+
+
+def _ck_oracle() -> str:
+    canon = {
+        "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
+        "o_custkey": "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice": "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+        "o_orderdate": "CAST(o_orderdate AS VARCHAR)",
+        "o_orderpriority": "o_orderpriority",
+    }
+    wrapped = {c: f"COALESCE({e}, '{_CK_NULL}')" for c, e in canon.items()}
+
+    def hsum(expr: str) -> str:
+        return (
+            f"SUM(CAST(CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+            " AS DECIMAL(38,0)))"
+        )
+
+    aggs = ["COUNT(*) AS n_rows"]
+    for c in canon:
+        aggs.append(f"COUNT(*) - COUNT({c}) AS nn_{c}")
+        aggs.append(f"{hsum(wrapped[c])} AS hs_{c}")
+    any_null = " OR ".join(f"{c} IS NULL" for c in canon)
+    aggs.append(f"COUNT(CASE WHEN {any_null} THEN 1 END) AS nn_row")
+    row_expr = "concat_ws('|', " + ", ".join(wrapped[c] for c in canon) + ")"
+    aggs.append(f"{hsum(row_expr)} AS hs_row")
+    branches = [
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nulls,"
+        f" hs_{c} AS hash_sum FROM a"
+        for c in canon
+    ]
+    branches.append(
+        "SELECT '__row__' AS column_name, n_rows, nn_row AS n_nulls,"
+        " hs_row AS hash_sum FROM a"
+    )
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders) "
+        + " UNION ALL ".join(branches)
+    )
+
+
 QUERIES = {
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
@@ -239,9 +348,11 @@ QUERIES = {
     "q_sample_token_budget": q_sample_token_budget,
     "q_sample_weighted": q_sample_weighted,
     "q_split_train_val_test": q_split_train_val_test,
+    "q_table_checksum": q_table_checksum,
 }
 
 ORACLES = {
+    "q_table_checksum": _ck_oracle(),
     "q_sample_hash": f"""
         SELECT doc_id, lang, source, n_chars
         FROM documents

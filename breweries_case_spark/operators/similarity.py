@@ -624,6 +624,131 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding space (count, min, max,
+    mean, variance) — the feature-store normalization pass that feeds
+    standardization, dead-dimension detection, and quantizer range
+    calibration. Complements q_sim_centroid (per-LABEL means): this is
+    the global per-dimension view with spread.
+
+    Plan shape: positional explode (narrow, 64× rows) → ONE hash
+    aggregate keyed pos with map-side partials — the exchange carries
+    64 partial states per task at any corpus size. min/max are exact
+    (float compare); mean and E[x²] go through the decimal-sum
+    discipline (`decimal_avg`), and the variance is derived from those
+    two already-published doubles by a single requantized IEEE
+    expression, so addend order can never move any output (SURVEY §7.3
+    hard part 5)."""
+    emb = _embeddings_double(spark, sf_dir)
+    ex = emb.select(F.posexplode(F.col("v")).alias("pos", "x"))
+    s = ex.groupBy(F.col("pos").cast("int").alias("pos")).agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        decimal_avg(F.col("x"), 6).alias("mean_x"),
+        decimal_avg(F.col("x") * F.col("x"), 6).alias("_ex2"),
+    )
+    var = F.col("_ex2") - F.col("mean_x") * F.col("mean_x")
+    return s.select(
+        "pos",
+        "n",
+        "min_x",
+        "max_x",
+        "mean_x",
+        (F.floor(var * 1e6 + F.lit(0.5)) / 1e6).alias("var_x"),
+    )
+
+
+#: principal components kept by the PCA projection
+PCA_K = 8
+
+
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the top-PCA_K principal
+    components — the dimensionality-reduction pass before cheap ANN /
+    clustering / visualization. Rows-only by design: eigendecomposition
+    is not SQL-expressible; correctness is pinned by property tests
+    (projection matches a driver-side numpy PCA up to per-component
+    sign, captured variance is monotone non-increasing).
+
+    Scale shape — the whole reduction is ONE pass plus a driver-side
+    64×64 eigensolve (the only part that is not data-parallel, and it is
+    O(dim³), independent of corpus size):
+
+    1. mapInPandas emits per-Arrow-batch PARTIAL moments in long form —
+       (i, j, Σ x_i·x_j) upper-triangle outer products plus (i, -1,
+       Σ x_i) sums and one count row — so the shuffle carries
+       O(dim²) rows per batch, never the data.
+    2. One hash aggregate sums partials into the covariance matrix;
+       ~2k rows collect to the driver (parameter-scale, like the IVF
+       centroids at `similarity.py:330`).
+    3. numpy ``eigh`` on the driver; the top-K eigenvector matrix
+       broadcasts back inside a pandas UDF closure and the projection
+       is one (batch×64)@(64×K) GEMM per batch — the `_ivf_assign`
+       vectorization pattern.
+
+    Components with eigenvector sign are canonicalized (largest-|w|
+    coordinate made positive) so output is deterministic across runs
+    and partitionings."""
+    import numpy as np
+
+    emb = _embeddings_double(spark, sf_dir)
+
+    def moment_partials(batches):
+        for pdf in batches:
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            n, d = m.shape
+            cov = m.T @ m  # d×d batch outer-product sum
+            iu, ju = np.triu_indices(d)
+            rows = {
+                "i": np.concatenate([iu, np.arange(d), [-1]]),
+                "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+                "s": np.concatenate([cov[iu, ju], m.sum(axis=0), [float(n)]]),
+            }
+            yield pd.DataFrame(rows)
+
+    partials = emb.select("v").mapInPandas(
+        moment_partials, schema="i int, j int, s double"
+    )
+    stats = (
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    d = EMB_DIM
+    n_total = 0.0
+    sums = np.zeros(d)
+    cov = np.zeros((d, d))
+    for r in stats:
+        if r.i == -1:
+            n_total = r.s
+        elif r.j == -1:
+            sums[r.i] = r.s
+        else:
+            cov[r.i, r.j] = r.s
+            cov[r.j, r.i] = r.s
+    mean = sums / n_total
+    c = cov / n_total - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(c)
+    order = np.argsort(eigvals)[::-1][:PCA_K]
+    w = eigvecs[:, order]  # d×K
+    # canonical sign: make the largest-|coordinate| entry positive
+    for k in range(w.shape[1]):
+        j = int(np.argmax(np.abs(w[:, k])))
+        if w[j, k] < 0:
+            w[:, k] = -w[:, k]
+    wb = w.copy()
+    mb = mean.copy()
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def project(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        proj = np.round((m - mb) @ wb, 6)
+        return pd.Series(list(proj))
+
+    return emb.select("vec_id", "label", project(F.col("v")).alias("components"))
+
+
 QUERIES = {
     "q_embed_normalize": q_embed_normalize,
     "q_sim_topk": q_sim_topk,
@@ -636,6 +761,8 @@ QUERIES = {
     "q_sim_centroid": q_sim_centroid,
     "q_sim_centroid_distance": q_sim_centroid_distance,
     "q_decontaminate_semantic": q_decontaminate_semantic,
+    "q_embed_dim_stats": q_embed_dim_stats,
+    "q_embed_pca": q_embed_pca,
 }
 
 ORACLES = {
@@ -698,6 +825,24 @@ ORACLES = {
                              AS DECIMAL(18,6))) AS DOUBLE) AS dist_sq
         FROM ex JOIN cent USING (label, pos)
         GROUP BY 1, 2
+    """,
+    "q_embed_dim_stats": """
+        WITH ex AS (
+            SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+        s AS (
+            SELECT pos, COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
+                   CAST(FLOOR(SUM(CAST(x AS DECIMAL(18,6))) / COUNT(x)
+                              * 1000000.0 + 0.5) / 1000000.0
+                        AS DOUBLE) AS mean_x,
+                   CAST(FLOOR(SUM(CAST(x * x AS DECIMAL(18,6))) / COUNT(x)
+                              * 1000000.0 + 0.5) / 1000000.0
+                        AS DOUBLE) AS ex2
+            FROM ex GROUP BY 1)
+        SELECT pos, n, min_x, max_x, mean_x,
+               FLOOR((ex2 - mean_x * mean_x) * 1e6 + 0.5) / 1e6 AS var_x
+        FROM s
     """,
     "q_sim_centroid": """
         WITH ex AS (

@@ -380,6 +380,76 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 retrieval parameters (Robertson/Sparck-Jones defaults) and the
+#: fixed query term set — a query PARAMETER like q_sim_topk's query vector.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("hash", "join", "spark")
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query term set —
+    the retrieval-scoring primitive behind corpus search and
+    RAG-candidate generation (reference analog: the interactive Trino
+    query surface, `trino/etc/catalog/iceberg.properties`, applied to
+    ranked text retrieval).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the standard "plus one"
+    form, always positive).
+
+    Plan shape: per-doc length dl comes from ``size(filter(tokens))`` —
+    computed INSIDE the scan projection, no explode and no shuffle for
+    the length pass. Only the explode→filter(term IN query) stream is
+    shuffled, and the filter cuts it to query-term hits before the
+    (doc, term) hash aggregate — at 100 TB the shuffled stream is
+    O(query-term postings), not O(corpus tokens). df and the (N, avgdl)
+    scalars are 1-row/|query|-row broadcasts. Integer token counts sum
+    exactly; the only transcendental (ln) is computed once per query
+    term and re-quantized to 9 dp before entering products, and each
+    per-term contribution is re-quantized to 6 dp then decimal-summed,
+    so addend order can never move the published score (SURVEY §7.3
+    hard part 5)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    docs = d.select("doc_id", tk.alias("tk")).select(
+        "doc_id", "tk", F.size("tk").alias("dl")
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("_n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("_avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf_raw = F.log(
+        (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    idf = F.floor(idf_raw * 1e9 + F.lit(0.5)) / 1e9
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl")
+    )
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (F.floor(contrib * 1e6 + F.lit(0.5)) / 1e6).alias("c"),
+        )
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.count("*").alias("n_hit_terms"),
+        F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("bm25"),
+    )
+
+
 QUERIES = {
     "q_token_count": q_token_count,
     "q_text_stats": q_text_stats,
@@ -393,9 +463,40 @@ QUERIES = {
     "q_ngram_lm_score": q_ngram_lm_score,
     "q_doc_ngram_topk": q_doc_ngram_topk,
     "q_dup_span_fraction": q_dup_span_fraction,
+    "q_text_bm25": q_text_bm25,
 }
 
 ORACLES = {
+    "q_text_bm25": r"""
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents),
+        d2 AS (SELECT doc_id, tk, len(tk) AS dl FROM docs),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM d2),
+        tf AS (
+            SELECT doc_id, dl, t.term, COUNT(*) AS tf
+            FROM d2, unnest(tk) AS t(term)
+            WHERE t.term IN ('hash', 'join', 'spark')
+            GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id,
+                   FLOOR((FLOOR(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5)
+                                   + 1.0) * 1e9 + 0.5) / 1e9)
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * tf.dl / s.avgdl))
+                         * 1e6 + 0.5) / 1e6 AS c
+            FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s)
+        SELECT doc_id, COUNT(*) AS n_hit_terms,
+               CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM scored GROUP BY 1
+    """,
     "q_ngram_lm_score": r"""
         WITH t AS (
             SELECT doc_id,
