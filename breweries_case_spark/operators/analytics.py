@@ -634,6 +634,36 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-explicit navigation windows (first_value / last_value /
+    nth_value) over each customer's order history — the W2 family's
+    remaining analytic shapes, each with the frame spelled out because
+    the SQL default (RANGE UNBOUNDED PRECEDING..CURRENT ROW) silently
+    makes last_value ≡ current row, the classic window footgun. Frames:
+    first order date over the growing frame, final spend over the FULL
+    partition frame, second order's key via nth_value, and the previous
+    order's spend via a trailing 1-row frame. Tie-deterministic ordering
+    (o_orderdate, o_orderkey); one shuffle on the partition key; values
+    are navigated, not aggregated, so no float accumulation exists to
+    drift."""
+    base = (
+        Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    growing = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    trail1 = base.rowsBetween(-1, -1)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(growing).alias("first_order_date"),
+        F.last("o_totalprice").over(full).alias("final_spend"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_orderkey"),
+        F.last("o_totalprice").over(trail1).alias("prev_spend"),
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_funnel_windowed": q_funnel_windowed,
@@ -655,7 +685,12 @@ QUERIES = {
     "q_robust_stats": q_robust_stats,
     "q_semi_additive_balance": q_semi_additive_balance,
     "q_incremental_agg_merge": q_incremental_agg_merge,
+    "q_window_first_last": q_window_first_last,
 }
+
+#: registered while the driver window is packed (50 unproven oracle ids) —
+#: queues for the next round's slots; parity-suite-checked every run.
+DEFERRED = ("q_window_first_last",)
 
 _MOMENT_SUMS_SQL = """
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
@@ -667,6 +702,26 @@ _MOMENT_SUMS_SQL = """
 """
 
 ORACLES = {
+    "q_window_first_last": """
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS first_order_date,
+               LAST_VALUE(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS final_spend,
+               NTH_VALUE(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_orderkey,
+               LAST_VALUE(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING)
+                   AS prev_spend
+        FROM orders
+    """,
     "q_funnel": """
         WITH v AS (
             SELECT user_id, MIN(ts) AS t FROM events

@@ -98,13 +98,110 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bits interleaved per dimension (16+16 → 32-bit z-value) and the coarse
+#: bucket width (top 14 z-bits → 16384 layout buckets)
+ZORDER_BITS = 16
+ZORDER_BUCKET_SHIFT = 18
+
+
+def _z_interleave(a, b):
+    """Morton/Z-order interleave of two ZORDER_BITS-bit values: bit i of
+    ``a`` lands at position 2i, bit i of ``b`` at 2i+1. Pure shifts/
+    masks/adds — exact and identical on both engines."""
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _z_interleave_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout evaluation over orders on the
+    (customer, order-day) plane — the data-clustering pass behind
+    Delta/Iceberg's OPTIMIZE ZORDER: interleaving the two key's bits
+    makes rows close in EITHER dimension land in the same file, so
+    min/max file statistics prune scans for predicates on BOTH columns,
+    not just the leading sort key. Output is the layout-quality summary
+    a table service records per bucket (top 14 z-bits): row count and
+    the min/max range of each dimension inside the bucket — tight
+    ranges ⇒ effective pruning for either predicate.
+
+    Plan: narrow projection computes the z-value inside the scan
+    (32 codegen shift/mask terms, no UDF), one hash aggregate on the
+    bucket. At scale the same z-value is the ``repartitionByRange`` /
+    write-ordering key and this query is the post-OPTIMIZE audit. The
+    day dimension is days-since-epoch (exact integer); both dims are
+    masked to ZORDER_BITS so the interleave is total."""
+    o = load_table(spark, sf_dir, "orders")
+    mask = (1 << ZORDER_BITS) - 1
+    cust = F.col("o_custkey").bitwiseAND(F.lit(mask))
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).bitwiseAND(F.lit(mask))
+    z = _z_interleave(cust, day)
+    return (
+        o.select(
+            F.shiftright(z, ZORDER_BUCKET_SHIFT).alias("z_bucket"),
+            F.col("o_custkey").alias("cust"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.to_date(F.lit("1970-01-01")),
+            ).alias("day"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cust").alias("min_cust"),
+            F.max("cust").alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
+
+
 QUERIES = {
     "q_variant_json": q_variant_json,
     "q_recursive_cte": q_recursive_cte,
     "q_lateral_topn": q_lateral_topn,
+    "q_zorder_layout": q_zorder_layout,
 }
 
+#: registered while the driver window is packed (50 unproven oracle ids) —
+#: queues for the next round's slots; parity-suite-checked every run.
+DEFERRED = ("q_zorder_layout",)
+
 ORACLES = {
+    "q_zorder_layout": f"""
+        WITH base AS (
+            SELECT (o_custkey & {(1 << ZORDER_BITS) - 1}) AS cm,
+                   (date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE))
+                    & {(1 << ZORDER_BITS) - 1}) AS dm,
+                   o_custkey AS cust,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS day
+            FROM orders),
+        zed AS (
+            SELECT ({_z_interleave_sql("cm", "dm")})
+                       >> {ZORDER_BUCKET_SHIFT} AS z_bucket,
+                   cust, day
+            FROM base)
+        SELECT z_bucket, COUNT(*) AS n_rows,
+               MIN(cust) AS min_cust, MAX(cust) AS max_cust,
+               MIN(day) AS min_day, MAX(day) AS max_day
+        FROM zed GROUP BY 1
+    """,
     "q_variant_json": """
         SELECT event_id,
                CAST(json_extract(props, '$.k') AS INT) AS k_int,

@@ -300,6 +300,55 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hottest keys surfaced by the skew profile
+SKEW_TOP_K = 10
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics over lineitem's supplier key — the
+    measurement pass that DECIDES whether a join needs salting (SURVEY
+    §6's skew study showed salting pays only past a crossover; this
+    query is how you locate yourself relative to it). For each of the
+    top-SKEW_TOP_K hottest keys: its row count, share of the table in
+    ppm, and its ratio to the uniform-distribution expectation
+    (count · n_distinct / total, ×1000) — a hot_x1000 of ~1000 means no
+    skew; the straggler threshold from §6 maps to this ratio scaled by
+    cluster parallelism.
+
+    Plan: one hash aggregate to per-key counts (map-side combined), one
+    scalar 1-row aggregate over those counts (n_distinct + total —
+    broadcast crossJoin), top-k via rank over a count-ordered window.
+    The window partitions by nothing but operates on the per-KEY table
+    (|distinct keys| rows, not data rows) — at 100 TB that table is
+    key-cardinality-sized; if even that overflows one task, the same
+    top-k is a TakeOrderedAndProject. Integer math only — exact on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    totals = per_key.agg(
+        F.count("*").alias("_n_keys"), F.sum("cnt").alias("_total")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .withColumn("hot_rank", F.row_number().over(w))
+        .filter(F.col("hot_rank") <= SKEW_TOP_K)
+        .select(
+            "hot_rank",
+            "l_suppkey",
+            "cnt",
+            F.floor(F.col("cnt") * F.lit(1000000) / F.col("_total"))
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.floor(
+                F.col("cnt") * F.col("_n_keys") * F.lit(1000) / F.col("_total")
+            )
+            .cast("bigint")
+            .alias("hot_x1000"),
+        )
+    )
+
+
 def _ck_oracle() -> str:
     canon = {
         "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
@@ -349,10 +398,31 @@ QUERIES = {
     "q_sample_weighted": q_sample_weighted,
     "q_split_train_val_test": q_split_train_val_test,
     "q_table_checksum": q_table_checksum,
+    "q_skew_profile": q_skew_profile,
 }
+
+#: registered while the driver window is packed (50 unproven oracle ids) —
+#: queues for the next round's slots; parity-suite-checked every run.
+DEFERRED = ("q_skew_profile",)
 
 ORACLES = {
     "q_table_checksum": _ck_oracle(),
+    "q_skew_profile": f"""
+        WITH per_key AS (
+            SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        totals AS (
+            SELECT COUNT(*) AS n_keys, SUM(cnt) AS total FROM per_key),
+        ranked AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey)
+                       AS hot_rank,
+                   l_suppkey, cnt, t.n_keys, t.total
+            FROM per_key CROSS JOIN totals t)
+        SELECT hot_rank, l_suppkey, cnt,
+               CAST(FLOOR(cnt * 1000000 / total) AS BIGINT) AS share_ppm,
+               CAST(FLOOR(cnt * n_keys * 1000 / total) AS BIGINT)
+                   AS hot_x1000
+        FROM ranked WHERE hot_rank <= {SKEW_TOP_K}
+    """,
     "q_sample_hash": f"""
         SELECT doc_id, lang, source, n_chars
         FROM documents
