@@ -664,6 +664,70 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: attribution lookback window (seconds before the conversion)
+ATTRIB_WINDOW_S = 3600
+#: touchpoint event types credited with conversions
+ATTRIB_TOUCH_TYPES = ("click", "view")
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: every ``purchase`` credits the
+    user's ``click``/``view`` touchpoints in the preceding hour under
+    three standard models at once — linear (1/n per touch), first-touch,
+    last-touch — aggregated per touchpoint type. The marketing-analytics
+    kernel every event warehouse runs; exercises a per-user temporal
+    join + per-conversion ranking that none of the funnel ids cover.
+
+    Plan shape: touches and conversions are two filters of ONE events
+    scan, equi-joined on user_id (co-partitioned — the same single
+    exchange the funnel family rides) with the 1-hour range as a join
+    filter; per-conversion rank/count windows key on the conversion id.
+    At 100 TB the join is user-keyed (bounded per-user fan-out), never a
+    theta join. Determinism: epoch-second comparisons (exact integers),
+    tie-break (ts, event_id); the only division (1/n) is requantized to
+    6 dp per touch then decimal-summed (SURVEY §7.3 hard part 5)."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("CAST(FLOOR(unix_micros(ts) / 1000000) AS BIGINT)")
+    base = ev.select(
+        "user_id", "event_id", "event_type", sec.alias("sec")
+    )
+    touches = base.filter(
+        F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("sec").alias("t_sec"),
+    )
+    conv = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("sec").alias("c_sec"),
+    )
+    j = conv.join(touches, "user_id").filter(
+        (F.col("t_sec") <= F.col("c_sec"))
+        & (F.col("t_sec") >= F.col("c_sec") - ATTRIB_WINDOW_S)
+    )
+    w = Window.partitionBy("conv_id").orderBy("t_sec", "touch_id")
+    wfull = Window.partitionBy("conv_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = j.select(
+        "touch_type",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(wfull).alias("n_touches"),
+    )
+    credit = F.floor(F.lit(1e6) / F.col("n_touches") + F.lit(0.5)) / 1e6
+    return ranked.groupBy("touch_type").agg(
+        F.count("*").alias("touches"),
+        F.sum(F.when(F.col("rnk") == 1, 1).otherwise(0)).alias("first_touch"),
+        F.sum(
+            F.when(F.col("rnk") == F.col("n_touches"), 1).otherwise(0)
+        ).alias("last_touch"),
+        F.sum(credit.cast("decimal(18,6)")).cast("double").alias("linear_credit"),
+    )
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_funnel_windowed": q_funnel_windowed,
@@ -686,11 +750,12 @@ QUERIES = {
     "q_semi_additive_balance": q_semi_additive_balance,
     "q_incremental_agg_merge": q_incremental_agg_merge,
     "q_window_first_last": q_window_first_last,
+    "q_attribution": q_attribution,
 }
 
 #: registered while the driver window is packed (50 unproven oracle ids) —
-#: queues for the next round's slots; parity-suite-checked every run.
-DEFERRED = ("q_window_first_last",)
+#: queue for the next round's slots; parity-suite-checked every run.
+DEFERRED = ("q_window_first_last", "q_attribution")
 
 _MOMENT_SUMS_SQL = """
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
@@ -702,6 +767,39 @@ _MOMENT_SUMS_SQL = """
 """
 
 ORACLES = {
+    "q_attribution": f"""
+        WITH base AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT) AS sec
+            FROM events),
+        touches AS (
+            SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+                   sec AS t_sec
+            FROM base WHERE event_type IN ('click', 'view')),
+        conv AS (
+            SELECT user_id, event_id AS conv_id, sec AS c_sec
+            FROM base WHERE event_type = 'purchase'),
+        j AS (
+            SELECT c.conv_id, t.touch_type, t.t_sec, t.touch_id
+            FROM conv c JOIN touches t USING (user_id)
+            WHERE t.t_sec <= c.c_sec
+              AND t.t_sec >= c.c_sec - {ATTRIB_WINDOW_S}),
+        ranked AS (
+            SELECT touch_type,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id
+                       ORDER BY t_sec, touch_id) AS rnk,
+                   COUNT(*) OVER (PARTITION BY conv_id) AS n_touches
+            FROM j)
+        SELECT touch_type,
+               COUNT(*) AS touches,
+               CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS first_touch,
+               CAST(SUM(CASE WHEN rnk = n_touches THEN 1 ELSE 0 END)
+                    AS BIGINT) AS last_touch,
+               CAST(SUM(CAST(FLOOR(1e6 / n_touches + 0.5) / 1e6
+                             AS DECIMAL(18,6))) AS DOUBLE) AS linear_credit
+        FROM ranked GROUP BY 1
+    """,
     "q_window_first_last": """
         SELECT o_custkey, o_orderkey,
                FIRST_VALUE(o_orderdate) OVER (
