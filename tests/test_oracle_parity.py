@@ -92,6 +92,8 @@ NESTED_LOOP_OK = {
     # benchmark side — corpus-linear with a constant inner side
     "q_decontaminate_semantic",
     "q_join_skew_split",  # 1-row mean-load scalar crossJoin
+    "q_text_bm25",  # 1-row (N, avgdl) scalar crossJoin
+    "q_skew_profile",  # 1-row (n_keys, total) scalar crossJoin
 }
 
 
