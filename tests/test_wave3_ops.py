@@ -207,6 +207,64 @@ def test_checksum_is_order_invariant_and_localizes_drift(spark, sf_dir, tmp_path
     assert drift["o_totalprice"][1] == base["o_totalprice"][1]
 
 
+def test_checksum_null_canonicalization_matches_oracle(spark, sf_dir, tmp_path):
+    """The <NULL> sentinel path is dead on the driver's synthetic data
+    (no nulls), so exercise it directly: inject NULLs into every column
+    class (int key, string, double, timestamp) and require the Spark
+    checksum to still equal the DuckDB oracle bit-for-bit — including
+    per-column n_nulls and the any-null __row__ count."""
+    import duckdb
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    holed = (
+        orders.withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 11 == 0, None).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 13 == 0, None).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderdate",
+            F.when(F.col("o_orderkey") % 17 == 0, None).otherwise(
+                F.col("o_orderdate")
+            ),
+        )
+    )
+    holed.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r.column_name: (r.n_rows, r.n_nulls, r.hash_sum)
+        for r in q_table_checksum(spark, str(tmp_path)).collect()
+    }
+    assert got["o_custkey"][1] > 0 and got["__row__"][1] > 0
+
+    from breweries_case_spark.operators.sampling import _ck_oracle
+
+    con = duckdb.connect()
+    # Spark wrote a parquet DIRECTORY; DuckDB needs the file glob
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.execute(_ck_oracle()).fetchall()
+    }
+    assert got == want
+
+
 # ------------------------------------------------------------------ pca
 
 def test_pca_matches_numpy_reference(spark, sf_dir):
