@@ -374,12 +374,34 @@ def history(table_dir: str) -> list[dict]:
 def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     """Delete data files unreferenced by the newest ``keep_versions``
     manifests (and drop the older manifests); returns deleted paths.
-    Never touches files any retained snapshot can still read."""
+    Never touches files any retained snapshot can still read.
+
+    Branch-aware (io/branches.py): every file referenced by any branch
+    manifest stays live, and trunk manifests that are a branch's
+    divergence point are retained beyond ``keep_versions`` — a branch
+    can never have data or its merge base vacuumed from under it."""
     versions = _list_versions(table_dir)
     if not versions:
         return []
-    kept = versions[-keep_versions:]
+    kept = set(versions[-keep_versions:])
     live: set[str] = set()
+    refs_root = os.path.join(table_dir, "_refs")
+    if os.path.isdir(refs_root):
+        for branch in os.listdir(refs_root):
+            bdir = os.path.join(refs_root, branch)
+            meta_path = os.path.join(bdir, "meta.json")
+            if os.path.isfile(meta_path):
+                with open(meta_path) as f:
+                    base_v = json.load(f)["created_from"]
+                if base_v in versions:
+                    kept.add(base_v)
+            mdir = os.path.join(bdir, "manifests")
+            if os.path.isdir(mdir):
+                for name in os.listdir(mdir):
+                    if name.startswith("v") and name.endswith(".json"):
+                        with open(os.path.join(mdir, name)) as f:
+                            for files in json.load(f)["partitions"].values():
+                                live.update(files)
     for v in kept:
         for files in _read_manifest(table_dir, v)["partitions"].values():
             live.update(files)
@@ -392,8 +414,9 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
             if name.endswith(".parquet") and rel not in live:
                 os.remove(full)
                 deleted.append(rel)
-    for v in versions[:-keep_versions]:
-        os.remove(_manifest_path(table_dir, v))
+    for v in versions:
+        if v not in kept:
+            os.remove(_manifest_path(table_dir, v))
     return deleted
 
 

@@ -1,0 +1,123 @@
+"""Branch semantics over the snapshot log (io/branches.py) — the Nessie
+analog: ref isolation both ways, zero-copy branch commits, three-way
+partition-level merge with conflict detection, divergence-point
+advancement across merge cycles, and branch-aware vacuum safety."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from breweries_case_spark.io.branches import (
+    MergeConflict,
+    commit_to_branch,
+    create_branch,
+    delete_branch,
+    list_branches,
+    merge_branch,
+    read_branch,
+)
+from breweries_case_spark.io.snapshots import (
+    commit_overwrite_partitions,
+    latest_version,
+    read_snapshot,
+    vacuum,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, day string")
+
+
+def _trunk(spark, tdir, version=None):
+    rows = read_snapshot(spark, tdir, version=version).collect()
+    out: dict[str, set] = {}
+    for r in rows:
+        out.setdefault(r.day, set()).add(r.id)
+    return out
+
+
+def _branch(spark, tdir, name):
+    out: dict[str, set] = {}
+    for r in read_branch(spark, tdir, name).collect():
+        out.setdefault(r.day, set()).add(r.id)
+    return out
+
+
+def test_branch_isolation_both_ways(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1"), (3, "d2")]), t, "day")
+    create_branch(t, "exp")
+    # commit-less branch reads the divergence snapshot
+    assert _branch(spark, t, "exp") == {"d1": {1}, "d2": {3}}
+
+    commit_to_branch(_df(spark, [(9, "d2")]), t, "exp", "day")
+    # branch sees its change; trunk does not
+    assert _branch(spark, t, "exp") == {"d1": {1}, "d2": {9}}
+    assert _trunk(spark, t) == {"d1": {1}, "d2": {3}}
+
+    # trunk commits stay invisible to the branch head
+    commit_overwrite_partitions(_df(spark, [(7, "d3")]), t, "day")
+    assert _branch(spark, t, "exp") == {"d1": {1}, "d2": {9}}
+    assert list_branches(t) == ["exp"]
+
+
+def test_merge_combines_disjoint_changes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1"), (3, "d2")]), t, "day")
+    create_branch(t, "exp")
+    commit_to_branch(_df(spark, [(9, "d2")]), t, "exp", "day")  # branch: d2
+    commit_overwrite_partitions(_df(spark, [(7, "d3")]), t, "day")  # trunk: d3
+    v = merge_branch(t, "exp")
+    assert v == latest_version(t)
+    assert _trunk(spark, t) == {"d1": {1}, "d2": {9}, "d3": {7}}
+
+
+def test_merge_conflict_names_partitions(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1"), (3, "d2")]), t, "day")
+    create_branch(t, "exp")
+    commit_to_branch(_df(spark, [(9, "d2")]), t, "exp", "day")
+    commit_overwrite_partitions(_df(spark, [(8, "d2")]), t, "day")
+    with pytest.raises(MergeConflict) as ei:
+        merge_branch(t, "exp")
+    assert ei.value.partitions == ["d2"]
+    # trunk unchanged by the failed merge
+    assert _trunk(spark, t) == {"d1": {1}, "d2": {8}}
+
+
+def test_merge_cycles_stay_three_way(spark, tmp_path):
+    """After a merge the divergence point advances: a second branch
+    commit + merge must not re-raise conflicts against the first
+    cycle's own changes."""
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1")]), t, "day")
+    create_branch(t, "exp")
+    commit_to_branch(_df(spark, [(2, "d2")]), t, "exp", "day")
+    merge_branch(t, "exp")
+    assert _trunk(spark, t) == {"d1": {1}, "d2": {2}}
+
+    commit_to_branch(_df(spark, [(5, "d5")]), t, "exp", "day")
+    merge_branch(t, "exp")
+    assert _trunk(spark, t) == {"d1": {1}, "d2": {2}, "d5": {5}}
+
+
+def test_vacuum_preserves_branch_data_and_base(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1")]), t, "day")  # v1
+    create_branch(t, "exp")  # diverges at v1
+    commit_to_branch(_df(spark, [(2, "d2")]), t, "exp", "day")
+    # pile up trunk versions so keep_versions=1 would normally drop v1
+    commit_overwrite_partitions(_df(spark, [(3, "d1")]), t, "day")
+    commit_overwrite_partitions(_df(spark, [(4, "d1")]), t, "day")
+    vacuum(t, keep_versions=1)
+    # branch still fully readable: its own commit AND the v1 base
+    assert _branch(spark, t, "exp") == {"d1": {1}, "d2": {2}}
+
+    # dropping the ref releases its claims; vacuum then reclaims
+    delete_branch(t, "exp")
+    deleted = vacuum(t, keep_versions=1)
+    assert deleted  # the branch commit's files (and v1's) are gone
+    assert _trunk(spark, t) == {"d1": {4}}
+    assert list_branches(t) == []
