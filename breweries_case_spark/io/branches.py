@@ -295,3 +295,100 @@ def delete_branch(table_dir: str, name: str) -> None:
     import shutil
 
     shutil.rmtree(_branch_dir(table_dir, name))
+
+
+def q_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered demonstration of the full branch lifecycle, VALUE-
+    checked: trunk v1 holds the two busiest order days; a branch rewrites
+    day 2 down to its min-orderkey row while trunk independently adds
+    day 3; the three-way merge must land ALL THREE changes — day 1
+    carried forward, the branch's day-2 rewrite, trunk's day 3 — with no
+    conflict (disjoint partitions). Output: per-day order counts at each
+    stage (trunk_v1 / branch / merged). The oracle recomputes every
+    stage's expected counts straight from orders, so the driver checks
+    the merge SEMANTICS, not just that files moved."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from breweries_case_spark.io.reader import load_table
+    from breweries_case_spark.io.snapshots import commit_overwrite_partitions
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "day", F.to_date(F.col("o_orderdate")).cast("string")
+    )
+    days = [
+        r.day
+        for r in orders.groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "day")
+        .limit(3)
+        .collect()
+    ]
+    d1, d2, d3 = sorted(days)
+    tdir = tempfile.mkdtemp(prefix="branch_")
+    commit_overwrite_partitions(
+        orders.filter(F.col("day").isin([d1, d2])), tdir, "day"
+    )
+    create_branch(tdir, "exp")
+    keep_min = orders.filter(F.col("day") == d2).join(
+        orders.filter(F.col("day") == d2)
+        .groupBy("day")
+        .agg(F.min("o_orderkey").alias("o_orderkey")),
+        ["day", "o_orderkey"],
+        "left_semi",
+    )
+    commit_to_branch(keep_min, tdir, "exp", "day")
+    commit_overwrite_partitions(orders.filter(F.col("day") == d3), tdir, "day")
+    branch_state = (
+        read_branch(spark, tdir, "exp")
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .withColumn("stage", F.lit("branch"))
+    )
+    trunk_v1 = (
+        read_snapshot(spark, tdir, version=1)
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .withColumn("stage", F.lit("trunk_v1"))
+    )
+    merge_branch(tdir, "exp")
+    merged = (
+        read_snapshot(spark, tdir)
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .withColumn("stage", F.lit("merged"))
+    )
+    return trunk_v1.unionByName(branch_state).unionByName(merged).select(
+        "stage", "day", "n"
+    )
+
+
+QUERIES = {
+    "q_branch_merge": q_branch_merge,
+}
+
+#: registered while the driver window is packed — queues for the next
+#: round's slots; parity-suite-checked every run.
+DEFERRED = ("q_branch_merge",)
+
+ORACLES = {
+    "q_branch_merge": """
+        WITH d AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1),
+        top3 AS (SELECT day, n FROM d ORDER BY n DESC, day LIMIT 3),
+        s AS (SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS rk
+              FROM top3)
+        SELECT 'trunk_v1' AS stage, day, n FROM s WHERE rk <= 2
+        UNION ALL
+        SELECT 'branch' AS stage, day,
+               CASE WHEN rk = 1 THEN n ELSE 1 END AS n
+        FROM s WHERE rk <= 2
+        UNION ALL
+        SELECT 'merged' AS stage, day,
+               CASE WHEN rk = 1 THEN n WHEN rk = 2 THEN 1 ELSE n END AS n
+        FROM s
+    """,
+}

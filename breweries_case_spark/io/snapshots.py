@@ -470,4 +470,26 @@ QUERIES = {
     "q_snapshot_time_travel": q_snapshot_time_travel,
 }
 
-ORACLES: dict[str, str] = {}
+#: oracle added round 4 (previously rows-only): the demonstration's output
+#: is a deterministic function of orders — the oracle recomputes the
+#: expected per-day counts of BOTH snapshot versions directly, so the
+#: driver value-checks the ACID overwrite/carry-forward semantics, not
+#: just row counts. Deferred: registered while the driver window is full.
+DEFERRED = ("q_snapshot_time_travel",)
+
+ORACLES: dict[str, str] = {
+    "q_snapshot_time_travel": """
+        WITH d AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1),
+        top3 AS (SELECT day, n FROM d ORDER BY n DESC, day LIMIT 3),
+        s AS (SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS rk
+              FROM top3)
+        SELECT 1 AS version, day, n FROM s WHERE rk <= 2
+        UNION ALL
+        SELECT 2 AS version, day,
+               CASE WHEN rk = 1 THEN n ELSE 1 END AS n
+        FROM s
+    """,
+}

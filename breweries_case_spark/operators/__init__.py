@@ -88,6 +88,7 @@ def _modules() -> list:
         mod = __import__(f"breweries_case_spark.operators.{name}", fromlist=[name])
         modules.append(mod)
     from breweries_case_spark.io import (
+        branches,
         expectations,
         jdbc_source,
         python_source,
@@ -100,6 +101,7 @@ def _modules() -> list:
     modules.append(python_source)
     modules.append(expectations)
     modules.append(snapshots)
+    modules.append(branches)
     return modules
 
 
