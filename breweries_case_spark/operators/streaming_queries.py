@@ -323,6 +323,22 @@ ORACLES = {
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         FROM sess GROUP BY user_id, session_id
     """,
-    # q_stream_*: rows-only — real streaming runs; equality with the batch
-    # mirrors is pinned by tests/test_streaming.py.
+    # The three COMPLETE-mode windowed replays gained oracles in the r4
+    # third wave: complete mode never evicts aggregation state, so the
+    # replayed result is the full-history aggregate regardless of
+    # micro-batch boundaries — deterministic, and definitionally equal to
+    # the batch mirror (same function, withWatermark is a batch no-op).
+    # The driver now value-checks REAL streaming runs, not just mirrors.
+    # Remaining q_stream_* ids stay rows-only: append-mode emission
+    # depends on watermark advancement across batch boundaries, which is
+    # an execution detail the oracle must not assume; their equality with
+    # batch twins is pinned by tests/test_streaming.py.
 }
+
+ORACLES["q_stream_tumbling"] = ORACLES["q_stream_tumbling_batch"]
+ORACLES["q_stream_sliding"] = ORACLES["q_stream_sliding_batch"]
+ORACLES["q_stream_session"] = ORACLES["q_stream_session_batch"]
+
+#: registered while the driver window is packed — queue for the next
+#: round's slots; parity-suite-checked every run.
+DEFERRED = ("q_stream_tumbling", "q_stream_sliding", "q_stream_session")
