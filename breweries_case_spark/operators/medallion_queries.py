@@ -127,7 +127,26 @@ QUERIES = {
     "q_write_dynamic_overwrite": q_write_dynamic_overwrite,
 }
 
+#: q_write_dynamic_overwrite gained an oracle in the r4 third wave: its
+#: read-back summary is a deterministic function of orders (first date's
+#: partition halved to even orderkeys by the rerun, the others carried
+#: forward), so the driver value-checks the overwrite-idempotency WRITE
+#: path, not just row counts. Deferred: registered while the driver
+#: window is packed.
+DEFERRED = ("q_write_dynamic_overwrite",)
+
 ORACLES = {
+    "q_write_dynamic_overwrite": """
+        WITH d AS (
+            SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt
+            FROM orders ORDER BY 1 LIMIT 3),
+        r AS (SELECT dt, ROW_NUMBER() OVER (ORDER BY dt) AS rk FROM d)
+        SELECT r.dt AS o_orderdate,
+               CAST(COUNT(CASE WHEN r.rk > 1 OR o.o_orderkey % 2 = 0
+                          THEN 1 END) AS BIGINT) AS n_orders
+        FROM r JOIN orders o ON CAST(o.o_orderdate AS DATE) = r.dt
+        GROUP BY 1
+    """,
     "q_json_extract": """
         SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
     """,

@@ -339,6 +339,20 @@ ORACLES["q_stream_tumbling"] = ORACLES["q_stream_tumbling_batch"]
 ORACLES["q_stream_sliding"] = ORACLES["q_stream_sliding_batch"]
 ORACLES["q_stream_session"] = ORACLES["q_stream_session_batch"]
 
+# The parquet-sink read-back is likewise deterministic (the sink commits
+# every input partition exactly once under processAllAvailable, and the
+# summary is per-day counts of the source) — so the WRITE path is
+# value-checked too, not just the transform.
+ORACLES["q_stream_sink_parquet"] = """
+    SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events
+    FROM events GROUP BY 1
+"""
+
 #: registered while the driver window is packed — queue for the next
 #: round's slots; parity-suite-checked every run.
-DEFERRED = ("q_stream_tumbling", "q_stream_sliding", "q_stream_session")
+DEFERRED = (
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_sink_parquet",
+)
