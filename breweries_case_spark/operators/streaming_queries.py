@@ -339,6 +339,17 @@ ORACLES["q_stream_tumbling"] = ORACLES["q_stream_tumbling_batch"]
 ORACLES["q_stream_sliding"] = ORACLES["q_stream_sliding_batch"]
 ORACLES["q_stream_session"] = ORACLES["q_stream_session_batch"]
 
+# The INNER stream-stream interval join emits on match (not on watermark
+# advancement — that's only the state-EVICTION signal for inner joins),
+# so its replay is deterministic too and shares the batch binned
+# interval join's oracle (q_join_range_binned — identical schema; their
+# equality was already unit-tested).
+from breweries_case_spark.operators.relational import (  # noqa: E402
+    ORACLES as _REL_ORACLES,
+)
+
+ORACLES["q_stream_join"] = _REL_ORACLES["q_join_range_binned"]
+
 # The parquet-sink read-back is likewise deterministic (the sink commits
 # every input partition exactly once under processAllAvailable, and the
 # summary is per-day counts of the source) — so the WRITE path is
@@ -355,4 +366,5 @@ DEFERRED = (
     "q_stream_sliding",
     "q_stream_session",
     "q_stream_sink_parquet",
+    "q_stream_join",
 )
