@@ -350,6 +350,14 @@ from breweries_case_spark.operators.relational import (  # noqa: E402
 
 ORACLES["q_stream_join"] = _REL_ORACLES["q_join_range_binned"]
 
+# Single-micro-batch delivery (one events file) makes the within-watermark
+# dedup globally exact — the docstring's documented equivalence to batch
+# distinct, now driver-checked rather than only unit-tested.
+ORACLES["q_stream_dedup"] = """
+    SELECT user_id, event_type, CAST(1 AS BIGINT) AS n_rows
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+"""
+
 # The parquet-sink read-back is likewise deterministic (the sink commits
 # every input partition exactly once under processAllAvailable, and the
 # summary is per-day counts of the source) — so the WRITE path is
@@ -367,4 +375,5 @@ DEFERRED = (
     "q_stream_session",
     "q_stream_sink_parquet",
     "q_stream_join",
+    "q_stream_dedup",
 )
