@@ -147,6 +147,14 @@ EXTENDED = [
     "q_table_checksum",
     "q_embed_dim_stats",
     "q_embed_pca",
+    # round-4 fourth wave: attribution (user-keyed temporal join + rank
+    # windows), z-order layout audit (32 codegen interleave terms), the
+    # frame-explicit navigation windows, and the branch lifecycle
+    # (write-shaped: commits + three-way merge + three snapshot reads).
+    "q_attribution",
+    "q_zorder_layout",
+    "q_window_first_last",
+    "q_branch_merge",
 ]
 
 
