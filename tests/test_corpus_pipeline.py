@@ -1,0 +1,111 @@
+"""The nightly corpus-update contract (pipelines/corpus.py): shard flow
+through gate → decontaminate → within-shard and vs-corpus dedup → ACID
+commit, with idempotent re-runs and O(shard) corpus-side work."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from breweries_case_spark.pipelines.corpus import (
+    read_corpus,
+    update_corpus,
+)
+
+
+def _shard(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+GOOD = "the quick brown fox jumps over the lazy dog again and again"
+GOOD2 = "pack my box with five dozen liquor jugs before the dawn breaks"
+SHORT = "too short"  # fails MIN_TOKENS
+BENCH = "benchmark eval question about prime numbers and their gaps here"
+
+
+def _ids(spark, corpus_dir):
+    return {
+        (r.shard_date, r.doc_id)
+        for r in read_corpus(spark, corpus_dir).collect()
+    }
+
+
+def test_two_day_flow_dedups_against_corpus(spark, tmp_path):
+    c = str(tmp_path / "corpus")
+    day1 = _shard(
+        spark,
+        [(1, GOOD, "en", "web"), (2, GOOD2, "en", "web"), (3, SHORT, "en", "web")],
+    )
+    stats1 = update_corpus(spark, day1, c, "2026-08-01")
+    # the short doc fails the gate; both good docs accepted
+    assert (stats1["n_in"], stats1["n_after_gate"], stats1["n_accepted"]) == (3, 2, 2)
+    assert _ids(spark, c) == {("2026-08-01", 1), ("2026-08-01", 2)}
+
+    # day 2 redelivers GOOD (exact dup of doc 1, different id), a
+    # within-shard dup pair, and one genuinely new doc
+    new_text = "a completely new document with plenty of fresh tokens inside it"
+    day2 = _shard(
+        spark,
+        [
+            (10, GOOD, "en", "web"),       # corpus dup -> dropped
+            (11, new_text, "en", "web"),   # new -> kept
+            (12, new_text, "en", "web"),   # within-shard dup -> dropped
+        ],
+    )
+    stats2 = update_corpus(spark, day2, c, "2026-08-02")
+    assert stats2["n_accepted"] == 1
+    assert _ids(spark, c) == {
+        ("2026-08-01", 1),
+        ("2026-08-01", 2),
+        ("2026-08-02", 11),
+    }
+
+
+def test_rerun_is_idempotent_not_self_excluding(spark, tmp_path):
+    """Re-running a shard date must converge to the SAME corpus state:
+    the day's fingerprints must not exclude the day's own docs, and the
+    partition is replaced, not appended."""
+    c = str(tmp_path / "corpus")
+    day = _shard(spark, [(1, GOOD, "en", "web"), (2, GOOD2, "en", "web")])
+    update_corpus(spark, day, c, "2026-08-01")
+    before = _ids(spark, c)
+    stats = update_corpus(spark, day, c, "2026-08-01")  # crash-retry
+    assert stats["n_accepted"] == 2  # NOT zero — no self-exclusion
+    assert _ids(spark, c) == before
+    # corpus row count did not double
+    assert read_corpus(spark, c).count() == 2
+
+
+def test_decontamination_drops_bench_overlap(spark, tmp_path):
+    c = str(tmp_path / "corpus")
+    bench_grams = (
+        _shard(spark, [(99, BENCH, "en", "bench")])
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.size(F.split(F.lower(F.trim("text")), r"\s+")) - 2,
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.split(F.lower(F.trim("text")), r"\s+")[i - 1],
+                        F.split(F.lower(F.trim("text")), r"\s+")[i],
+                        F.split(F.lower(F.trim("text")), r"\s+")[i + 1],
+                    ),
+                )
+            ).alias("g")
+        )
+    )
+    contaminated = (
+        "this text quotes the benchmark eval question about prime numbers today"
+    )
+    day = _shard(
+        spark,
+        [(1, GOOD, "en", "web"), (2, contaminated, "en", "web")],
+    )
+    stats = update_corpus(spark, day, c, "2026-08-01", bench_grams=bench_grams)
+    assert stats["n_accepted"] == 1
+    assert _ids(spark, c) == {("2026-08-01", 1)}
