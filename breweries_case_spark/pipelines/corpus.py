@@ -49,6 +49,9 @@ from breweries_case_spark.operators.training_mix import (
 #: snapshot tables inside a corpus directory
 DOCS_TABLE = "docs"
 FP_TABLE = "fingerprints"
+#: persisted MinHash-LSH bucket state (doc_id, band_idx, band_hash) — the
+#: probe target for the near-dup tier; O(docs × bands) rows, text-free
+LSH_TABLE = "lsh_buckets"
 
 
 def _fingerprint():
@@ -77,12 +80,149 @@ def _decontaminate(shard: DataFrame, bench_grams: DataFrame) -> DataFrame:
     return shard.join(contaminated, "doc_id", "left_anti")
 
 
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, lang, sh: array<long>) — the dedup module's hashed-shingle
+    feature over an arbitrary documents frame (its sf_dir-based builders
+    read the test table; this adapter runs the same expressions)."""
+    from breweries_case_spark.operators.dedup import (
+        _hashed_shingles_from_token_hashes,
+        _norm_tokens,
+    )
+
+    base = df.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            _norm_tokens(F.col("text")), lambda t: F.xxhash64(t)
+        ).alias("th64"),
+    )
+    return _hashed_shingles_from_token_hashes(base)
+
+
+def _banded(shingles: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH bucket rows."""
+    from breweries_case_spark.operators.dedup import (
+        _lsh_banded,
+        minhash_signatures,
+    )
+
+    return _lsh_banded(minhash_signatures(shingles)).select(
+        "doc_id", "band_idx", "band_hash"
+    )
+
+
+def _near_dup_shard_ids(
+    spark: SparkSession,
+    fresh: DataFrame,
+    corpus_dir: str,
+    shard_date: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup tier: returns (shard doc_ids to DROP, the shard's banded
+    bucket rows for state persistence).
+
+    Flow — every stage O(shard) or O(candidates), never O(corpus):
+    shard shingles → signatures → bands; broadcast the shard's tiny
+    bucket-key set to semi-join the STORED bucket state (corpus rows
+    sharing no bucket are pruned before any pair forms); exact-Jaccard
+    verify only the candidates, reading corpus TEXT only for candidate
+    docs (semi-join on the docs table). Within-shard near-dups resolve
+    keep-min-doc_id over the same verified pair set."""
+    from breweries_case_spark.operators.dedup import JACCARD_THRESHOLD
+
+    sh_shard = _shingles(fresh).localCheckpoint()
+    shard_banded = _banded(sh_shard).localCheckpoint()
+
+    lsh_dir = os.path.join(corpus_dir, LSH_TABLE)
+    docs_dir = os.path.join(corpus_dir, DOCS_TABLE)
+    pairs = []
+
+    def _verified(cands, sh_a, sh_b):
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+        jac = F.when(
+            union > 0, inter.cast("double") / union.cast("double")
+        ).otherwise(F.lit(0.0))
+        return (
+            cands.join(sh_a, "doc_a")
+            .join(sh_b, "doc_b")
+            .filter(
+                (F.col("lang_a") == F.col("lang_b"))
+                & (jac >= F.lit(JACCARD_THRESHOLD))
+            )
+            .select("doc_a", "doc_b")
+        )
+
+    a_side = sh_shard.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("sh").alias("sh_a"),
+    )
+
+    # --- vs corpus ---
+    if latest_version(lsh_dir) is not None:
+        stored = read_snapshot(spark, lsh_dir).filter(
+            F.col("shard_date") != shard_date
+        )
+        shard_buckets = shard_banded.select("band_idx", "band_hash").distinct()
+        corpus_hits = stored.join(
+            F.broadcast(shard_buckets), ["band_idx", "band_hash"], "left_semi"
+        )
+        cands = (
+            shard_banded.withColumnRenamed("doc_id", "doc_a")
+            .join(
+                corpus_hits.withColumnRenamed("doc_id", "doc_b"),
+                ["band_idx", "band_hash"],
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        cand_corpus_docs = read_snapshot(spark, docs_dir).join(
+            cands.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        b_side = _shingles(cand_corpus_docs).select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("sh").alias("sh_b"),
+        )
+        pairs.append(_verified(cands, a_side, b_side))
+
+    # --- within shard ---
+    intra = (
+        shard_banded.alias("x")
+        .join(
+            shard_banded.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("y.doc_id").alias("doc_a"), F.col("x.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    b_intra = sh_shard.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    # doc_a > doc_b by construction: the LOWER id survives keep-min
+    pairs.append(_verified(intra, a_side, b_intra))
+
+    drop = pairs[0]
+    for p in pairs[1:]:
+        drop = drop.unionByName(p)
+    return drop.select(F.col("doc_a").alias("doc_id")).distinct(), shard_banded
+
+
 def update_corpus(
     spark: SparkSession,
     shard: DataFrame,
     corpus_dir: str,
     shard_date: str,
     bench_grams: DataFrame | None = None,
+    near_dedup: bool = False,
 ) -> dict:
     """Run one shard through gate → decontaminate → dedup (within-shard
     and vs corpus) → ACID commit. Returns per-stage counts (driver-side
@@ -120,6 +260,21 @@ def update_corpus(
         )
     else:
         fresh = shard_unique
+
+    # near-dup tier (optional): MinHash-LSH probe of the persisted bucket
+    # state + exact-Jaccard verify on candidates only; greedy
+    # keep-min-doc_id within the shard (the q_dedup_incremental contract —
+    # full transitive clustering is the batch q_dedup_clusters_* job)
+    n_near_dropped = 0
+    shard_banded = None
+    if near_dedup:
+        fresh = fresh.localCheckpoint()
+        near_drop, shard_banded = _near_dup_shard_ids(
+            spark, fresh, corpus_dir, shard_date
+        )
+        n_near_dropped = near_drop.count()
+        fresh = fresh.join(near_drop, "doc_id", "left_anti")
+
     accepted = fresh.withColumn("shard_date", F.lit(shard_date))
     n_accepted = accepted.count()
 
@@ -133,10 +288,21 @@ def update_corpus(
     v = commit_overwrite_partitions(
         accepted.select("fp", "doc_id", "shard_date"), fp_dir, "shard_date"
     )
+    if near_dedup:
+        # persist bucket state for ACCEPTED docs only (dropped docs must
+        # not shadow future deliveries of the doc that displaced them)
+        commit_overwrite_partitions(
+            shard_banded.join(
+                accepted.select("doc_id"), "doc_id", "left_semi"
+            ).withColumn("shard_date", F.lit(shard_date)),
+            os.path.join(corpus_dir, LSH_TABLE),
+            "shard_date",
+        )
     return {
         "shard_date": shard_date,
         "n_in": n_in,
         "n_after_gate": n_gated,
+        "n_near_dropped": n_near_dropped,
         "n_accepted": n_accepted,
         "fingerprint_version": v,
     }

@@ -78,6 +78,46 @@ def test_rerun_is_idempotent_not_self_excluding(spark, tmp_path):
     assert read_corpus(spark, c).count() == 2
 
 
+NEAR1 = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+)
+# one token edited at the end — shares nearly all 3-gram shingles (J >= 0.5)
+NEAR1_EDIT = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu xi"
+)
+OTHER = (
+    "completely different words about rivers mountains valleys oceans and storms"
+)
+
+
+def test_near_dedup_probes_stored_lsh_state(spark, tmp_path):
+    """Day 2's near-duplicate of a day-1 doc is dropped by the LSH probe
+    + Jaccard verify; a genuinely different doc passes; within-shard
+    near-dup pairs resolve keep-min; re-running day 2 is idempotent."""
+    c = str(tmp_path / "corpus")
+    day1 = _shard(spark, [(1, NEAR1, "en", "web")])
+    s1 = update_corpus(spark, day1, c, "2026-08-01", near_dedup=True)
+    assert (s1["n_accepted"], s1["n_near_dropped"]) == (1, 0)
+
+    day2 = _shard(
+        spark,
+        [
+            (10, NEAR1_EDIT, "en", "web"),  # near-dup of corpus doc 1
+            (11, OTHER, "en", "web"),       # new
+            (12, OTHER + " extra", "en", "web"),  # near-dup of 11 (higher id)
+        ],
+    )
+    s2 = update_corpus(spark, day2, c, "2026-08-02", near_dedup=True)
+    assert s2["n_near_dropped"] == 2
+    assert s2["n_accepted"] == 1
+    assert _ids(spark, c) == {("2026-08-01", 1), ("2026-08-02", 11)}
+
+    # crash-retry of day 2 converges to the same state
+    s2b = update_corpus(spark, day2, c, "2026-08-02", near_dedup=True)
+    assert s2b["n_accepted"] == 1
+    assert _ids(spark, c) == {("2026-08-01", 1), ("2026-08-02", 11)}
+
+
 def test_decontamination_drops_bench_overlap(spark, tmp_path):
     c = str(tmp_path / "corpus")
     bench_grams = (
