@@ -223,6 +223,7 @@ def update_corpus(
     shard_date: str,
     bench_grams: DataFrame | None = None,
     near_dedup: bool = False,
+    persist_lsh_state: bool | None = None,
 ) -> dict:
     """Run one shard through gate → decontaminate → dedup (within-shard
     and vs corpus) → ACID commit. Returns per-stage counts (driver-side
@@ -230,7 +231,14 @@ def update_corpus(
 
     ``shard`` must carry (doc_id, text, lang, source); ``shard_date`` is
     the idempotency key — re-running the same date replaces that
-    partition in BOTH tables and converges to the same corpus state."""
+    partition in BOTH tables and converges to the same corpus state.
+
+    ``persist_lsh_state`` (default: follows ``near_dedup``) writes the
+    accepted docs' MinHash band buckets WITHOUT running the near-dup
+    probe — the initial-backfill mode: a corpus-sized seed load must not
+    pay the daily path's within-shard candidate join (that is the batch
+    ``q_dedup_clusters_*`` job); it only needs to leave bucket state
+    behind so subsequent daily shards can probe it."""
     docs_dir = os.path.join(corpus_dir, DOCS_TABLE)
     fp_dir = os.path.join(corpus_dir, FP_TABLE)
 
@@ -265,6 +273,8 @@ def update_corpus(
     # state + exact-Jaccard verify on candidates only; greedy
     # keep-min-doc_id within the shard (the q_dedup_incremental contract —
     # full transitive clustering is the batch q_dedup_clusters_* job)
+    if persist_lsh_state is None:
+        persist_lsh_state = near_dedup
     n_near_dropped = 0
     shard_banded = None
     if near_dedup:
@@ -288,9 +298,11 @@ def update_corpus(
     v = commit_overwrite_partitions(
         accepted.select("fp", "doc_id", "shard_date"), fp_dir, "shard_date"
     )
-    if near_dedup:
+    if persist_lsh_state:
         # persist bucket state for ACCEPTED docs only (dropped docs must
         # not shadow future deliveries of the doc that displaced them)
+        if shard_banded is None:
+            shard_banded = _banded(_shingles(accepted))
         commit_overwrite_partitions(
             shard_banded.join(
                 accepted.select("doc_id"), "doc_id", "left_semi"

@@ -118,6 +118,22 @@ def test_near_dedup_probes_stored_lsh_state(spark, tmp_path):
     assert _ids(spark, c) == {("2026-08-01", 1), ("2026-08-02", 11)}
 
 
+def test_backfill_seeds_lsh_state_without_probing(spark, tmp_path):
+    """persist_lsh_state=True with near_dedup=False is the backfill
+    mode: no probe/intra work, but bucket state lands so the NEXT daily
+    shard's near-dup probe works against the seed."""
+    c = str(tmp_path / "corpus")
+    seed = _shard(spark, [(1, NEAR1, "en", "web")])
+    s0 = update_corpus(
+        spark, seed, c, "2026-08-01", near_dedup=False, persist_lsh_state=True
+    )
+    assert (s0["n_accepted"], s0["n_near_dropped"]) == (1, 0)
+    day = _shard(spark, [(10, NEAR1_EDIT, "en", "web")])
+    s1 = update_corpus(spark, day, c, "2026-08-02", near_dedup=True)
+    assert (s1["n_near_dropped"], s1["n_accepted"]) == (1, 0)
+    assert _ids(spark, c) == {("2026-08-01", 1)}
+
+
 def test_decontamination_drops_bench_overlap(spark, tmp_path):
     c = str(tmp_path / "corpus")
     bench_grams = (
