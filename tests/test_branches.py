@@ -103,6 +103,58 @@ def test_merge_cycles_stay_three_way(spark, tmp_path):
     assert _trunk(spark, t) == {"d1": {1}, "d2": {2}, "d5": {5}}
 
 
+def test_branch_commit_race_retries_and_merges(spark, tmp_path, monkeypatch):
+    """Two branch commits racing for the same branch version: the loser
+    must re-merge onto the winner's manifest and land the next version
+    with BOTH partitions present (the trunk race contract, on a ref)."""
+    import json
+    import os as _os
+
+    from breweries_case_spark.io import branches as B
+
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1")]), t, "day")
+    create_branch(t, "exp")
+
+    real_open = _os.open
+    claimed = {"done": False}
+
+    def racing_open(path, flags, *a):
+        if (
+            not claimed["done"]
+            and "_refs" in path
+            and path.endswith("v00000001.json")
+            and flags & _os.O_EXCL
+        ):
+            claimed["done"] = True
+            fd = real_open(path, flags, *a)
+            with _os.fdopen(fd, "w") as f:
+                json.dump(
+                    {
+                        "version": 1,
+                        "committed_at": 0.0,
+                        "partition_col": "day",
+                        "partitions": {"d9": []},
+                    },
+                    f,
+                )
+            raise FileExistsError(path)
+        return real_open(path, flags, *a)
+
+    monkeypatch.setattr(B.os, "open", racing_open)
+    v = commit_to_branch(_df(spark, [(5, "d5")]), t, "exp", "day")
+    monkeypatch.undo()
+    assert v == 2  # lost v1, landed v2
+    # the loser re-merged onto the WINNER's manifest: the winner's d9
+    # partition is carried forward and the loser's d5 lands beside it.
+    # (d1 is gone because the fake winner's manifest dropped it — the
+    # same authority a delete-commit has; a real racing commit_to_branch
+    # would have carried it forward.)
+    m = B._read_branch_manifest(t, "exp", 2)
+    assert set(m["partitions"]) == {"d9", "d5"}
+    assert _branch(spark, t, "exp") == {"d5": {5}}
+
+
 def test_vacuum_preserves_branch_data_and_base(spark, tmp_path):
     t = str(tmp_path / "t")
     commit_overwrite_partitions(_df(spark, [(1, "d1")]), t, "day")  # v1
