@@ -155,6 +155,9 @@ EXTENDED = [
     "q_zorder_layout",
     "q_window_first_last",
     "q_branch_merge",
+    # content-defined chunk dedup (1.60 s at sf0.1 — the dup_span shape
+    # with variable-length chunks)
+    "q_dedup_cdc_chunks",
 ]
 
 

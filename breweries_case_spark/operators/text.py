@@ -380,6 +380,102 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: content-defined chunking: a token closes a chunk when its hash ≡ 0
+#: (mod CDC_MOD) → expected chunk length CDC_MOD tokens, boundaries set
+#: by CONTENT, so an insertion only reshapes its own chunk
+CDC_MOD = 16
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at content-defined chunk granularity — the CDC
+    technique storage systems use (rolling-hash boundaries), applied to
+    training text: a token ends a chunk when its hash ≡ 0 mod CDC_MOD,
+    so chunk boundaries move WITH the content. Fixed n-gram spans
+    (q_dup_span_fraction) lose alignment after a single token insertion;
+    CDC chunks re-synchronize at the next boundary, which is why CDC
+    finds shifted duplication n-grams miss. Output per doc: chunk count,
+    cross-doc duplicated chunk count (a chunk is duplicated iff its
+    content hash appears under another doc), and the duplicated
+    fraction.
+
+    Plan shape (the q_dup_span_fraction discipline): one explode of the
+    token stream with positions → per-token boundary flag from an
+    engine-neutral md5-chunk hash → running-sum window per doc assigns
+    chunk ids → one (doc, chunk) aggregate builds the ordered chunk text
+    and hashes it → a chunk-hash-keyed window marks cross-doc duplicates
+    (corpus total > own occurrences — no distinct-count, no join-back) →
+    one doc-keyed aggregate. Shuffles carry shrinking row sets
+    (tokens → chunks → docs); measured corpus-linear for the span
+    variant, same shape here."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "tok"),
+    )
+    tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    flagged = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (tok_hash % CDC_MOD == 0).cast("int").alias("is_boundary"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = flagged.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("is_boundary").over(w), F.lit(0)).alias("chunk_id"),
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s.tok,
+                    ),
+                )
+            ).alias("h")
+        )
+    )
+    occ = chunks.groupBy("doc_id", "h").agg(F.count("*").alias("occ"))
+    tot = occ.withColumn("tot", F.sum("occ").over(Window.partitionBy("h")))
+    counted = tot.groupBy("doc_id").agg(
+        F.sum("occ").alias("n_chunks"),
+        F.sum(
+            F.when(F.col("tot") > F.col("occ"), F.col("occ")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_dup_chunks"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        (
+            F.floor(
+                F.col("n_dup_chunks") / F.col("n_chunks") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("dup_frac"),
+    )
+
+
 #: BM25 retrieval parameters (Robertson/Sparck-Jones defaults) and the
 #: fixed query term set — a query PARAMETER like q_sim_topk's query vector.
 BM25_K1 = 1.2
@@ -464,9 +560,59 @@ QUERIES = {
     "q_doc_ngram_topk": q_doc_ngram_topk,
     "q_dup_span_fraction": q_dup_span_fraction,
     "q_text_bm25": q_text_bm25,
+    "q_dedup_cdc_chunks": q_dedup_cdc_chunks,
 }
 
+#: registered while the driver window is packed — queues for the next
+#: round's slots; parity-suite-checked every run.
+DEFERRED = ("q_dedup_cdc_chunks",)
+
 ORACLES = {
+    "q_dedup_cdc_chunks": rf"""
+        WITH toks AS (
+            SELECT doc_id, t.tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY t.pos) - 1 AS pos
+            FROM (SELECT doc_id,
+                         list_filter(
+                             string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS tk
+                  FROM documents) d,
+                 LATERAL (SELECT unnest(d.tk) AS tok,
+                                 generate_subscripts(d.tk, 1) AS pos) t),
+        flagged AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                             % {CDC_MOD} = 0
+                        THEN 1 ELSE 0 END AS is_boundary
+            FROM toks),
+        chunked AS (
+            SELECT doc_id, pos, tok,
+                   COALESCE(SUM(is_boundary) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS chunk_id
+            FROM flagged),
+        chunks AS (
+            SELECT doc_id, chunk_id,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+            FROM chunked GROUP BY 1, 2),
+        occ AS (
+            SELECT doc_id, h, COUNT(*) AS occ FROM chunks GROUP BY 1, 2),
+        tot AS (
+            SELECT doc_id, occ,
+                   SUM(occ) OVER (PARTITION BY h) AS tot
+            FROM occ),
+        counted AS (
+            SELECT doc_id,
+                   CAST(SUM(occ) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN tot > occ THEN occ ELSE 0 END)
+                        AS BIGINT) AS n_dup_chunks
+            FROM tot GROUP BY 1)
+        SELECT doc_id, n_chunks, n_dup_chunks,
+               FLOOR(n_dup_chunks / n_chunks * 1e6 + 0.5) / 1e6 AS dup_frac
+        FROM counted
+    """,
     "q_text_bm25": r"""
         WITH docs AS (
             SELECT doc_id,

@@ -161,6 +161,41 @@ def test_bfs_levels_are_shortest_paths(spark, sf_dir):
     assert got[source] == 0
 
 
+# ----------------------------------------------------------- cdc chunks
+
+def test_cdc_chunks_resynchronize_after_insertion(spark, tmp_path):
+    """The reason CDC exists: after ONE token is inserted mid-document,
+    content-defined chunk boundaries re-synchronize, so most chunks of
+    the edited copy still hash-match the original — while every fixed
+    n-gram span crossing the insertion point is broken. Build a 2-doc
+    corpus (original + 1-token-insertion copy) and require a high
+    duplicated-chunk fraction on both."""
+    import random
+
+    from breweries_case_spark.operators.text import q_dedup_cdc_chunks
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(10_000)}" for _ in range(400)]
+    original = " ".join(words)
+    edited = " ".join(words[:200] + ["INSERTED"] + words[200:])
+    spark.createDataFrame(
+        [(1, original, "en", "src", len(original)),
+         (2, edited, "en", "src", len(edited))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks)
+        for r in q_dedup_cdc_chunks(spark, str(tmp_path)).collect()
+    }
+    n1, d1 = got[1]
+    n2, d2 = got[2]
+    # all chunks except the one containing the insertion must match
+    assert d1 >= n1 - 2
+    assert d2 >= n2 - 2
+    assert d1 > 0.8 * n1
+
+
 # ------------------------------------------------------------- checksum
 
 def _checksums(spark, path):
