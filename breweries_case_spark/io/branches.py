@@ -155,22 +155,9 @@ def commit_to_branch(
     """Partition-overwrite commit onto a branch: data files go to the
     SHARED data dir; only the branch's manifest chain advances. Same
     O_EXCL optimistic-retry protocol as trunk commits."""
-    import uuid
+    from breweries_case_spark.io.snapshots import stage_partition_files
 
-    commit_id = uuid.uuid4().hex
-    stage = os.path.join(table_dir, "data", commit_id)
-    df.write.partitionBy(partition_col).parquet(stage)
-    touched: dict[str, list[str]] = {}
-    for entry in os.listdir(stage):
-        if not entry.startswith(f"{partition_col}="):
-            continue
-        val = entry.split("=", 1)[1]
-        pdir = os.path.join(stage, entry)
-        touched[val] = sorted(
-            os.path.join("data", commit_id, entry, f)
-            for f in os.listdir(pdir)
-            if f.endswith(".parquet")
-        )
+    touched = stage_partition_files(df, table_dir, partition_col)
 
     mdir = _branch_manifest_dir(table_dir, name)
     for _ in range(_MAX_COMMIT_RETRIES):
@@ -232,8 +219,16 @@ def merge_branch(table_dir: str, name: str) -> int:
     """Three-way merge of the branch into trunk at partition
     granularity. Returns the new trunk version; raises ``MergeConflict``
     if trunk and branch both changed a partition to different content.
-    After a successful merge the branch's divergence point advances to
-    the merged trunk version (repeated merge cycles stay three-way)."""
+
+    After a successful merge the branch is FAST-FORWARDED onto the merge
+    result: its divergence point advances to the merged trunk version
+    AND its head is republished as the merged partition map (git's
+    post-merge state — branch and trunk coincide until either commits
+    again). Advancing only the base while leaving a stale head would
+    make the next merge read every trunk partition the branch never saw
+    as a branch-side DELETION and silently drop it — the repeated-merge
+    data-loss path ``test_merge_cycles_preserve_trunk_divergence``
+    pins."""
     meta = _read_meta(table_dir, name)
     base_m = _read_manifest(table_dir, meta["created_from"])
     base = base_m["partitions"]
@@ -278,8 +273,24 @@ def merge_branch(table_dir: str, name: str) -> int:
             continue
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
-        # advance the divergence point so the next merge is three-way
-        # against this merge result
+        # fast-forward the branch onto the merge result: advance the
+        # divergence point AND republish the head as the merged map
+        mdir = _branch_manifest_dir(table_dir, name)
+        bversions = _branch_versions(table_dir, name)
+        bversion = (bversions[-1] if bversions else 0) + 1
+        btarget = os.path.join(mdir, f"v{bversion:08d}.json")
+        fd = os.open(btarget, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    "version": bversion,
+                    "committed_at": time.time(),
+                    "partition_col": pcol,
+                    "partitions": merged,
+                    "fast_forward_of": version,
+                },
+                f,
+            )
         meta_path = os.path.join(_branch_dir(table_dir, name), "meta.json")
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -359,9 +370,18 @@ def q_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .withColumn("stage", F.lit("merged"))
     )
-    return trunk_v1.unionByName(branch_state).unionByName(merged).select(
+    out = trunk_v1.unionByName(branch_state).unionByName(merged).select(
         "stage", "day", "n"
     )
+    # materialize (tiny: stages × days rows) so the scratch table can be
+    # removed before the driver collects — q_write_dynamic_overwrite's
+    # cleanup discipline; without this every bench/driver run leaks a
+    # multi-partition parquet copy under /tmp
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 QUERIES = {

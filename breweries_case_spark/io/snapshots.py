@@ -85,17 +85,17 @@ def latest_version(table_dir: str) -> int | None:
     return versions[-1] if versions else None
 
 
-def commit_overwrite_partitions(
-    df: DataFrame, table_dir: str, partition_col: str = "extraction_date"
-) -> int:
-    """Atomically commit ``df`` with dynamic partition-overwrite
-    semantics; returns the new version number."""
-    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+def stage_partition_files(
+    df: DataFrame, table_dir: str, partition_col: str
+) -> dict[str, list[str]]:
+    """Write ``df`` to a fresh commit dir under ``table_dir/data`` and
+    return the staged files keyed by partition VALUE (table-relative
+    paths). Shared by trunk commits and branch commits
+    (io/branches.py::commit_to_branch) so the staging protocol cannot
+    drift between the two write paths."""
     commit_id = uuid.uuid4().hex
     stage = os.path.join(table_dir, "data", commit_id)
     df.write.partitionBy(partition_col).parquet(stage)
-
-    # gather the files this commit wrote, keyed by partition VALUE
     touched: dict[str, list[str]] = {}
     for entry in os.listdir(stage):
         if not entry.startswith(f"{partition_col}="):
@@ -107,6 +107,16 @@ def commit_overwrite_partitions(
             for f in os.listdir(pdir)
             if f.endswith(".parquet")
         )
+    return touched
+
+
+def commit_overwrite_partitions(
+    df: DataFrame, table_dir: str, partition_col: str = "extraction_date"
+) -> int:
+    """Atomically commit ``df`` with dynamic partition-overwrite
+    semantics; returns the new version number."""
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    touched = stage_partition_files(df, table_dir, partition_col)
 
     for _ in range(_MAX_COMMIT_RETRIES):
         base = latest_version(table_dir)
@@ -463,7 +473,14 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = read_snapshot(spark, tdir).groupBy("day").agg(
         F.count("*").alias("n")
     ).withColumn("version", F.lit(2))
-    return v1.unionByName(v2).select("version", "day", "n")
+    out = v1.unionByName(v2).select("version", "day", "n")
+    # materialize (tiny) so the scratch table can be removed before the
+    # driver collects — without this every run leaks a snap_* dir
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 QUERIES = {

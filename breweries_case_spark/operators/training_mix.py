@@ -40,17 +40,32 @@ MIN_TOKENS = 10
 MEAN_TOKEN_LEN_RANGE = (2.0, 12.0)
 
 
+def quality_mask():
+    """Stage-1 gate predicate over a ``text`` column: ≥ MIN_TOKENS
+    whitespace tokens AND mean token length inside MEAN_TOKEN_LEN_RANGE.
+    Shared with ``pipelines/corpus.py`` so the nightly pipeline's gate
+    is provably THIS gate, not a drifting re-implementation."""
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    mean_len = F.length(F.col("text")).cast("double") / n_tok
+    lo, hi = MEAN_TOKEN_LEN_RANGE
+    return (n_tok >= MIN_TOKENS) & mean_len.between(lo, hi)
+
+
+def content_fingerprint():
+    """Exact-dedup canonicalization: md5 of the lowercased trimmed text
+    (the q_dedup_exact contract; shared with pipelines/corpus.py)."""
+    return F.md5(F.lower(F.trim(F.col("text"))))
+
+
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four-stage curation composite over documents; output is the final
     mixed corpus slice (doc_id, lang, source, ws_tokens, cum_tokens)."""
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    mean_len = F.length(F.col("text")).cast("double") / n_tok
-    lo, hi = MEAN_TOKEN_LEN_RANGE
     is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
 
     # 1. quality gate: narrow scan-time predicate, no shuffle
-    qual = d.filter((n_tok >= MIN_TOKENS) & mean_len.between(lo, hi))
+    qual = d.filter(quality_mask())
 
     # 2. decontamination: benchmark grams come from the FULL corpus (the
     # eval suite exists regardless of training-side quality filtering),
@@ -67,7 +82,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 3. exact dedup: md5 content fingerprint, keep-min-doc_id (the
     # q_dedup_exact contract), one shuffle on the fingerprint
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    fp = content_fingerprint()
     keepers = (
         clean.select(fp.alias("fp"), "doc_id")
         .groupBy("fp")

@@ -37,13 +37,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from breweries_case_spark.io.snapshots import (
+    _read_manifest,
+    commit_delete_partitions,
     commit_overwrite_partitions,
     latest_version,
     read_snapshot,
 )
 from breweries_case_spark.operators.training_mix import (
-    MEAN_TOKEN_LEN_RANGE,
-    MIN_TOKENS,
+    content_fingerprint,
+    quality_mask,
 )
 
 #: snapshot tables inside a corpus directory
@@ -54,15 +56,10 @@ FP_TABLE = "fingerprints"
 LSH_TABLE = "lsh_buckets"
 
 
-def _fingerprint():
-    return F.md5(F.lower(F.trim(F.col("text"))))
-
-
 def _quality_gate(shard: DataFrame) -> DataFrame:
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    mean_len = F.length(F.col("text")).cast("double") / n_tok
-    lo, hi = MEAN_TOKEN_LEN_RANGE
-    return shard.filter((n_tok >= MIN_TOKENS) & mean_len.between(lo, hi))
+    """The q_training_mix stage-1 gate, by shared expression — see
+    training_mix.quality_mask."""
+    return shard.filter(quality_mask())
 
 
 def _decontaminate(shard: DataFrame, bench_grams: DataFrame) -> DataFrame:
@@ -249,7 +246,7 @@ def update_corpus(
     n_gated = gated.count()
 
     # within-shard exact dedup: keep-min doc_id per fingerprint
-    with_fp = gated.withColumn("fp", _fingerprint())
+    with_fp = gated.withColumn("fp", content_fingerprint())
     w = Window.partitionBy("fp").orderBy("doc_id")
     shard_unique = (
         with_fp.withColumn("_rn", F.row_number().over(w))
@@ -282,33 +279,51 @@ def update_corpus(
         near_drop, shard_banded = _near_dup_shard_ids(
             spark, fresh, corpus_dir, shard_date
         )
+        # tiny id set, consumed by the count AND the anti-join — cut the
+        # probe/verify lineage so it runs once
+        near_drop = near_drop.localCheckpoint()
         n_near_dropped = near_drop.count()
         fresh = fresh.join(near_drop, "doc_id", "left_anti")
 
-    accepted = fresh.withColumn("shard_date", F.lit(shard_date))
+    # materialize the accepted set ONCE: the counts and the 2-3 table
+    # commits below would otherwise each re-run the full gate → dedup →
+    # near-dup lineage (the probe joins are the expensive part)
+    accepted = fresh.withColumn(
+        "shard_date", F.lit(shard_date)
+    ).localCheckpoint()
     n_accepted = accepted.count()
 
-    commit_overwrite_partitions(
-        accepted.select(
-            "doc_id", "text", "lang", "source", "shard_date"
-        ),
+    def _commit(df, table_dir):
+        """Overwrite the shard_date partition — including the
+        zero-accepted case: an empty frame stages no partition dirs, so
+        commit_overwrite_partitions alone would CARRY the stale
+        partition forward; a redelivered shard whose docs now all fail
+        must instead DELETE the day (the snapshot log's explicit-delete
+        half of the overwrite contract)."""
+        if n_accepted > 0:
+            return commit_overwrite_partitions(df, table_dir, "shard_date")
+        base = latest_version(table_dir)
+        if base is not None and shard_date in _read_manifest(
+            table_dir, base
+        )["partitions"]:
+            return commit_delete_partitions(table_dir, [shard_date])
+        return base if base is not None else 0
+
+    _commit(
+        accepted.select("doc_id", "text", "lang", "source", "shard_date"),
         docs_dir,
-        "shard_date",
     )
-    v = commit_overwrite_partitions(
-        accepted.select("fp", "doc_id", "shard_date"), fp_dir, "shard_date"
-    )
+    v = _commit(accepted.select("fp", "doc_id", "shard_date"), fp_dir)
     if persist_lsh_state:
         # persist bucket state for ACCEPTED docs only (dropped docs must
         # not shadow future deliveries of the doc that displaced them)
         if shard_banded is None:
             shard_banded = _banded(_shingles(accepted))
-        commit_overwrite_partitions(
+        _commit(
             shard_banded.join(
                 accepted.select("doc_id"), "doc_id", "left_semi"
             ).withColumn("shard_date", F.lit(shard_date)),
             os.path.join(corpus_dir, LSH_TABLE),
-            "shard_date",
         )
     return {
         "shard_date": shard_date,

@@ -103,6 +103,33 @@ def test_merge_cycles_stay_three_way(spark, tmp_path):
     assert _trunk(spark, t) == {"d1": {1}, "d2": {2}, "d5": {5}}
 
 
+def test_merge_cycles_preserve_trunk_divergence(spark, tmp_path):
+    """The repeated-merge data-loss regression: trunk diverges BEFORE
+    the first merge (adds d3), the branch commits again after the merge,
+    and the SECOND merge must keep d3 — a stale (non-fast-forwarded)
+    branch head would read d3 as a branch-side deletion and silently
+    drop it from trunk."""
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1"), (3, "d2")]), t, "day")
+    create_branch(t, "exp")
+    commit_to_branch(_df(spark, [(9, "d2")]), t, "exp", "day")  # branch: d2
+    commit_overwrite_partitions(_df(spark, [(7, "d3")]), t, "day")  # trunk: d3
+    merge_branch(t, "exp")
+    assert _trunk(spark, t) == {"d1": {1}, "d2": {9}, "d3": {7}}
+    # post-merge the branch is fast-forwarded onto the merge result
+    assert _branch(spark, t, "exp") == {"d1": {1}, "d2": {9}, "d3": {7}}
+
+    commit_to_branch(_df(spark, [(4, "d4")]), t, "exp", "day")
+    merge_branch(t, "exp")
+    # d3 MUST survive the second merge
+    assert _trunk(spark, t) == {
+        "d1": {1},
+        "d2": {9},
+        "d3": {7},
+        "d4": {4},
+    }
+
+
 def test_branch_commit_race_retries_and_merges(spark, tmp_path, monkeypatch):
     """Two branch commits racing for the same branch version: the loser
     must re-merge onto the winner's manifest and land the next version

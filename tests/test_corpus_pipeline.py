@@ -118,6 +118,33 @@ def test_near_dedup_probes_stored_lsh_state(spark, tmp_path):
     assert _ids(spark, c) == {("2026-08-01", 1), ("2026-08-02", 11)}
 
 
+def test_zero_accepted_rerun_deletes_stale_partition(spark, tmp_path):
+    """Redelivering a shard whose docs now all fail must REPLACE the
+    day's output with nothing — an empty overwrite would silently carry
+    the stale partition (and its suppressing fingerprints) forward."""
+    c = str(tmp_path / "corpus")
+    update_corpus(
+        spark, _shard(spark, [(1, GOOD, "en", "web")]), c, "2026-08-01"
+    )
+    update_corpus(
+        spark, _shard(spark, [(2, GOOD2, "en", "web")]), c, "2026-08-02"
+    )
+    assert _ids(spark, c) == {("2026-08-01", 1), ("2026-08-02", 2)}
+
+    # corrected redelivery of day 2: everything fails the gate
+    stats = update_corpus(
+        spark, _shard(spark, [(2, SHORT, "en", "web")]), c, "2026-08-02"
+    )
+    assert stats["n_accepted"] == 0
+    assert _ids(spark, c) == {("2026-08-01", 1)}
+    # the stale fingerprint no longer suppresses a future delivery
+    s3 = update_corpus(
+        spark, _shard(spark, [(9, GOOD2, "en", "web")]), c, "2026-08-03"
+    )
+    assert s3["n_accepted"] == 1
+    assert _ids(spark, c) == {("2026-08-01", 1), ("2026-08-03", 9)}
+
+
 def test_backfill_seeds_lsh_state_without_probing(spark, tmp_path):
     """persist_lsh_state=True with near_dedup=False is the backfill
     mode: no probe/intra work, but bucket state lands so the NEXT daily
