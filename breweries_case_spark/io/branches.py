@@ -56,6 +56,7 @@ from breweries_case_spark.io.snapshots import (
     _MAX_COMMIT_RETRIES,
     _read_manifest,
     latest_version,
+    publish_json_excl,
     read_snapshot,
 )
 
@@ -129,9 +130,10 @@ def create_branch(
     bdir = _branch_dir(table_dir, name)
     os.makedirs(os.path.join(bdir, "manifests"), exist_ok=True)
     meta_path = os.path.join(bdir, "meta.json")
-    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as f:
-        json.dump({"created_from": base, "created_at": time.time()}, f)
+    if not publish_json_excl(
+        meta_path, {"created_from": base, "created_at": time.time()}
+    ):
+        raise FileExistsError(meta_path)
     return base
 
 
@@ -172,12 +174,8 @@ def commit_to_branch(
             "partition_col": partition_col,
             "partitions": partitions,
         }
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not publish_json_excl(target, manifest):
             continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         return version
     raise RuntimeError(
         f"branch commit to {name!r} lost {_MAX_COMMIT_RETRIES} version races"
@@ -267,30 +265,24 @@ def merge_branch(table_dir: str, name: str) -> int:
             "merged_from": name,
         }
         target = _manifest_path(table_dir, version)
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not publish_json_excl(target, manifest):
             continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         # fast-forward the branch onto the merge result: advance the
         # divergence point AND republish the head as the merged map
         mdir = _branch_manifest_dir(table_dir, name)
         bversions = _branch_versions(table_dir, name)
         bversion = (bversions[-1] if bversions else 0) + 1
         btarget = os.path.join(mdir, f"v{bversion:08d}.json")
-        fd = os.open(btarget, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            json.dump(
-                {
-                    "version": bversion,
-                    "committed_at": time.time(),
-                    "partition_col": pcol,
-                    "partitions": merged,
-                    "fast_forward_of": version,
-                },
-                f,
-            )
+        publish_json_excl(
+            btarget,
+            {
+                "version": bversion,
+                "committed_at": time.time(),
+                "partition_col": pcol,
+                "partitions": merged,
+                "fast_forward_of": version,
+            },
+        )
         meta_path = os.path.join(_branch_dir(table_dir, name), "meta.json")
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:

@@ -22,11 +22,13 @@ Layout::
 
 Protocol:
 - **Commit** = write data files to a fresh commit dir (never touching
-  live files), then publish ``v{N+1}.json`` via ``os.open(O_CREAT|O_EXCL)``
-  + atomic rename — POSIX guarantees exactly one winner; losers re-read
-  the new latest manifest, re-merge their partition delta, and retry
-  (optimistic concurrency, same model as Iceberg's commit conflict
-  retry). Partition-overwrite semantics: touched partitions point at the
+  live files), then publish ``v{N+1}.json`` by fully writing + fsyncing
+  a sidecar and ``os.link``-ing it into place (``publish_json_excl``) —
+  link(2) fails with EEXIST if the version is claimed, so POSIX
+  guarantees exactly one winner AND the visible manifest is always
+  complete; losers re-read the new latest manifest, re-merge their
+  partition delta, and retry (optimistic concurrency, same model as
+  Iceberg's commit conflict retry). Partition-overwrite semantics: touched partitions point at the
   new files, untouched partitions carry forward — the reference's
   idempotent daily-rerun contract (``breweries_bronze_processors.py:
   133,149-153``).
@@ -62,6 +64,33 @@ _MAX_COMMIT_RETRIES = 20
 
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def publish_json_excl(target: str, payload: dict) -> bool:
+    """Atomically publish ``payload`` at ``target``, claiming it
+    exclusively. Returns False if another writer already claimed it.
+
+    The payload is fully written and fsynced to a sidecar first, then
+    ``os.link`` installs it — link(2) fails with EEXIST if the target
+    exists (the exclusive claim) and otherwise makes the COMPLETE file
+    visible in one atomic step. A bare O_EXCL-open-then-write would
+    expose an empty/partial manifest to concurrent readers (and wedge
+    the table permanently if the writer died mid-dump, since every
+    subsequent read parses the corrupt latest manifest)."""
+    tmp = f"{target}.{uuid.uuid4().hex}.tmp"
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            return False
+        return True
+    finally:
+        os.unlink(tmp)
 
 
 def _list_versions(table_dir: str) -> list[int]:
@@ -134,13 +163,8 @@ def commit_overwrite_partitions(
             "partitions": partitions,
         }
         target = _manifest_path(table_dir, version)
-        try:
-            # O_EXCL: exactly one concurrent committer can claim a version
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not publish_json_excl(target, manifest):
             continue  # lost the race — re-merge onto the new latest
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         return version
     raise RuntimeError(
         f"commit to {table_dir!r} lost {_MAX_COMMIT_RETRIES} version races"
@@ -170,12 +194,8 @@ def commit_delete_partitions(table_dir: str, values: list[str]) -> int:
             "partition_col": m["partition_col"],
             "partitions": partitions,
         }
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not publish_json_excl(target, manifest):
             continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         return version
     raise RuntimeError("delete-partitions commit lost every version race")
 
@@ -273,12 +293,8 @@ def compact_partitions(
             "compaction_of": base,
         }
         target = _manifest_path(table_dir, version)
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not publish_json_excl(target, manifest):
             continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         return version
     raise RuntimeError("compaction commit lost every version race")
 
@@ -355,12 +371,8 @@ def rollback(table_dir: str, to_version: int) -> int:
             "rollback_of": to_version,
         }
         target = _manifest_path(table_dir, version)
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not publish_json_excl(target, manifest):
             continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
         return version
     raise RuntimeError("rollback lost every version race")
 

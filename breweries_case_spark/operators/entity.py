@@ -189,9 +189,9 @@ def _jw_pairs(
 
     def blocked(prefix: bool) -> DataFrame:
         key = (
-            F.substring("addr", 1, BLOCK_PREFIX)
+            F.substring("addr", 1, block_prefix)
             if prefix
-            else F.substring("addr", -BLOCK_PREFIX, BLOCK_PREFIX)
+            else F.substring("addr", -block_prefix, block_prefix)
         )
         return (
             clean.withColumn("block", key)

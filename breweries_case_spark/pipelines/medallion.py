@@ -248,12 +248,18 @@ def run_medallion_snapshotted(
         )
 
     def count_day(tdir: str) -> int:
-        t = read_layer(tdir)
-        if t is None:
+        if latest_version(tdir) is None:
             return 0
-        return t.filter(
-            F.col("extraction_date") == F.lit(extraction_date)
-        ).count()
+        try:
+            # manifest-level prune: only the day's own partition is ever
+            # listed or read — a read-all-then-filter would pay O(history)
+            # file I/O per layer per run, growing with table age
+            day = read_snapshot(
+                spark, tdir, partitions=[str(extraction_date)]
+            )
+        except ValueError:  # day absent (or table holds zero partitions)
+            return 0
+        return day.count()
 
     bronze = ingest_to_bronze(spark, records, extraction_date)
     bdir = persist(bronze, "bronze")

@@ -138,24 +138,23 @@ def test_branch_commit_race_retries_and_merges(spark, tmp_path, monkeypatch):
     import os as _os
 
     from breweries_case_spark.io import branches as B
+    from breweries_case_spark.io import snapshots as S
 
     t = str(tmp_path / "t")
     commit_overwrite_partitions(_df(spark, [(1, "d1")]), t, "day")
     create_branch(t, "exp")
 
-    real_open = _os.open
+    real_link = _os.link
     claimed = {"done": False}
 
-    def racing_open(path, flags, *a):
+    def racing_link(src, dst, *a, **kw):
         if (
             not claimed["done"]
-            and "_refs" in path
-            and path.endswith("v00000001.json")
-            and flags & _os.O_EXCL
+            and "_refs" in dst
+            and dst.endswith("v00000001.json")
         ):
             claimed["done"] = True
-            fd = real_open(path, flags, *a)
-            with _os.fdopen(fd, "w") as f:
+            with open(dst, "w") as f:
                 json.dump(
                     {
                         "version": 1,
@@ -165,10 +164,11 @@ def test_branch_commit_race_retries_and_merges(spark, tmp_path, monkeypatch):
                     },
                     f,
                 )
-            raise FileExistsError(path)
-        return real_open(path, flags, *a)
+            raise FileExistsError(dst)
+        return real_link(src, dst, *a, **kw)
 
-    monkeypatch.setattr(B.os, "open", racing_open)
+    # the atomic claim point lives in snapshots.publish_json_excl
+    monkeypatch.setattr(S.os, "link", racing_link)
     v = commit_to_branch(_df(spark, [(5, "d5")]), t, "exp", "day")
     monkeypatch.undo()
     assert v == 2  # lost v1, landed v2

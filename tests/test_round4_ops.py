@@ -132,6 +132,20 @@ def test_blocking_width_is_a_config_dial(spark, sf_dir):
     # breaks the p=3 prefix but not the p=2 one... and vice versa never)
     assert p3 <= p2
     assert len(p3) >= len(p2) * 0.9  # p=3 loses at most the char-3 drops
+    # non-vacuity: the parameter must actually reach the block keys —
+    # dual recall can make p3 == p2 legitimately, so pin the PLAN
+    # (a regression once made blocked() close over the module constant,
+    # silently ignoring the dial)
+    plan = (
+        _jw_pairs(spark, sf_dir, block_prefix=3)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    import re
+
+    assert re.search(r"substring\(addr#\d+, 1, 3\)", plan), plan[:500]
+    assert re.search(r"substring\(addr#\d+, -3, 3\)", plan), plan[:500]
 
 
 # ------------------------------------------------------------------- geo

@@ -79,22 +79,17 @@ def test_commit_race_yields_distinct_versions_and_merges(spark, tmp_path):
     t = str(tmp_path / "t")
     commit_overwrite_partitions(_df(spark, [(1, "d1")]), t, "day")
 
-    # force a collision: pre-claim version 2 exactly once
-    real_open = os.open
+    # force a collision at the atomic claim point (publish_json_excl's
+    # os.link): the "other writer" wins v2 exactly once
+    real_link = os.link
     claimed = {"done": False}
 
-    def racing_open(path, flags, *a):
-        if (
-            not claimed["done"]
-            and path.endswith("v00000002.json")
-            and flags & os.O_EXCL
-        ):
+    def racing_link(src, dst, *a, **kw):
+        if not claimed["done"] and dst.endswith("v00000002.json"):
             claimed["done"] = True
-            # the "other writer" wins v2 with a d9 partition
-            fd = real_open(path, flags, *a)
             import json
 
-            with os.fdopen(fd, "w") as f:
+            with open(dst, "w") as f:
                 json.dump(
                     {
                         "version": 2,
@@ -104,14 +99,14 @@ def test_commit_race_yields_distinct_versions_and_merges(spark, tmp_path):
                     },
                     f,
                 )
-            raise FileExistsError(path)
-        return real_open(path, flags, *a)
+            raise FileExistsError(dst)
+        return real_link(src, dst, *a, **kw)
 
-    S.os.open = racing_open
+    S.os.link = racing_link
     try:
         v = commit_overwrite_partitions(_df(spark, [(5, "d5")]), t, "day")
     finally:
-        S.os.open = real_open
+        S.os.link = real_link
     assert v == 3
     m = S._read_manifest(t, 3)
     # loser re-merged onto the winner's v2: d9 carried forward, d5 added
