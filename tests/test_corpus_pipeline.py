@@ -161,6 +161,41 @@ def test_backfill_seeds_lsh_state_without_probing(spark, tmp_path):
     assert _ids(spark, c) == {("2026-08-01", 1)}
 
 
+def test_concurrent_shard_dates_both_land(spark, tmp_path):
+    """Two updates for DIFFERENT shard dates racing on the same corpus:
+    the snapshot log's optimistic retry must serialize them so both
+    partitions land in both tables, whichever order the version races
+    resolve."""
+    import threading
+
+    c = str(tmp_path / "corpus")
+    update_corpus(
+        spark, _shard(spark, [(1, GOOD, "en", "web")]), c, "2026-08-01"
+    )
+    errs = []
+
+    def run(day, rows):
+        try:
+            update_corpus(spark, _shard(spark, rows), c, day)
+        except Exception as e:  # surface in the main thread
+            errs.append(e)
+
+    t1 = threading.Thread(
+        target=run, args=("2026-08-02", [(2, GOOD2, "en", "web")])
+    )
+    new_text = "entirely different prose with plenty of tokens to pass the gate"
+    t2 = threading.Thread(
+        target=run, args=("2026-08-03", [(3, new_text, "en", "web")])
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert _ids(spark, c) == {
+        ("2026-08-01", 1),
+        ("2026-08-02", 2),
+        ("2026-08-03", 3),
+    }
+
+
 def test_decontamination_drops_bench_overlap(spark, tmp_path):
     c = str(tmp_path / "corpus")
     bench_grams = (
