@@ -401,10 +401,26 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     Branch-aware (io/branches.py): every file referenced by any branch
     manifest stays live, and trunk manifests that are a branch's
     divergence point are retained beyond ``keep_versions`` — a branch
-    can never have data or its merge base vacuumed from under it."""
+    can never have data or its merge base vacuumed from under it.
+
+    Also sweeps orphaned ``*.tmp`` publish sidecars (a writer that died
+    between staging and ``os.link`` leaves one; readers ignore them, so
+    they are junk, not state)."""
     versions = _list_versions(table_dir)
     if not versions:
         return []
+    for root in [os.path.join(table_dir, _MANIFEST_DIR)] + [
+        os.path.join(table_dir, "_refs", b, "manifests")
+        for b in (
+            os.listdir(os.path.join(table_dir, "_refs"))
+            if os.path.isdir(os.path.join(table_dir, "_refs"))
+            else []
+        )
+    ]:
+        if os.path.isdir(root):
+            for name in os.listdir(root):
+                if name.endswith(".tmp"):
+                    os.unlink(os.path.join(root, name))
     kept = set(versions[-keep_versions:])
     live: set[str] = set()
     refs_root = os.path.join(table_dir, "_refs")
