@@ -158,6 +158,9 @@ EXTENDED = [
     # content-defined chunk dedup (1.60 s at sf0.1 — the dup_span shape
     # with variable-length chunks)
     "q_dedup_cdc_chunks",
+    # hybrid retrieval: BM25 candidates -> exact-cosine re-rank -> mixed
+    # top-K (1.68 s at sf0.1)
+    "q_hybrid_search",
 ]
 
 

@@ -749,6 +749,63 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", project(F.col("v")).alias("components"))
 
 
+#: hybrid-search parameters: lexical/dense mixing weight and result size
+HYBRID_ALPHA = 0.5
+HYBRID_TOP_K = 20
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the modern RAG search topology end to end:
+    BM25 (q_text_bm25, composed directly so the lexical stage IS the
+    verified operator) generates the candidate set, each candidate's
+    embedding is scored by exact cosine against the query vector, and
+    the final ranking mixes the two signals:
+    ``α·(bm25/max_bm25) + (1−α)·cosine``, top-K with a doc_id
+    tie-break.
+
+    Scale shape: candidate generation is the BM25 plan (shuffle bounded
+    by query-term postings); the dense stage touches ONLY candidates —
+    an equi-join of the candidate ids against the embeddings table, not
+    a corpus scan — then a 1-row max broadcast normalizes and
+    TakeOrderedAndProject keeps K rows per partition. This is the
+    candidate-generate → re-rank cascade every production retrieval
+    stack runs; at 100 TB the dense side would be the ANN index
+    (q_sim_ann_lsh), exactly as the dedup tiers pair exact oracles with
+    sketch twins. Determinism: the cosine uses the left-to-right fold
+    (bitwise equal to DuckDB's list_dot_product), the mix is one IEEE
+    expression requantized to 6 dp, and only docs WITH embeddings rank
+    (inner join — the dense index's coverage is part of the contract)."""
+    from breweries_case_spark.operators.text import q_text_bm25
+
+    bm = q_text_bm25(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    qnorm = _norm_py(qv)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    emb = _embeddings_double(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "v"
+    )
+    cos = _dot(F.col("v"), qlit) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(qnorm)
+    )
+    mx = bm.agg(F.max("bm25").alias("_max_bm25"))
+    hybrid = (
+        F.lit(HYBRID_ALPHA) * (F.col("bm25") / F.col("_max_bm25"))
+        + F.lit(1.0 - HYBRID_ALPHA) * cos
+    )
+    return (
+        bm.join(emb, "doc_id")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "bm25",
+            (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cosine"),
+            (F.floor(hybrid * 1e6 + F.lit(0.5)) / 1e6).alias("hybrid_score"),
+        )
+        .orderBy(F.col("hybrid_score").desc(), "doc_id")
+        .limit(HYBRID_TOP_K)
+    )
+
+
 QUERIES = {
     "q_embed_normalize": q_embed_normalize,
     "q_sim_topk": q_sim_topk,
@@ -763,9 +820,41 @@ QUERIES = {
     "q_decontaminate_semantic": q_decontaminate_semantic,
     "q_embed_dim_stats": q_embed_dim_stats,
     "q_embed_pca": q_embed_pca,
+    "q_hybrid_search": q_hybrid_search,
 }
 
+#: registered while the driver window is packed — queues for the next
+#: round's slots; parity-suite-checked every run.
+DEFERRED = ("q_hybrid_search",)
+
+def _hybrid_oracle() -> str:
+    from breweries_case_spark.operators.text import BM25_ORACLE_CTES
+
+    return f"""
+        WITH {BM25_ORACLE_CTES},
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+        e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        joined AS (
+            SELECT bm.doc_id, bm.bm25,
+                   list_dot_product(e.v, q.qv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+            FROM bm JOIN e USING (doc_id) CROSS JOIN q),
+        mx AS (SELECT MAX(bm25) AS max_bm25 FROM bm)
+        SELECT doc_id, bm25,
+               FLOOR(cos * 1e6 + 0.5) / 1e6 AS cosine,
+               FLOOR(({HYBRID_ALPHA} * (bm25 / max_bm25)
+                      + {1.0 - HYBRID_ALPHA} * cos) * 1e6 + 0.5) / 1e6
+                   AS hybrid_score
+        FROM joined CROSS JOIN mx
+        ORDER BY hybrid_score DESC, doc_id LIMIT {HYBRID_TOP_K}
+    """
+
+
 ORACLES = {
+    "q_hybrid_search": _hybrid_oracle(),
     "q_embed_quantize": """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -567,6 +567,40 @@ QUERIES = {
 #: round's slots; parity-suite-checked every run.
 DEFERRED = ("q_dedup_cdc_chunks",)
 
+#: the BM25 CTE chain, shared verbatim by the q_text_bm25 oracle and the
+#: hybrid-search oracle (similarity.py) so the two can never drift
+BM25_ORACLE_CTES = r"""
+        docs AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents),
+        d2 AS (SELECT doc_id, tk, len(tk) AS dl FROM docs),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM d2),
+        tf AS (
+            SELECT doc_id, dl, t.term, COUNT(*) AS tf
+            FROM d2, unnest(tk) AS t(term)
+            WHERE t.term IN ('hash', 'join', 'spark')
+            GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id,
+                   FLOOR((FLOOR(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5)
+                                   + 1.0) * 1e9 + 0.5) / 1e9)
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * tf.dl / s.avgdl))
+                         * 1e6 + 0.5) / 1e6 AS c
+            FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s),
+        bm AS (
+            SELECT doc_id, COUNT(*) AS n_hit_terms,
+                   CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+            FROM scored GROUP BY 1)"""
+
+
 ORACLES = {
     "q_dedup_cdc_chunks": rf"""
         WITH toks AS (
@@ -613,35 +647,9 @@ ORACLES = {
                FLOOR(n_dup_chunks / n_chunks * 1e6 + 0.5) / 1e6 AS dup_frac
         FROM counted
     """,
-    "q_text_bm25": r"""
-        WITH docs AS (
-            SELECT doc_id,
-                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                               t -> t <> '') AS tk
-            FROM documents),
-        d2 AS (SELECT doc_id, tk, len(tk) AS dl FROM docs),
-        stats AS (
-            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-            FROM d2),
-        tf AS (
-            SELECT doc_id, dl, t.term, COUNT(*) AS tf
-            FROM d2, unnest(tk) AS t(term)
-            WHERE t.term IN ('hash', 'join', 'spark')
-            GROUP BY 1, 2, 3),
-        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        scored AS (
-            SELECT tf.doc_id,
-                   FLOOR((FLOOR(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5)
-                                   + 1.0) * 1e9 + 0.5) / 1e9)
-                         * (tf.tf * 2.2)
-                         / (tf.tf + 1.2 * (1.0 - 0.75
-                                           + 0.75 * tf.dl / s.avgdl))
-                         * 1e6 + 0.5) / 1e6 AS c
-            FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s)
-        SELECT doc_id, COUNT(*) AS n_hit_terms,
-               CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS bm25
-        FROM scored GROUP BY 1
+    "q_text_bm25": f"""
+        WITH {BM25_ORACLE_CTES}
+        SELECT doc_id, n_hit_terms, bm25 FROM bm
     """,
     "q_ngram_lm_score": r"""
         WITH t AS (
