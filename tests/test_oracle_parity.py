@@ -94,6 +94,7 @@ NESTED_LOOP_OK = {
     "q_join_skew_split",  # 1-row mean-load scalar crossJoin
     "q_text_bm25",  # 1-row (N, avgdl) scalar crossJoin
     "q_skew_profile",  # 1-row (n_keys, total) scalar crossJoin
+    "q_hybrid_search",  # BM25's scalars + a 1-row max-bm25 crossJoin
 }
 
 
