@@ -380,9 +380,6 @@ QUERIES = {
     "q_branch_merge": q_branch_merge,
 }
 
-#: registered while the driver window is packed — queues for the next
-#: round's slots; parity-suite-checked every run.
-DEFERRED = ("q_branch_merge",)
 
 ORACLES = {
     "q_branch_merge": """

@@ -519,8 +519,7 @@ QUERIES = {
 #: is a deterministic function of orders — the oracle recomputes the
 #: expected per-day counts of BOTH snapshot versions directly, so the
 #: driver value-checks the ACID overwrite/carry-forward semantics, not
-#: just row counts. Deferred: registered while the driver window is full.
-DEFERRED = ("q_snapshot_time_travel",)
+#: just row counts.
 
 ORACLES: dict[str, str] = {
     "q_snapshot_time_travel": """

@@ -753,9 +753,6 @@ QUERIES = {
     "q_attribution": q_attribution,
 }
 
-#: registered while the driver window is packed (50 unproven oracle ids) —
-#: queue for the next round's slots; parity-suite-checked every run.
-DEFERRED = ("q_window_first_last", "q_attribution")
 
 _MOMENT_SUMS_SQL = """
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,

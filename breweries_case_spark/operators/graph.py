@@ -232,11 +232,6 @@ QUERIES = {
     "q_graph_bfs": q_graph_bfs,
 }
 
-#: q_graph_bfs registered the round the driver window was already packed
-#: with 50 unproven oracle ids — it queues for the next round's slots
-#: (see _registry_rank); the sf0.001/sf0.01 parity suite still checks it
-#: every run.
-DEFERRED = ("q_graph_bfs",)
 
 ORACLES = {
     "q_graph_triangles": f"""

@@ -131,9 +131,7 @@ QUERIES = {
 #: read-back summary is a deterministic function of orders (first date's
 #: partition halved to even orderkeys by the rerun, the others carried
 #: forward), so the driver value-checks the overwrite-idempotency WRITE
-#: path, not just row counts. Deferred: registered while the driver
-#: window is packed.
-DEFERRED = ("q_write_dynamic_overwrite",)
+#: path, not just row counts.
 
 ORACLES = {
     "q_write_dynamic_overwrite": """

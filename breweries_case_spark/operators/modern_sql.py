@@ -177,9 +177,6 @@ QUERIES = {
     "q_zorder_layout": q_zorder_layout,
 }
 
-#: registered while the driver window is packed (50 unproven oracle ids) —
-#: queues for the next round's slots; parity-suite-checked every run.
-DEFERRED = ("q_zorder_layout",)
 
 ORACLES = {
     "q_zorder_layout": f"""

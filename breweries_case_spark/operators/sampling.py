@@ -294,9 +294,18 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs.append(hsum(F.concat_ws("|", *[canon[c] for c in cols])).alias("_hs___row__"))
     names = cols + ["__row__"]
     stack_args = ", ".join(f"'{c}', _nn_{c}, _hs_{c}" for c in names)
-    return o.agg(*aggs).selectExpr(
-        "n_rows",
-        f"stack({len(names)}, {stack_args}) AS (column_name, n_nulls, hash_sum)",
+    # Column order matches the oracle exactly (column_name first) — the
+    # driver's value hash is positional, so (n_rows, column_name, ...)
+    # vs (column_name, n_rows, ...) red-flags even when every tuple is
+    # value-identical (the r4 lesson).
+    return (
+        o.agg(*aggs)
+        .selectExpr(
+            "n_rows",
+            f"stack({len(names)}, {stack_args})"
+            " AS (column_name, n_nulls, hash_sum)",
+        )
+        .select("column_name", "n_rows", "n_nulls", "hash_sum")
     )
 
 
@@ -401,9 +410,6 @@ QUERIES = {
     "q_skew_profile": q_skew_profile,
 }
 
-#: registered while the driver window is packed (50 unproven oracle ids) —
-#: queues for the next round's slots; parity-suite-checked every run.
-DEFERRED = ("q_skew_profile",)
 
 ORACLES = {
     "q_table_checksum": _ck_oracle(),

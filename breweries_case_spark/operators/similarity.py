@@ -823,9 +823,6 @@ QUERIES = {
     "q_hybrid_search": q_hybrid_search,
 }
 
-#: registered while the driver window is packed — queues for the next
-#: round's slots; parity-suite-checked every run.
-DEFERRED = ("q_hybrid_search",)
 
 def _hybrid_oracle() -> str:
     from breweries_case_spark.operators.text import BM25_ORACLE_CTES

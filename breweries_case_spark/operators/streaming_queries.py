@@ -367,13 +367,3 @@ ORACLES["q_stream_sink_parquet"] = """
     FROM events GROUP BY 1
 """
 
-#: registered while the driver window is packed — queue for the next
-#: round's slots; parity-suite-checked every run.
-DEFERRED = (
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_sink_parquet",
-    "q_stream_join",
-    "q_stream_dedup",
-)

@@ -563,9 +563,6 @@ QUERIES = {
     "q_dedup_cdc_chunks": q_dedup_cdc_chunks,
 }
 
-#: registered while the driver window is packed — queues for the next
-#: round's slots; parity-suite-checked every run.
-DEFERRED = ("q_dedup_cdc_chunks",)
 
 #: the BM25 CTE chain, shared verbatim by the q_text_bm25 oracle and the
 #: hybrid-search oracle (similarity.py) so the two can never drift
