@@ -268,12 +268,24 @@ def merge_branch(table_dir: str, name: str) -> int:
         if not publish_json_excl(target, manifest):
             continue
         # fast-forward the branch onto the merge result: advance the
-        # divergence point AND republish the head as the merged map
+        # divergence point AND republish the head as the merged map.
+        # The two must move TOGETHER: if a concurrent commit_to_branch
+        # claims this head version first, advancing created_from anyway
+        # would pair the new base with a head built on the PRE-merge
+        # map, so the next merge reads every partition that head never
+        # saw as a branch-side deletion and silently drops trunk data
+        # (the test_merge_cycles_preserve_trunk_divergence loss mode,
+        # reintroduced under a race). On a lost race we leave the
+        # branch DIVERGENT instead — base and head still agree, and the
+        # next merge's three-way walk handles the already-landed keys
+        # as t == o (same change both sides, no conflict, no loss). The
+        # only cost is a possible surfaced MergeConflict if trunk later
+        # rewrites one of those keys again — recoverable, unlike loss.
         mdir = _branch_manifest_dir(table_dir, name)
         bversions = _branch_versions(table_dir, name)
         bversion = (bversions[-1] if bversions else 0) + 1
         btarget = os.path.join(mdir, f"v{bversion:08d}.json")
-        publish_json_excl(
+        ff_won = publish_json_excl(
             btarget,
             {
                 "version": bversion,
@@ -283,11 +295,14 @@ def merge_branch(table_dir: str, name: str) -> int:
                 "fast_forward_of": version,
             },
         )
-        meta_path = os.path.join(_branch_dir(table_dir, name), "meta.json")
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({**meta, "created_from": version}, f)
-        os.replace(tmp, meta_path)
+        if ff_won:
+            meta_path = os.path.join(
+                _branch_dir(table_dir, name), "meta.json"
+            )
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({**meta, "created_from": version}, f)
+            os.replace(tmp, meta_path)
         return version
     raise RuntimeError("merge lost every trunk version race")
 

@@ -50,6 +50,7 @@ as-of reads prune before Spark ever lists a directory."""
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -60,6 +61,9 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _MAX_COMMIT_RETRIES = 20
+#: vacuum only sweeps publish sidecars at least this stale — younger ones
+#: may be a live commit's staged payload (fsync→link window)
+TMP_SIDECAR_RETENTION_SEC = 15 * 60
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -88,9 +92,19 @@ def publish_json_excl(target: str, payload: dict) -> bool:
             os.link(tmp, target)
         except FileExistsError:
             return False
+        except FileNotFoundError:
+            # a concurrent vacuum swept our staged sidecar between fsync
+            # and link (it can only do so legitimately if the sidecar
+            # aged past the retention gate, i.e. this writer stalled for
+            # that long) — report the claim as lost so the caller's
+            # optimistic-retry loop re-reads state and re-stages
+            return False
         return True
     finally:
-        os.unlink(tmp)
+        # the sidecar may already be gone (vacuum race AFTER a
+        # successful link) — the publish still happened, don't raise
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
 
 
 def _list_versions(table_dir: str) -> list[int]:
@@ -405,10 +419,14 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
 
     Also sweeps orphaned ``*.tmp`` publish sidecars (a writer that died
     between staging and ``os.link`` leaves one; readers ignore them, so
-    they are junk, not state)."""
+    they are junk, not state) — but only ones older than
+    ``TMP_SIDECAR_RETENTION_SEC``: a fresh sidecar may belong to a
+    commit IN FLIGHT between fsync and link, and deleting it would make
+    that commit's ``os.link`` fail spuriously."""
     versions = _list_versions(table_dir)
     if not versions:
         return []
+    now = time.time()
     for root in [os.path.join(table_dir, _MANIFEST_DIR)] + [
         os.path.join(table_dir, "_refs", b, "manifests")
         for b in (
@@ -420,26 +438,38 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
         if os.path.isdir(root):
             for name in os.listdir(root):
                 if name.endswith(".tmp"):
-                    os.unlink(os.path.join(root, name))
+                    full = os.path.join(root, name)
+                    with contextlib.suppress(FileNotFoundError):
+                        if now - os.stat(full).st_mtime > TMP_SIDECAR_RETENTION_SEC:
+                            os.unlink(full)
     kept = set(versions[-keep_versions:])
     live: set[str] = set()
     refs_root = os.path.join(table_dir, "_refs")
     if os.path.isdir(refs_root):
         for branch in os.listdir(refs_root):
+            # a branch may be delete_branch()ed (rmtree) between the
+            # listdir above and these reads — a vanished branch has
+            # simply released its claims, so skip it rather than crash
+            # mid-sweep
             bdir = os.path.join(refs_root, branch)
             meta_path = os.path.join(bdir, "meta.json")
-            if os.path.isfile(meta_path):
+            try:
                 with open(meta_path) as f:
                     base_v = json.load(f)["created_from"]
                 if base_v in versions:
                     kept.add(base_v)
+            except FileNotFoundError:
+                continue
             mdir = os.path.join(bdir, "manifests")
             if os.path.isdir(mdir):
                 for name in os.listdir(mdir):
                     if name.startswith("v") and name.endswith(".json"):
-                        with open(os.path.join(mdir, name)) as f:
-                            for files in json.load(f)["partitions"].values():
-                                live.update(files)
+                        try:
+                            with open(os.path.join(mdir, name)) as f:
+                                for files in json.load(f)["partitions"].values():
+                                    live.update(files)
+                        except FileNotFoundError:
+                            continue
     for v in kept:
         for files in _read_manifest(table_dir, v)["partitions"].values():
             live.update(files)

@@ -172,7 +172,10 @@ def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _tm(s):
         n = len(s)
         if n <= 2:
-            return float("nan")
+            # None -> SQL NULL, matching the oracle's CASE guard; NaN
+            # would diverge (DuckDB's division yields error/inf, and
+            # NaN != NULL in the driver's value hash anyway)
+            return None
         return float((s.sum() - s.min() - s.max()) / (n - 2))
 
     # real annotation objects (Series -> float selects the GROUPED_AGG
@@ -210,9 +213,10 @@ ORACLES = {
     "q_pandas_grouped_agg": """
         SELECT l_returnflag,
                count(*) AS n_rows,
+               CASE WHEN count(*) <= 2 THEN NULL ELSE
                FLOOR((SUM(l_quantity) - MIN(l_quantity) - MAX(l_quantity))
                      / (count(*) - 2) * 1000000.0 + 0.5) / 1000000.0
-                   AS trimmed_mean_qty
+               END AS trimmed_mean_qty
         FROM lineitem
         GROUP BY l_returnflag
     """,

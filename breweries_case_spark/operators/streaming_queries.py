@@ -127,6 +127,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_events(stream_events(spark, sf_dir)),
         "stream_dedup_out",
         output_mode="append",
+        # the oracle (global batch DISTINCT) is valid ONLY under
+        # single-micro-batch delivery — fail loudly if the events
+        # fixture ever splits into multiple files
+        max_input_batches=1,
     )
     return deduped.groupBy("user_id", "event_type").agg(
         F.count("*").alias("n_rows")

@@ -294,14 +294,25 @@ def collapse_outer_probe_rows(raw: DataFrame) -> DataFrame:
 
 
 def run_stream_to_memory(
-    streaming_df: DataFrame, name: str, output_mode: str = "append"
+    streaming_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    max_input_batches: int | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion against the available input
     (deterministic replay) and return the materialized result.
 
     Memory sink is the local harness; production sinks swap in
     ``foreachBatch`` + io.writer.write_partition_overwrite for exactly-once
-    idempotent partition updates."""
+    idempotent partition updates.
+
+    ``max_input_batches`` makes a delivery-cadence premise LOUD: callers
+    whose correctness contract depends on the replay arriving in at most
+    N data-carrying micro-batches (e.g. q_stream_dedup's equivalence to
+    global batch DISTINCT holds only under single-batch delivery) pass
+    the bound, and a fixture change that splits the source into more
+    files fails here with a clear message instead of as a driver-side
+    value mismatch."""
     spark = streaming_df.sparkSession
     q = (
         streaming_df.writeStream.format("memory")
@@ -311,6 +322,18 @@ def run_stream_to_memory(
     )
     try:
         q.processAllAvailable()
+        if max_input_batches is not None:
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches > max_input_batches:
+                raise AssertionError(
+                    f"stream {name!r}: {data_batches} data-carrying "
+                    f"micro-batches, premise allows {max_input_batches} — "
+                    "the source fixture is no longer delivered in one "
+                    "batch; the registered oracle's equivalence no "
+                    "longer holds"
+                )
     finally:
         q.stop()
     return spark.table(name)

@@ -200,3 +200,64 @@ def test_vacuum_preserves_branch_data_and_base(spark, tmp_path):
     assert deleted  # the branch commit's files (and v1's) are gone
     assert _trunk(spark, t) == {"d1": {4}}
     assert list_branches(t) == []
+
+
+def test_merge_ff_race_leaves_branch_divergent_not_lossy(
+    spark, tmp_path, monkeypatch
+):
+    """A commit_to_branch racing merge_branch's fast-forward head publish:
+    the merge must NOT advance created_from when the head republish loses
+    — base and head must move together, else the next merge reads the
+    racing head's unseen partitions as deletions and silently drops
+    trunk data. On a lost race the branch stays divergent, and the NEXT
+    merge lands the racing work with nothing lost."""
+    import json as _json
+
+    import breweries_case_spark.io.branches as B
+
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1"), (3, "d2")]), t, "day")
+    create_branch(t, "exp")
+    commit_to_branch(_df(spark, [(9, "d2")]), t, "exp", "day")  # branch: d2
+    commit_overwrite_partitions(_df(spark, [(7, "d3")]), t, "day")  # trunk: d3
+    head_before = B._read_branch_manifest(
+        t, "exp", B._branch_versions(t, "exp")[-1]
+    )["partitions"]
+    base_before = B._read_meta(t, "exp")["created_from"]
+
+    # the racing branch commit: claims the exact head version the merge's
+    # fast-forward will try, with content built on the pre-merge head
+    real_publish = B.publish_json_excl
+
+    def racing_publish(target, payload):
+        if payload.get("fast_forward_of") is not None:
+            racing = {
+                "version": payload["version"],
+                "committed_at": 0.0,
+                "partition_col": "day",
+                "partitions": {**head_before, "d4": head_before["d2"]},
+            }
+            with open(target, "w") as f:
+                _json.dump(racing, f)
+        return real_publish(target, payload)
+
+    monkeypatch.setattr(B, "publish_json_excl", racing_publish)
+    v = merge_branch(t, "exp")
+    monkeypatch.undo()
+
+    # trunk got the merge
+    assert _trunk(spark, t) == {"d1": {1}, "d2": {9}, "d3": {7}}
+    # the branch was NOT half-fast-forwarded: base unchanged, head is the
+    # racing commit's map
+    assert B._read_meta(t, "exp")["created_from"] == base_before
+    assert _branch(spark, t, "exp") == {"d1": {1}, "d2": {9}, "d4": {9}}
+
+    # the next merge lands the racing commit AND keeps trunk's d3
+    v2 = merge_branch(t, "exp")
+    assert v2 > v
+    assert _trunk(spark, t) == {
+        "d1": {1},
+        "d2": {9},
+        "d3": {7},
+        "d4": {9},
+    }

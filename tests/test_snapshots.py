@@ -300,3 +300,87 @@ def test_snapshot_log_matches_sequential_model(spark, tmp_path_factory, ops):
         for r in read_snapshot(spark, t, version=v).collect():
             got.setdefault(r.day, set()).add(r.id)
         assert got == {k: set(vset) for k, vset in want.items()}, (v, ops)
+
+
+def test_vacuum_age_gates_publish_sidecars(spark, tmp_path):
+    """A FRESH .tmp sidecar may be a commit in flight between fsync and
+    os.link — vacuum must leave it alone and sweep only sidecars older
+    than the retention gate."""
+    import breweries_case_spark.io.snapshots as S
+
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1")]), t, "day")
+    commit_overwrite_partitions(_df(spark, [(2, "d1")]), t, "day")
+    mdir = os.path.join(t, "_manifests")
+    fresh = os.path.join(mdir, "v00000099.json.deadbeef.tmp")
+    stale = os.path.join(mdir, "v00000099.json.cafebabe.tmp")
+    for p in (fresh, stale):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = S.time.time() - S.TMP_SIDECAR_RETENTION_SEC - 60
+    os.utime(stale, (old, old))
+    vacuum(t, keep_versions=2)
+    assert os.path.exists(fresh), "in-flight sidecar must survive vacuum"
+    assert not os.path.exists(stale), "aged orphan sidecar must be swept"
+
+
+def test_publish_tolerates_sidecar_swept_before_link(spark, tmp_path):
+    """A vacuum racing the fsync→link window deletes the staged sidecar:
+    publish must report a lost claim (False), not crash, so the caller's
+    optimistic-retry loop re-stages."""
+    import breweries_case_spark.io.snapshots as S
+
+    target = str(tmp_path / "m.json")
+    real_link = S.os.link
+
+    def sweeping_link(src, dst, *a, **kw):
+        os.unlink(src)  # the racing vacuum
+        return real_link(src, dst, *a, **kw)  # raises FileNotFoundError
+
+    S.os.link = sweeping_link
+    try:
+        assert S.publish_json_excl(target, {"v": 1}) is False
+    finally:
+        S.os.link = real_link
+    assert not os.path.exists(target)
+    # a clean retry then succeeds
+    assert S.publish_json_excl(target, {"v": 1}) is True
+
+
+def test_publish_tolerates_sidecar_swept_after_link(spark, tmp_path):
+    """If the racing vacuum lands AFTER a successful link, the publish
+    HAPPENED — the cleanup unlink must not turn success into a raise
+    (which would make the caller retry and double-commit)."""
+    import breweries_case_spark.io.snapshots as S
+
+    target = str(tmp_path / "m.json")
+    real_link = S.os.link
+
+    def sweep_after_link(src, dst, *a, **kw):
+        out = real_link(src, dst, *a, **kw)
+        os.unlink(src)  # the racing vacuum, post-link
+        return out
+
+    S.os.link = sweep_after_link
+    try:
+        assert S.publish_json_excl(target, {"v": 7}) is True
+    finally:
+        S.os.link = real_link
+    import json as _json
+
+    with open(target) as f:
+        assert _json.load(f) == {"v": 7}
+
+
+def test_vacuum_tolerates_branch_deleted_mid_sweep(spark, tmp_path):
+    """A branch whose ref directory lost its meta.json (delete_branch's
+    rmtree racing the sweep) has simply released its claims — vacuum
+    must skip it, not crash mid-sweep."""
+    t = str(tmp_path / "t")
+    commit_overwrite_partitions(_df(spark, [(1, "d1")]), t, "day")
+    commit_overwrite_partitions(_df(spark, [(2, "d1")]), t, "day")
+    half_deleted = os.path.join(t, "_refs", "ghost", "manifests")
+    os.makedirs(half_deleted)  # ref dir exists, meta.json does not
+    deleted = vacuum(t, keep_versions=1)
+    assert deleted  # the sweep completed and reclaimed v1's files
+    assert _counts(spark, t, version=2) == {"d1": {2}}
