@@ -133,3 +133,61 @@ def drop_all(spark: SparkSession, catalog: str = "spark_catalog") -> None:
     commented drop_tables_if_exist made executable)."""
     for namespace, _, _ in LAYER_TABLES:
         spark.sql(f"DROP NAMESPACE IF EXISTS {catalog}.{namespace} CASCADE")
+
+
+def list_catalog(
+    spark: SparkSession,
+    catalog: str = "spark_catalog",
+    schema_pattern: str = "*_layer",
+) -> "DataFrame":
+    """Metadata exploration — the Trino ``SHOW SCHEMAS LIKE '%_layer'`` +
+    ``SHOW TABLES FROM <layer>`` surface (reference ``README.md:118-137``)
+    as one DataFrame of (schema_name, table_name). Pure catalog metadata:
+    no data files are touched, so it is instant at any table size."""
+    schemas = [
+        r[0]
+        for r in spark.sql(
+            f"SHOW SCHEMAS IN {catalog} LIKE '{schema_pattern}'"
+        ).collect()
+    ]
+    out = None
+    for ns in sorted(schemas):
+        t = (
+            spark.sql(f"SHOW TABLES IN {catalog}.{ns}")
+            .where("NOT isTemporary")
+            .selectExpr(
+                f"'{ns}' AS schema_name", "tableName AS table_name"
+            )
+        )
+        out = t if out is None else out.unionByName(t)
+    if out is None:
+        return spark.createDataFrame(
+            [], "schema_name string, table_name string"
+        )
+    return out
+
+
+def q_catalog_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered metadata-exploration demo (oracle-backed): bootstrap
+    the reference's three layer namespaces + tables into the session
+    catalog (idempotent), then enumerate them via real SHOW SCHEMAS /
+    SHOW TABLES — completing the Trino interactive surface beside
+    q_sql_interactive's SELECT coverage. The oracle is the reference
+    DDL inventory (setup/create_tables_script.py:39-176): listing
+    anything extra or missing reds the hash."""
+    bootstrap_tables(spark)
+    return list_catalog(spark)
+
+
+QUERIES = {
+    "q_catalog_listing": q_catalog_listing,
+}
+
+ORACLES = {
+    "q_catalog_listing": """
+        SELECT 'bronze_layer' AS schema_name,
+               'tbl_bronze_breweries' AS table_name
+        UNION ALL SELECT 'silver_layer', 'tbl_silver_brewery'
+        UNION ALL SELECT 'gold_layer', 'tbl_gold_brewery_agg'
+    """,
+}

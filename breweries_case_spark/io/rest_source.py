@@ -340,16 +340,74 @@ def q_ingest_staged_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
 
 
+def _staged_roundtrip(
+    spark: SparkSession, sf_dir: str, file_format: str, **reader_opts
+) -> DataFrame:
+    """Shared write→stage→read-back body for the oracle-backed JSON/CSV
+    round-trip twins (the q_ingest_staged_orc pattern): write ``supplier``
+    with Spark's native distributed writer, bulk-read the staged files
+    back through ``ingest_staged_files`` with the declared schema, and
+    project. Both text formats round-trip this schema bit-exactly —
+    doubles serialize as shortest-repr decimal (which re-parses to the
+    identical bits), longs/ints/strings trivially — so a plain-SQL
+    oracle over the SOURCE table value-checks the staged copy; any
+    write- or read-side corruption breaks the hash."""
+    from breweries_case_spark.io.reader import load_table
+
+    src = load_table(spark, sf_dir, "supplier")
+    staging = _staging_dir()
+    path = f"{staging}/supplier_{file_format}"
+    writer = src.write.mode("overwrite")
+    if file_format == "csv":
+        # header on: the staged-file reader parses headered CSV
+        writer = writer.option("header", True)
+    getattr(writer, file_format)(path)
+    staged = ingest_staged_files(
+        spark, path, src.schema, file_format=file_format, **reader_opts
+    )
+    return staged.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+def q_ingest_staged_json_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-backed JSON-lines staged ingest: the distributed
+    write+read-back twin of q_ingest_staged_json (which stages the
+    synthetic brewery payload and so can only be unit-checked). Same
+    reader path, value-checked end to end against the source table."""
+    return _staged_roundtrip(spark, sf_dir, "json")
+
+
+def q_ingest_staged_csv_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-backed headered-CSV staged ingest (the
+    q_ingest_staged_csv value-checked twin). ``nullValue=''`` mirrors
+    the payload twin's null convention; the source has no empty strings,
+    so the round trip is lossless here (the empty-vs-null collapse is
+    the documented CSV format limit, asserted by the payload twin's
+    unit test)."""
+    return _staged_roundtrip(
+        spark, sf_dir, "csv", header="true", nullValue=""
+    )
+
+
 QUERIES = {
     "q_ingest_rest": q_ingest_rest,
     "q_ingest_staged_json": q_ingest_staged_json,
     "q_ingest_staged_csv": q_ingest_staged_csv,
     "q_ingest_staged_orc": q_ingest_staged_orc,
+    "q_ingest_staged_json_roundtrip": q_ingest_staged_json_roundtrip,
+    "q_ingest_staged_csv_roundtrip": q_ingest_staged_csv_roundtrip,
 }
-# network/file-shaped sources are rows-only by design — except the ORC
-# round-trip, whose staged copy must match the source table bit-exactly
-ORACLES: dict[str, str] = {
-    "q_ingest_staged_orc": """
+# network-shaped sources and the synthetic-payload stagers are rows-only
+# by design — the three format round-trips (orc/json/csv) value-check
+# the staged copy against the source table bit-exactly
+_ROUNDTRIP_ORACLE = """
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
-    """,
+    """
+ORACLES: dict[str, str] = {
+    "q_ingest_staged_orc": _ROUNDTRIP_ORACLE,
+    "q_ingest_staged_json_roundtrip": _ROUNDTRIP_ORACLE,
+    "q_ingest_staged_csv_roundtrip": _ROUNDTRIP_ORACLE,
 }

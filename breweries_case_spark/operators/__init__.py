@@ -89,6 +89,7 @@ def _modules() -> list:
         modules.append(mod)
     from breweries_case_spark.io import (
         branches,
+        catalog,
         expectations,
         jdbc_source,
         python_source,
@@ -96,6 +97,7 @@ def _modules() -> list:
         snapshots,
     )
 
+    modules.append(catalog)
     modules.append(rest_source)
     modules.append(jdbc_source)
     modules.append(python_source)

@@ -663,6 +663,48 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_K = 8
 
 
+def _pca_cov(emb):
+    """Distributed moments → driver-side covariance: mapInPandas emits
+    per-Arrow-batch PARTIAL (i, j, Σ x_i·x_j) upper-triangle outer
+    products plus per-dim sums and a count row, one hash aggregate sums
+    them, and ~2k parameter-scale rows collect. Returns (n, mean d-vec,
+    d×d covariance) as numpy."""
+    import numpy as np
+
+    def moment_partials(batches):
+        for pdf in batches:
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            n, d = m.shape
+            cov = m.T @ m  # d×d batch outer-product sum
+            iu, ju = np.triu_indices(d)
+            rows = {
+                "i": np.concatenate([iu, np.arange(d), [-1]]),
+                "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+                "s": np.concatenate([cov[iu, ju], m.sum(axis=0), [float(n)]]),
+            }
+            yield pd.DataFrame(rows)
+
+    partials = emb.select("v").mapInPandas(
+        moment_partials, schema="i int, j int, s double"
+    )
+    stats = partials.groupBy("i", "j").agg(F.sum("s").alias("s")).collect()
+    d = EMB_DIM
+    n_total = 0.0
+    sums = np.zeros(d)
+    cov = np.zeros((d, d))
+    for r in stats:
+        if r.i == -1:
+            n_total = r.s
+        elif r.j == -1:
+            sums[r.i] = r.s
+        else:
+            cov[r.i, r.j] = r.s
+            cov[r.j, r.i] = r.s
+    mean = sums / n_total
+    c = cov / n_total - np.outer(mean, mean)
+    return n_total, mean, c
+
+
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of every embedding onto the top-PCA_K principal
     components — the dimensionality-reduction pass before cheap ANN /
@@ -693,42 +735,7 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = _embeddings_double(spark, sf_dir)
-
-    def moment_partials(batches):
-        for pdf in batches:
-            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            n, d = m.shape
-            cov = m.T @ m  # d×d batch outer-product sum
-            iu, ju = np.triu_indices(d)
-            rows = {
-                "i": np.concatenate([iu, np.arange(d), [-1]]),
-                "j": np.concatenate([ju, np.full(d, -1), [-1]]),
-                "s": np.concatenate([cov[iu, ju], m.sum(axis=0), [float(n)]]),
-            }
-            yield pd.DataFrame(rows)
-
-    partials = emb.select("v").mapInPandas(
-        moment_partials, schema="i int, j int, s double"
-    )
-    stats = (
-        partials.groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
-        .collect()
-    )
-    d = EMB_DIM
-    n_total = 0.0
-    sums = np.zeros(d)
-    cov = np.zeros((d, d))
-    for r in stats:
-        if r.i == -1:
-            n_total = r.s
-        elif r.j == -1:
-            sums[r.i] = r.s
-        else:
-            cov[r.i, r.j] = r.s
-            cov[r.j, r.i] = r.s
-    mean = sums / n_total
-    c = cov / n_total - np.outer(mean, mean)
+    n_total, mean, c = _pca_cov(emb)
     eigvals, eigvecs = np.linalg.eigh(c)
     order = np.argsort(eigvals)[::-1][:PCA_K]
     w = eigvecs[:, order]  # d×K
@@ -747,6 +754,104 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(proj))
 
     return emb.select("vec_id", "label", project(F.col("v")).alias("components"))
+
+
+def q_embed_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable companion to q_embed_pca: eigenvectors are
+    float-unstable (sign/degeneracy), but the eigendecomposition's
+    INVARIANTS are scalars both engines can agree on exactly. Two kinds
+    of row, all ``(check_name, value: bigint)``:
+
+    - Moment scalars the oracle RECOMPUTES from the raw embeddings via
+      the shared decimal discipline: vector count, covariance trace
+      (·1e6) and squared Frobenius norm (·1e12), both assembled from
+      per-cell covariances quantized to 6 dp (decimal sums → one IEEE
+      division → floor-round — identical cross-engine, the
+      q_embed_dim_stats pattern extended to cross moments).
+    - Residual rows that must floor to ZERO at the stated tolerance,
+      pinning the eigensolve against those independently-verified
+      moments: |Σλ − trace| and |Σλ² − ‖C‖²_F| (the two spectral
+      identities), max|VᵀV−I| (orthonormality), max|VΛVᵀ−C| (full
+      reconstruction), and |float-pipeline trace − decimal-pipeline
+      trace| (the bridge that ties the eigensolve's input matrix to the
+      oracle-verified numbers). The oracle emits literal 0 for these —
+      a broken eigensolve or mis-assembled covariance turns one of them
+      nonzero and the value hash reds.
+
+    Scale note: the decimal cross-moment path is explode×d then a
+    self-join ×d (data × d² intermediate) — an AUDIT-tier query run on
+    samples; the production PCA (q_embed_pca) carries only O(d²) GEMM
+    partials per Arrow batch. Verification pays for exactness; the
+    fitted pipeline stays cheap."""
+    import numpy as np
+
+    emb = _embeddings_double(spark, sf_dir)
+    ex = emb.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    dims = ex.groupBy("pos").agg(decimal_avg(F.col("x"), 6).alias("mean_x"))
+    a = ex.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("xa"))
+    b = ex.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("xb"))
+    cross = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(decimal_avg(F.col("xa") * F.col("xb"), 6).alias("e_ij"))
+    )
+    mi = dims.select(F.col("pos").alias("i"), F.col("mean_x").alias("mean_i"))
+    mj = dims.select(F.col("pos").alias("j"), F.col("mean_x").alias("mean_j"))
+    cq = (
+        cross.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            F.floor(
+                (F.col("e_ij") - F.col("mean_i") * F.col("mean_j"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    scal = cq.agg(
+        F.sum(
+            F.when(F.col("i") == F.col("j"), F.col("q")).otherwise(F.lit(0))
+        ).alias("trace_q"),
+        F.sum(
+            F.col("q")
+            * F.col("q")
+            * F.when(F.col("i") == F.col("j"), F.lit(1)).otherwise(F.lit(2))
+        ).alias("frob_q"),
+    ).collect()[0]
+
+    n_total, _mean, c = _pca_cov(emb)
+    eigvals, eigvecs = np.linalg.eigh(c)
+    trace_f = float(np.trace(c))
+    frob_f = float((c * c).sum())
+    eye_resid = float(np.abs(eigvecs.T @ eigvecs - np.eye(EMB_DIM)).max())
+    recon_resid = float(
+        np.abs((eigvecs * eigvals) @ eigvecs.T - c).max()
+    )
+
+    def _q(x: float, scale: float) -> int:
+        return int(np.floor(abs(x) * scale))
+
+    rows = [
+        ("n_vectors", int(n_total)),
+        ("trace_x1e6", int(scal.trace_q)),
+        ("frob_x1e12", int(scal.frob_q)),
+        ("eig_trace_resid_x1e6", _q(eigvals.sum() - trace_f, 1e6)),
+        ("eig_frob_resid_x1e6", _q((eigvals**2).sum() - frob_f, 1e6)),
+        ("orthonormality_resid_x1e6", _q(eye_resid, 1e6)),
+        ("reconstruction_resid_x1e6", _q(recon_resid, 1e6)),
+        # bridge: float-pipeline trace vs the decimal-quantized trace —
+        # ≤ d·(quantization noise) ≈ 1e-4 ≪ the 1e-3 gate
+        (
+            "decimal_float_trace_resid_x1e3",
+            _q(trace_f - scal.trace_q / 1e6, 1e3),
+        ),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
 
 
 #: hybrid-search parameters: lexical/dense mixing weight and result size
@@ -820,6 +925,7 @@ QUERIES = {
     "q_decontaminate_semantic": q_decontaminate_semantic,
     "q_embed_dim_stats": q_embed_dim_stats,
     "q_embed_pca": q_embed_pca,
+    "q_embed_pca_invariants": q_embed_pca_invariants,
     "q_hybrid_search": q_hybrid_search,
 }
 
@@ -929,6 +1035,49 @@ ORACLES = {
         SELECT pos, n, min_x, max_x, mean_x,
                FLOOR((ex2 - mean_x * mean_x) * 1e6 + 0.5) / 1e6 AS var_x
         FROM s
+    """,
+    # Moment rows recomputed from raw embeddings via the shared decimal
+    # discipline; residual rows are literal 0 — the Spark side must land
+    # its eigensolve residuals under the stated tolerance to hash-match.
+    "q_embed_pca_invariants": """
+        WITH ex AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+        dims AS (
+            SELECT pos,
+                   CAST(FLOOR(SUM(CAST(x AS DECIMAL(18,6))) / COUNT(x)
+                              * 1000000.0 + 0.5) / 1000000.0
+                        AS DOUBLE) AS mean_x
+            FROM ex GROUP BY 1),
+        cross_m AS (
+            SELECT a.pos AS i, b.pos AS j,
+                   CAST(FLOOR(SUM(CAST(a.x * b.x AS DECIMAL(18,6)))
+                              / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+                        AS DOUBLE) AS e_ij
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+            GROUP BY 1, 2),
+        cq AS (
+            SELECT i, j,
+                   CAST(FLOOR((e_ij - di.mean_x * dj.mean_x) * 1000000.0
+                              + 0.5) AS BIGINT) AS q
+            FROM cross_m
+            JOIN dims di ON di.pos = i
+            JOIN dims dj ON dj.pos = j),
+        agg AS (
+            SELECT SUM(CASE WHEN i = j THEN q ELSE 0 END) AS trace_q,
+                   SUM(q * q * CASE WHEN i = j THEN 1 ELSE 2 END) AS frob_q
+            FROM cq)
+        SELECT 'n_vectors' AS check_name,
+               (SELECT COUNT(*) FROM embeddings) AS value
+        UNION ALL SELECT 'trace_x1e6', trace_q FROM agg
+        UNION ALL SELECT 'frob_x1e12', frob_q FROM agg
+        UNION ALL SELECT 'eig_trace_resid_x1e6', 0
+        UNION ALL SELECT 'eig_frob_resid_x1e6', 0
+        UNION ALL SELECT 'orthonormality_resid_x1e6', 0
+        UNION ALL SELECT 'reconstruction_resid_x1e6', 0
+        UNION ALL SELECT 'decimal_float_trace_resid_x1e3', 0
     """,
     "q_sim_centroid": """
         WITH ex AS (
