@@ -237,3 +237,39 @@ def test_staged_json_quarantine_splits_good_and_bad(spark, tmp_path):
     assert sorted(r.id for r in good.collect()) == ["a1", "b2", "d4"]
     bad_lines = sorted(r.raw_line for r in bad.collect())
     assert bad_lines == ["this is not json", '{"id": "c3", "name": }']
+
+
+def test_python_datasource_stream_is_genuinely_multi_batch(spark):
+    """The streaming paged source must deliver in MULTIPLE rate-limited
+    micro-batches (pages_per_batch admission), not one catch-up batch —
+    and the union of batches must equal the batch reader's rows."""
+    from breweries_case_spark.io.python_source import (
+        PAGES_PER_BATCH,
+        N_PAGES,
+        PagedApiDataSource,
+    )
+
+    spark.dataSource.register(PagedApiDataSource)
+    stream = spark.readStream.format("paged_api").load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("paged_stream_probe")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        data_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+    finally:
+        q.stop()
+    expected_batches = -(-N_PAGES // PAGES_PER_BATCH)  # ceil
+    assert data_batches == expected_batches, (
+        f"{data_batches} data batches, expected {expected_batches}"
+    )
+    got = spark.table("paged_stream_probe")
+    batch = spark.read.format("paged_api").load()
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
