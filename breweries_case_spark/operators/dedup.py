@@ -515,6 +515,94 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_blocker_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked RECALL CERTIFICATE for the two fuzzy-dedup blockers
+    (the q_embed_pca_invariants pattern applied to dedup): xxhash64 has
+    no DuckDB twin, so the signatures themselves can never be
+    oracle-checked — but the PROPERTIES that make the blockers safe to
+    run at 100 TB can be. Four ``(check_name, value)`` rows:
+
+    - ``true_pairs``: count of the exact inverted-index 3-gram Jaccard
+      pairs (q_dedup_ngram_jaccard — the oracle RECOMPUTES this from raw
+      text, anchoring the certificate to real data).
+    - ``minhash_lsh_missed_true_pairs``: true pairs absent from the LSH
+      band-bucket candidate set (anti-join). Oracle pins 0 — banding
+      losing recall on this corpus reds the driver hash.
+    - ``minhash_output_vs_exact_diff``: symmetric difference between
+      q_dedup_minhash's verified output pairs and the exact pair set,
+      SAME-LANG restricted — certifies precision AND recall of the full
+      operator end to end. (The exact ground truth is lang-blocked;
+      minhash is not and legitimately also surfaces cross-lang pairs the
+      blocked query never considers, so those are out of scope here —
+      the same contract test_minhash_precision_against_exact pins.)
+    - ``simhash_pigeonhole_vs_bruteforce_diff``: symmetric difference
+      between the pigeonhole chunk-join pairs and brute-force Hamming
+      over all same-lang signature pairs — the lossless-blocking claim
+      (`_simhash_chunks`) checked against its own definition.
+
+    Scale note: the brute-force arm is |sigs|²/|langs| over ONE ROW PER
+    DOC (signatures, not data) — the deliberate audit tier, like the
+    exact twins of every ANN id; the certified blockers are the forms
+    that run on the corpus."""
+    true_pairs = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_true = true_pairs.count()
+
+    docs = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint()
+    cands = lsh_candidates(minhash_signatures(docs).localCheckpoint())
+    missed = true_pairs.join(cands, ["doc_a", "doc_b"], "left_anti").count()
+
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    la = langs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+    )
+    mh_out = (
+        q_dedup_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select("doc_a", "doc_b")
+    )
+    mh_diff = (
+        mh_out.exceptAll(true_pairs).count()
+        + true_pairs.exceptAll(mh_out).count()
+    )
+
+    sigs = simhash_signatures(spark, sf_dir).localCheckpoint()
+    pig = simhash_pairs(sigs).select("doc_a", "doc_b")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    brute = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.bit_count(x) <= HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    sh_diff = (
+        pig.exceptAll(brute).count() + brute.exceptAll(pig).count()
+    )
+
+    rows = [
+        ("true_pairs", n_true),
+        ("minhash_lsh_missed_true_pairs", missed),
+        ("minhash_output_vs_exact_diff", mh_diff),
+        ("simhash_pigeonhole_vs_bruteforce_diff", sh_diff),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
+
+
 # --- X2d: embedding-cosine near-dup ----------------------------------------
 
 # The driver's synthetic embeddings are near-uniform (max same-label cosine
@@ -1128,6 +1216,7 @@ QUERIES = {
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_blocker_recall": q_dedup_blocker_recall,
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_levenshtein": q_dedup_levenshtein,
     "q_dedup_levenshtein_bounded": q_dedup_levenshtein_bounded,
@@ -1194,13 +1283,10 @@ _FILTERED_CORPUS_ORACLE = (
     """
 )
 
-ORACLES = {
-    "q_dedup_exact": """
-        SELECT md5(lower(trim(text))) AS fingerprint,
-               min(doc_id) AS keeper_doc_id, count(*) AS copies
-        FROM documents GROUP BY 1
-    """,
-    "q_dedup_ngram_jaccard": r"""
+#: the exact 3-gram Jaccard pair query as a DuckDB CTE chain, shared by
+#: the q_dedup_ngram_jaccard oracle and the blocker-recall certificate so
+#: the two ground-truth definitions can never drift
+_NGRAM_JACCARD_CTES = r"""
         WITH sh AS (
             SELECT doc_id, lang,
                    list_distinct(list_transform(
@@ -1208,15 +1294,38 @@ ORACLES = {
                        i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
                             string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
                             string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
-            FROM documents)
-        SELECT doc_a, doc_b, lang, jaccard FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-                   ROUND(len(list_intersect(a.sh, b.sh)) /
-                         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-                         6) AS jaccard
-            FROM sh a JOIN sh b
-              ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        WHERE jaccard >= 0.5
+            FROM documents),
+        true_pairs AS (
+            SELECT doc_a, doc_b, lang, jaccard FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                       ROUND(len(list_intersect(a.sh, b.sh)) /
+                             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                             6) AS jaccard
+                FROM sh a JOIN sh b
+                  ON a.lang = b.lang AND a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5)
+"""
+
+ORACLES = {
+    "q_dedup_exact": """
+        SELECT md5(lower(trim(text))) AS fingerprint,
+               min(doc_id) AS keeper_doc_id, count(*) AS copies
+        FROM documents GROUP BY 1
+    """,
+    "q_dedup_ngram_jaccard": _NGRAM_JACCARD_CTES
+    + """
+        SELECT doc_a, doc_b, lang, jaccard FROM true_pairs
+    """,
+    # Spark computes every residual live (anti-joins / symmetric diffs);
+    # the oracle recomputes the exact pair count and pins the residuals
+    # at literal zero — a blocker losing recall reds the value hash.
+    "q_dedup_blocker_recall": _NGRAM_JACCARD_CTES
+    + """
+        SELECT 'true_pairs' AS check_name,
+               CAST(COUNT(*) AS BIGINT) AS value FROM true_pairs
+        UNION ALL SELECT 'minhash_lsh_missed_true_pairs', 0
+        UNION ALL SELECT 'minhash_output_vs_exact_diff', 0
+        UNION ALL SELECT 'simhash_pigeonhole_vs_bruteforce_diff', 0
     """,
     "q_dedup_embedding": """
         WITH e AS (
