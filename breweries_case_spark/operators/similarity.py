@@ -196,6 +196,83 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(spark, sf_dir)
 
 
+#: deterministic per-dataset floors for the ANN recall certificate —
+#: measured overlaps with exact top-10 are lsh 3 / ivf 9-10 / trained 9
+#: at sf0.001 and sf0.01 (fixed hyperplanes + fixed data ⇒ constants,
+#: not samples); floors sit under them with margin so only a genuine
+#: recall regression can trip them
+ANN_LSH_OVERLAP_FLOOR = 2
+ANN_IVF_OVERLAP_FLOOR = 6
+
+
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked certificate for the ANN tier (the
+    q_dedup_blocker_recall pattern on similarity search): bucket
+    assignments are engine-side so ANN outputs can't be value-checked
+    directly, but their CONTRACTS can. Rows ``(check_name, value)``:
+
+    - ``exact_topk_rows``: size of the exact top-k — the oracle
+      recomputes it from raw embeddings (anchor).
+    - ``lsh_hits_outside_probe_radius``: ANN-LSH hits whose sign bucket
+      is more than 2 bit-flips from the query's bucket — the multi-probe
+      blocking contract, pinned 0 (a probe-set bug surfaces here).
+    - ``lsh_overlap_deficit`` / ``ivf_overlap_deficit`` /
+      ``ivf_trained_overlap_deficit``: how far each ANN variant's
+      overlap with the exact top-k falls below its documented floor
+      (0 when the floor holds). Floors are constants of this dataset —
+      the blocking geometry is deterministic — so a nonzero value means
+      the index construction regressed, not sampling noise.
+
+    The kNN-join ANN variant is deliberately NOT floored here: on
+    near-uniform synthetic embeddings bucket scatter makes its real-table
+    overlap tiny and unstable (its hard guarantee is the planted-near-dup
+    unit test, tests/test_llm_ops.py:368)."""
+    exact = (
+        q_sim_topk(spark, sf_dir).select("vec_id").localCheckpoint()
+    )
+    n_exact = exact.count()
+
+    def overlap(df: DataFrame) -> int:
+        return df.select("vec_id").join(exact, "vec_id", "left_semi").count()
+
+    lsh_df = q_sim_ann_lsh(spark, sf_dir).localCheckpoint()
+    lsh_o = overlap(lsh_df)
+
+    qv = _query_vector(spark, sf_dir)
+    q_bucket = 0
+    for p, plane in enumerate(_hyperplanes()):
+        if sum(a * b for a, b in zip(qv, plane)) >= 0:
+            q_bucket |= 1 << p
+    emb_b = _embeddings_double(spark, sf_dir).select(
+        "vec_id", _bucket_expr(F.col("v")).alias("bucket")
+    )
+    out_of_radius = (
+        lsh_df.join(F.broadcast(emb_b), "vec_id")
+        .filter(
+            F.bit_count(
+                F.col("bucket").bitwiseXOR(F.lit(q_bucket))
+            )
+            > F.lit(2)
+        )
+        .count()
+    )
+
+    ivf_o = overlap(q_sim_ivf(spark, sf_dir))
+    ivft_o = overlap(q_sim_ivf_trained(spark, sf_dir))
+
+    rows = [
+        ("exact_topk_rows", n_exact),
+        ("lsh_hits_outside_probe_radius", out_of_radius),
+        ("lsh_overlap_deficit", max(0, ANN_LSH_OVERLAP_FLOOR - lsh_o)),
+        ("ivf_overlap_deficit", max(0, ANN_IVF_OVERLAP_FLOOR - ivf_o)),
+        (
+            "ivf_trained_overlap_deficit",
+            max(0, ANN_IVF_OVERLAP_FLOOR - ivft_o),
+        ),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
+
+
 KNN_K = 5
 
 
@@ -914,6 +991,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_embed_normalize": q_embed_normalize,
     "q_sim_topk": q_sim_topk,
+    "q_sim_ann_recall": q_sim_ann_recall,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_knn_join": q_sim_knn_join,
     "q_sim_knn_join_ann": q_sim_knn_join_ann,
@@ -1115,7 +1193,29 @@ ORACLES = {
         LIMIT {TOP_K}
     """,
     # q_sim_ann_lsh: rows-only (probabilistic recall); recall vs exact
-    # top-k pinned by unit test.
+    # top-k pinned by unit test AND the q_sim_ann_recall certificate.
+    "q_sim_ann_recall": f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID}),
+        exact AS (
+            SELECT vec_id FROM (
+                SELECT vec_id,
+                       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                      CAST(embedding AS DOUBLE[])))
+                                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+                FROM embeddings, q
+                WHERE vec_id <> {QUERY_VEC_ID}
+                ORDER BY cosine DESC, vec_id
+                LIMIT {TOP_K}))
+        SELECT 'exact_topk_rows' AS check_name,
+               CAST(COUNT(*) AS BIGINT) AS value FROM exact
+        UNION ALL SELECT 'lsh_hits_outside_probe_radius', 0
+        UNION ALL SELECT 'lsh_overlap_deficit', 0
+        UNION ALL SELECT 'ivf_overlap_deficit', 0
+        UNION ALL SELECT 'ivf_trained_overlap_deficit', 0
+    """,
     "q_sim_knn_join": f"""
         WITH e AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
