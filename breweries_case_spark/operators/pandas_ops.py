@@ -150,6 +150,71 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked certificate for FFD sequence packing (greedy packing
+    has no SQL twin, but its CONTRACT does — the certificate pattern of
+    q_dedup_blocker_recall). Rows ``(check_name, value)``:
+
+    - ``docs_packed`` / ``total_tokens``: every document packed, total
+      whitespace-token mass conserved — both RECOMPUTED by the oracle
+      from raw text, anchoring the certificate.
+    - ``duplicate_doc_assignments``: docs appearing in more than one bin
+      (0 — packing is a partition).
+    - ``bin_fill_mismatches``: bins whose published fill ≠ the sum of
+      their members' tokens (0 — the emitted fill is honest).
+    - ``overfull_multi_doc_bins``: bins over PACK_CAP_TOKENS holding
+      more than one doc (0 — only a single oversized doc may exceed the
+      cap, alone).
+    - ``non_dense_bin_id_langs``: langs whose bin ids are not exactly
+      0..n-1 (0).
+    - ``ffd_bound_violating_langs``: langs where the bin count exceeds
+      ceil(11/9 · LB) + 1 for LB = ceil(lang_tokens / cap) — the
+      classic first-fit-decreasing guarantee against the volume lower
+      bound (0; a regression to a worse heuristic trips this)."""
+    packed = q_pack_sequences(spark, sf_dir).localCheckpoint()
+    n_packed = packed.count()
+    n_distinct = packed.select("doc_id").distinct().count()
+    total_tokens = int(packed.agg(F.sum("n_tokens")).collect()[0][0])
+
+    bins = packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.max("bin_fill").alias("fill_max"),
+        F.min("bin_fill").alias("fill_min"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    fill_mismatch = bins.filter(
+        (F.col("fill_max") != F.col("tok"))
+        | (F.col("fill_min") != F.col("tok"))
+    ).count()
+    overfull = bins.filter(
+        (F.col("tok") > PACK_CAP_TOKENS) & (F.col("n_docs") > 1)
+    ).count()
+    density = bins.groupBy("lang").agg(
+        (F.max("bin_id") + 1).alias("mx"),
+        F.countDistinct("bin_id").alias("nd"),
+    )
+    gaps = density.filter(F.col("mx") != F.col("nd")).count()
+    per_lang = packed.groupBy("lang").agg(
+        F.countDistinct("bin_id").alias("bins"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    lb = F.ceil(F.col("tok") / F.lit(PACK_CAP_TOKENS))
+    bound_violations = per_lang.filter(
+        F.col("bins") > F.ceil(lb * F.lit(11) / F.lit(9)) + 1
+    ).count()
+
+    rows = [
+        ("docs_packed", n_packed),
+        ("duplicate_doc_assignments", n_packed - n_distinct),
+        ("total_tokens", total_tokens),
+        ("bin_fill_mismatches", fill_mismatch),
+        ("overfull_multi_doc_bins", overfull),
+        ("non_dense_bin_id_langs", gaps),
+        ("ffd_bound_violating_langs", bound_violations),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
+
+
 def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF via a GROUPED_AGG pandas_udf: per-returnflag trimmed
     mean of l_quantity (drop one min and one max occurrence, average the
@@ -207,9 +272,24 @@ QUERIES = {
     "q_pandas_grouped_agg": q_pandas_grouped_agg,
     "q_udtf_chunks": q_udtf_chunks,
     "q_pack_sequences": q_pack_sequences,
+    "q_pack_invariants": q_pack_invariants,
 }
 
 ORACLES = {
+    # packing certificate: doc count + token mass recomputed from raw
+    # text; every structural residual pinned at zero
+    "q_pack_invariants": r"""
+        SELECT 'docs_packed' AS check_name,
+               CAST(COUNT(*) AS BIGINT) AS value FROM documents
+        UNION ALL SELECT 'duplicate_doc_assignments', 0
+        UNION ALL SELECT 'total_tokens',
+            (SELECT CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+')))
+                    AS BIGINT) FROM documents)
+        UNION ALL SELECT 'bin_fill_mismatches', 0
+        UNION ALL SELECT 'overfull_multi_doc_bins', 0
+        UNION ALL SELECT 'non_dense_bin_id_langs', 0
+        UNION ALL SELECT 'ffd_bound_violating_langs', 0
+    """,
     "q_pandas_grouped_agg": """
         SELECT l_returnflag,
                count(*) AS n_rows,

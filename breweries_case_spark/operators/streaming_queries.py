@@ -196,6 +196,33 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED custom stateful streaming (the first value-checked
+    arbitrary-state id): per-user running (count, cents) where the value
+    sum is quantized per row and accumulated as int64 inside the state —
+    order-independent and exact, so the replayed final state must equal
+    a batch SQL aggregate bit-for-bit however the stream micro-batched.
+    The float twin (q_stream_stateful) stays rows-only as the canonical
+    non-SQL surface; this id proves the state machinery (per-key state
+    store, update-mode emission, replay) against DuckDB, not just the
+    arithmetic."""
+    from breweries_case_spark.streaming.stateful import (
+        running_user_totals_cents,
+    )
+
+    updates = run_stream_to_memory(
+        running_user_totals_cents(stream_events(spark, sf_dir)),
+        "stream_stateful_exact_out",
+        output_mode="update",
+    )
+    latest = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "value_cents")
+    )
+
+
 def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming WRITE path: readStream → foreachBatch →
     idempotent date-partition overwrite (streaming.sinks — the engine's
@@ -262,6 +289,7 @@ QUERIES = {
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
     "q_stream_stateful": q_stream_stateful,
+    "q_stream_stateful_exact": q_stream_stateful_exact,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_join": q_stream_join,
     "q_stream_join_outer": q_stream_join_outer,
@@ -366,6 +394,15 @@ ORACLES["q_stream_dedup"] = """
 # every input partition exactly once under processAllAvailable, and the
 # summary is per-day counts of the source) — so the WRITE path is
 # value-checked too, not just the transform.
+# The cents-exact stateful replay: per-row quantization then integer
+# accumulation makes the final state order-independent, so the batch SQL
+# twin is exact whatever the micro-batch split was.
+ORACLES["q_stream_stateful_exact"] = """
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+    FROM events GROUP BY user_id
+"""
+
 ORACLES["q_stream_sink_parquet"] = """
     SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events
     FROM events GROUP BY 1

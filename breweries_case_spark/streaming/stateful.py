@@ -40,6 +40,49 @@ def _update_user_totals(
     )
 
 
+CENTS_OUTPUT_SCHEMA = "user_id long, n_events long, value_cents long"
+CENTS_STATE_SCHEMA = "n long, cents long"
+
+
+def _update_user_totals_cents(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # per-element floor(v*100 + 0.5): the same single-IEEE-op
+        # quantization SQL's FLOOR applies, then an exact integer sum —
+        # accumulation order (arrival vs batch) can never move the state
+        cents += int(
+            np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum()
+        )
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+    )
+
+
+def running_user_totals_cents(events: DataFrame) -> DataFrame:
+    """Exact-integer variant of ``running_user_totals``: state carries the
+    value sum as QUANTIZED CENTS (floor(v·100+0.5) per row, summed as
+    int64), so the final state is an order-independent exact number — the
+    decimal-sum discipline (functions/numeric.py) applied to streaming
+    state, which is what makes a custom stateful operator
+    ORACLE-CHECKABLE: a batch SQL sum of the same per-row quantization
+    must match bit-for-bit, however the stream was micro-batched."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals_cents,
+        outputStructType=CENTS_OUTPUT_SCHEMA,
+        stateStructType=CENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running (count, sum(value)) maintained in custom state;
     emits the post-batch totals for every user seen in the batch."""
