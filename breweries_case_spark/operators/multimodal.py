@@ -580,5 +580,56 @@ ORACLES = {
                MAX(n_chars * 10) AS max_duration_ms
         FROM documents GROUP BY 1
     """,
+    # The real-decode pipeline is FULLY oracle-checkable (r5): every
+    # synthesized payload is a closed-form function of (doc_id, n_chars),
+    # so DuckDB recomputes the decoded features and exact container byte
+    # sizes from the documents table — WAV is 44 header + 2 bytes/sample,
+    # the 8×8 24-bit BMP is 54 + 192 = 246 bytes, the 4-frame IVF is
+    # 32 + 4·(12 + 246) = 1064. A wrong encoder, parser, or feature
+    # expression on either side of the mapInPandas boundary reds the
+    # value hash; only COMPRESSED codecs stay out (the one declared
+    # NotImplementedError).
+    "q_multimodal_decode": """
+        WITH base AS (
+            SELECT doc_id AS media_id, doc_id % 3 AS m, n_chars,
+                   doc_id % 50 + 2 AS period,
+                   LEAST(n_chars, 400) AS n
+            FROM documents),
+        audio AS (
+            SELECT media_id, 'audio' AS modality,
+                   CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+                   list_value(CAST(n AS DOUBLE), 16000.0,
+                              CAST(list_sum(amps) AS DOUBLE) / n,
+                              CAST(list_max(amps) AS DOUBLE)) AS features
+            FROM (
+                SELECT media_id, n,
+                       list_transform(range(0, n),
+                           i -> abs((i % period) * 1200 - period * 600))
+                           AS amps
+                FROM base WHERE m = 1)),
+        image AS (
+            SELECT media_id, 'image' AS modality,
+                   CAST(246 AS BIGINT) AS n_bytes,
+                   list_value(8.0, 8.0,
+                              CAST(list_sum(px) AS DOUBLE) / 192,
+                              CAST(list_max(px) AS DOUBLE)) AS features
+            FROM (
+                SELECT media_id,
+                       flatten(list_transform(range(0, 8), y ->
+                           flatten(list_transform(range(0, 8), x ->
+                               list_value((x * 31 + media_id) % 256,
+                                          (y * 57 + media_id) % 256,
+                                          (x * y + media_id) % 256)))))
+                           AS px
+                FROM base WHERE m = 0)),
+        video AS (
+            SELECT media_id, 'video' AS modality,
+                   CAST(1064 AS BIGINT) AS n_bytes,
+                   list_value(4.0, 750.0, 8.0, 8.0) AS features
+            FROM base WHERE m = 2)
+        SELECT * FROM audio
+        UNION ALL SELECT * FROM image
+        UNION ALL SELECT * FROM video
+    """,
     # q_multimodal_features: rows-only (fake decode is Spark-side plumbing).
 }
