@@ -561,8 +561,64 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: canonical byte sizes of the synthesized/re-encoded containers:
+#: 24-bit BMP = 54-byte header + rows of width·3 bytes (4-aligned)
+RESIZED_BMP_BYTES = 54 + 32 * 32 * 3  # 32·3 = 96 per row, already aligned
+FRAME_BMP_BYTES = 54 + 8 * 8 * 3
+
+
+def q_multimodal_real_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked certificate for the two real-decode pipelines whose
+    BINARY outputs can't be compared in SQL (constructing byte-exact BMP
+    payloads in the oracle is unreasonable; q_multimodal_decode already
+    value-checks the parsers/features). Rows ``(check_name, value)``:
+
+    - ``images_resized`` / ``videos_sampled``: row coverage — the oracle
+      recomputes both from the documents modality assignment (anchor).
+    - ``resize_dim_violations``: resized rows not 32×32 (0).
+    - ``resize_size_violations``: re-encoded payloads whose byte length
+      isn't the canonical 24-bit-BMP size 54 + 32·32·3 (0 — a padding or
+      header bug in the encoder surfaces here).
+    - ``frame_bucket_violations``: videos whose sampled frame-ms set is
+      not exactly {0, 500} (0 — one keyframe per 500 ms bucket over the
+      0/250/500/750 PTS stream).
+    - ``frame_size_violations``: demuxed frame payloads that aren't the
+      8×8 BMP's 246 bytes (0)."""
+    resized = q_multimodal_resize_real(spark, sf_dir).localCheckpoint()
+    n_resized = resized.count()
+    dim_bad = resized.filter(
+        (F.col("width") != 32) | (F.col("height") != 32)
+    ).count()
+    size_bad = resized.filter(
+        F.length("resized") != RESIZED_BMP_BYTES
+    ).count()
+
+    frames = q_multimodal_frames_real(spark, sf_dir).localCheckpoint()
+    n_videos = frames.select("media_id").distinct().count()
+    per_video = frames.groupBy("media_id").agg(
+        F.sort_array(F.collect_list("frame_ms")).alias("ms")
+    )
+    bucket_bad = per_video.filter(
+        F.col("ms") != F.array(F.lit(0).cast("long"), F.lit(500).cast("long"))
+    ).count()
+    frame_size_bad = frames.filter(
+        F.length("frame") != FRAME_BMP_BYTES
+    ).count()
+
+    rows = [
+        ("images_resized", n_resized),
+        ("videos_sampled", n_videos),
+        ("resize_dim_violations", dim_bad),
+        ("resize_size_violations", size_bad),
+        ("frame_bucket_violations", bucket_bad),
+        ("frame_size_violations", frame_size_bad),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
+
+
 QUERIES = {
     "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_real_invariants": q_multimodal_real_invariants,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frames": q_multimodal_frames,
@@ -632,4 +688,17 @@ ORACLES = {
         UNION ALL SELECT * FROM video
     """,
     # q_multimodal_features: rows-only (fake decode is Spark-side plumbing).
+    # Real-path certificate: coverage counts recomputed from the modality
+    # assignment; every structural residual pinned at zero.
+    "q_multimodal_real_invariants": """
+        SELECT 'images_resized' AS check_name,
+               CAST(COUNT(*) AS BIGINT) AS value
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL SELECT 'videos_sampled', COUNT(*)
+        FROM documents WHERE doc_id % 3 = 2
+        UNION ALL SELECT 'resize_dim_violations', 0
+        UNION ALL SELECT 'resize_size_violations', 0
+        UNION ALL SELECT 'frame_bucket_violations', 0
+        UNION ALL SELECT 'frame_size_violations', 0
+    """,
 }
