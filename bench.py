@@ -163,6 +163,14 @@ EXTENDED = [
     # hybrid retrieval: BM25 candidates -> exact-cosine re-rank -> mixed
     # top-K (1.68 s at sf0.1)
     "q_hybrid_search",
+    # round-5 pipeline additions: rate-limited streaming executor-side
+    # ingest (4 micro-batches), real WAV/BMP/IVF decode via mapInPandas,
+    # and the cents-exact arbitrary-state stream. The r5 certificate ids
+    # (blocker recall, ANN recall, pack/PCA invariants) stay out — they
+    # are verification queries composed of already-benched operators.
+    "q_python_datasource_stream",
+    "q_multimodal_decode",
+    "q_stream_stateful_exact",
 ]
 
 
