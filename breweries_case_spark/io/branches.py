@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -299,7 +300,11 @@ def merge_branch(table_dir: str, name: str) -> int:
             meta_path = os.path.join(
                 _branch_dir(table_dir, name), "meta.json"
             )
-            tmp = meta_path + ".tmp"
+            # unique sidecar per writer (the publish_json_excl staging
+            # convention): a FIXED meta_path+'.tmp' would let two
+            # concurrent merges truncate each other's staged file and
+            # install an empty meta.json via os.replace
+            tmp = f"{meta_path}.{uuid.uuid4().hex}.tmp"
             with open(tmp, "w") as f:
                 json.dump({**meta, "created_from": version}, f)
             os.replace(tmp, meta_path)

@@ -387,9 +387,10 @@ def q_ingest_staged_csv_roundtrip(
     so the round trip is lossless here (the empty-vs-null collapse is
     the documented CSV format limit, asserted by the payload twin's
     unit test)."""
-    return _staged_roundtrip(
-        spark, sf_dir, "csv", header="true", nullValue=""
-    )
+    # header handling lives in _staged_roundtrip (writer) and
+    # ingest_staged_files (reader) — only the null convention is
+    # caller-chosen here
+    return _staged_roundtrip(spark, sf_dir, "csv", nullValue="")
 
 
 QUERIES = {

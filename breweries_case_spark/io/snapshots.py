@@ -427,13 +427,16 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     if not versions:
         return []
     now = time.time()
+    # sweep roots: trunk manifests + each branch's manifests AND its ref
+    # dir itself (merge_branch stages meta.json rewrites there)
     for root in [os.path.join(table_dir, _MANIFEST_DIR)] + [
-        os.path.join(table_dir, "_refs", b, "manifests")
+        os.path.join(table_dir, "_refs", b, sub)
         for b in (
             os.listdir(os.path.join(table_dir, "_refs"))
             if os.path.isdir(os.path.join(table_dir, "_refs"))
             else []
         )
+        for sub in ("manifests", "")
     ]:
         if os.path.isdir(root):
             for name in os.listdir(root):

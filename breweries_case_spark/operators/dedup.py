@@ -498,7 +498,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measures a cache hit); checkpointed blocks are GC'd with the
     # DataFrame and never match future plans.
     docs = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint()
-    cands = lsh_candidates(minhash_signatures(docs).localCheckpoint())
+    return minhash_verified_pairs(docs)
+
+
+def minhash_verified_pairs(
+    docs: DataFrame, cands: DataFrame | None = None
+) -> DataFrame:
+    """The candidate→verify body of q_dedup_minhash over a PREPARED
+    (ideally checkpointed) shingle table — exposed so the blocker-recall
+    certificate can reuse one shingle/signature build for both its
+    candidate check and the verified output instead of recomputing the
+    heaviest dedup stages twice. ``cands`` short-circuits candidate
+    generation when the caller already has the banded pair set."""
+    if cands is None:
+        cands = lsh_candidates(minhash_signatures(docs).localCheckpoint())
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -551,8 +564,12 @@ def q_dedup_blocker_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_true = true_pairs.count()
 
+    # one shingle/signature build feeds BOTH the candidate check and the
+    # verified output (minhash_verified_pairs with cands passed through)
     docs = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint()
-    cands = lsh_candidates(minhash_signatures(docs).localCheckpoint())
+    cands = lsh_candidates(
+        minhash_signatures(docs).localCheckpoint()
+    ).localCheckpoint()
     missed = true_pairs.join(cands, ["doc_a", "doc_b"], "left_anti").count()
 
     langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -563,7 +580,7 @@ def q_dedup_blocker_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
     )
     mh_out = (
-        q_dedup_minhash(spark, sf_dir)
+        minhash_verified_pairs(docs, cands)
         .select("doc_a", "doc_b")
         .join(F.broadcast(la), "doc_a")
         .join(F.broadcast(lb), "doc_b")

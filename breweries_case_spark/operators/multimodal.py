@@ -522,7 +522,9 @@ def q_multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode pipeline (rows-only): synthesize genuine WAV/BMP/IVF
+    """REAL decode pipeline (oracle-backed since r5 — the payloads are
+    closed-form functions of (doc_id, n_chars), so DuckDB recomputes
+    features and container byte sizes): synthesize genuine WAV/BMP/IVF
     binaries (``synth_media_table``), then extract features with the
     stdlib parsers — audio rows carry (n_samples, rate, mean|amp|, peak),
     image rows (w, h, mean intensity, peak), video rows (n_frames,

@@ -167,10 +167,14 @@ def q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
       cap, alone).
     - ``non_dense_bin_id_langs``: langs whose bin ids are not exactly
       0..n-1 (0).
-    - ``ffd_bound_violating_langs``: langs where the bin count exceeds
-      ceil(11/9 · LB) + 1 for LB = ceil(lang_tokens / cap) — the
-      classic first-fit-decreasing guarantee against the volume lower
-      bound (0; a regression to a worse heuristic trips this)."""
+    - ``half_empty_bin_violating_langs``: langs with MORE THAN ONE bin
+      at most half full — impossible for any first-fit packing (the
+      second half-empty bin's first item would have fit the first), so
+      this is a sound theorem, not a dataset floor; a regression to a
+      worse placement heuristic trips it. (The classic 11/9 FFD bound
+      is relative to OPT, which no SQL oracle can recompute — a
+      volume-lower-bound stand-in would falsely red on corpora of
+      just-over-half-cap docs, so it is deliberately NOT checked.)"""
     packed = q_pack_sequences(spark, sf_dir).localCheckpoint()
     n_packed = packed.count()
     n_distinct = packed.select("doc_id").distinct().count()
@@ -194,14 +198,15 @@ def q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("bin_id").alias("nd"),
     )
     gaps = density.filter(F.col("mx") != F.col("nd")).count()
-    per_lang = packed.groupBy("lang").agg(
-        F.countDistinct("bin_id").alias("bins"),
-        F.sum("n_tokens").alias("tok"),
+    half_empty = bins.filter(
+        F.col("tok") * 2 <= F.lit(PACK_CAP_TOKENS)
     )
-    lb = F.ceil(F.col("tok") / F.lit(PACK_CAP_TOKENS))
-    bound_violations = per_lang.filter(
-        F.col("bins") > F.ceil(lb * F.lit(11) / F.lit(9)) + 1
-    ).count()
+    bound_violations = (
+        half_empty.groupBy("lang")
+        .agg(F.count("*").alias("n_half"))
+        .filter(F.col("n_half") > 1)
+        .count()
+    )
 
     rows = [
         ("docs_packed", n_packed),
@@ -210,7 +215,7 @@ def q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("bin_fill_mismatches", fill_mismatch),
         ("overfull_multi_doc_bins", overfull),
         ("non_dense_bin_id_langs", gaps),
-        ("ffd_bound_violating_langs", bound_violations),
+        ("half_empty_bin_violating_langs", bound_violations),
     ]
     return spark.createDataFrame(rows, "check_name string, value long")
 
@@ -288,7 +293,7 @@ ORACLES = {
         UNION ALL SELECT 'bin_fill_mismatches', 0
         UNION ALL SELECT 'overfull_multi_doc_bins', 0
         UNION ALL SELECT 'non_dense_bin_id_langs', 0
-        UNION ALL SELECT 'ffd_bound_violating_langs', 0
+        UNION ALL SELECT 'half_empty_bin_violating_langs', 0
     """,
     "q_pandas_grouped_agg": """
         SELECT l_returnflag,

@@ -149,6 +149,19 @@ def _bucket_expr(vec_col):
     return bucket
 
 
+def _query_bucket(qv: list[float]) -> int:
+    """Driver-side sign bucket of a query vector — the same convention as
+    `_bucket_expr` (bit p set iff dot(v, plane_p) >= 0). ONE definition,
+    shared by ann_topk and the q_sim_ann_recall certificate, so the
+    certificate can never drift to testing a different bucket than the
+    operator probes."""
+    q_bucket = 0
+    for p, plane in enumerate(_hyperplanes()):
+        if sum(a * b for a, b in zip(qv, plane)) >= 0:
+            q_bucket |= 1 << p
+    return q_bucket
+
+
 def ann_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -168,10 +181,7 @@ def ann_topk(
     )
 
     # query bucket + multi-probe neighbors, computed driver-side (small)
-    q_bucket = 0
-    for p, plane in enumerate(_hyperplanes()):
-        if sum(a * b for a, b in zip(qv, plane)) >= 0:
-            q_bucket |= 1 << p
+    q_bucket = _query_bucket(qv)
     probes = {q_bucket}
     for p in range(LSH_PLANES):
         probes.add(q_bucket ^ (1 << p))
@@ -238,11 +248,7 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_df = q_sim_ann_lsh(spark, sf_dir).localCheckpoint()
     lsh_o = overlap(lsh_df)
 
-    qv = _query_vector(spark, sf_dir)
-    q_bucket = 0
-    for p, plane in enumerate(_hyperplanes()):
-        if sum(a * b for a, b in zip(qv, plane)) >= 0:
-            q_bucket |= 1 << p
+    q_bucket = _query_bucket(_query_vector(spark, sf_dir))
     emb_b = _embeddings_double(spark, sf_dir).select(
         "vec_id", _bucket_expr(F.col("v")).alias("bucket")
     )

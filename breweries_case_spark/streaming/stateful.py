@@ -56,10 +56,13 @@ def _update_user_totals_cents(
         n += len(pdf)
         # per-element floor(v*100 + 0.5): the same single-IEEE-op
         # quantization SQL's FLOOR applies, then an exact integer sum —
-        # accumulation order (arrival vs batch) can never move the state
-        cents += int(
-            np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum()
-        )
+        # accumulation order (arrival vs batch) can never move the state.
+        # NULL values arrive as NaN and must be SKIPPED like SQL SUM
+        # skips NULLs — np.floor(NaN).astype('int64') would otherwise
+        # silently poison the state with INT64_MIN.
+        v = pdf["value"].to_numpy(dtype="float64")
+        v = v[np.isfinite(v)]
+        cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}

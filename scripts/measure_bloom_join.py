@@ -53,9 +53,10 @@ def run_variant(spark, fact, variant: str) -> tuple[float, bool]:
         "spark.sql.optimizer.runtime.bloomFilter.enabled": str(
             variant == "bloom_on"
         ).lower(),
-        # let the filter inject even for modest plans: drop the
-        # creation-side size floor so the local-scale dim qualifies
-        # (at 100 TB the defaults already pass)
+        # creationSideThreshold is a CEILING (the bloom filter is built
+        # only when the creation side's estimated size is UNDER it) —
+        # raise it from the 10MB default so the filtered dim still
+        # qualifies if stats overestimate it
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
     }

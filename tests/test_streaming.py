@@ -589,3 +589,30 @@ def test_sink_checkpoint_restart_no_reprocessing(spark, tmp_path):
         q2.stop()
     got = sorted(r.user_id for r in spark.read.parquet(out).collect())
     assert got == [0, 1, 2, 3, 4, 100, 101, 102]  # old rows exactly once
+
+
+def test_cents_state_update_skips_null_values():
+    """NULL event values arrive in the pandas batch as NaN — the cents
+    accumulator must SKIP them like SQL SUM skips NULLs, not floor NaN
+    into INT64_MIN garbage."""
+    import numpy as np
+    import pandas as pd
+
+    from breweries_case_spark.streaming.stateful import (
+        _update_user_totals_cents,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    st = FakeState()
+    pdf = pd.DataFrame({"value": [1.23, np.nan, 2.005]})
+    out = list(_update_user_totals_cents((7,), iter([pdf]), st))
+    n, cents = st.value
+    assert n == 3  # the NULL row still counts toward n_events
+    # floor(1.23*100+0.5)=123, floor(2.005*100+0.5)=201 (200.5+0.5 -> 201)
+    assert cents == 123 + int(np.floor(2.005 * 100 + 0.5))
+    assert out[0]["value_cents"].iloc[0] == cents
