@@ -261,3 +261,119 @@ def test_merge_ff_race_leaves_branch_divergent_not_lossy(
         "d3": {7},
         "d4": {9},
     }
+
+
+# --- model-based property test (hypothesis) --------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_BPARTS = ["p1", "p2"]
+_bop = st.one_of(
+    st.tuples(
+        st.just("trunk"),
+        st.sampled_from(_BPARTS),
+        st.frozensets(
+            st.integers(min_value=0, max_value=9), min_size=1, max_size=3
+        ),
+    ),
+    st.tuples(st.just("create")),
+    st.tuples(
+        st.just("bcommit"),
+        st.sampled_from(_BPARTS),
+        st.frozensets(
+            st.integers(min_value=10, max_value=19), min_size=1, max_size=3
+        ),
+    ),
+    st.tuples(st.just("merge")),
+    st.tuples(st.just("drop")),
+    st.tuples(st.just("vacuum")),
+)
+
+
+@given(ops=st.lists(_bop, min_size=2, max_size=7))
+@settings(max_examples=10, deadline=None)
+def test_branch_lifecycle_matches_sequential_model(
+    spark, tmp_path_factory, ops
+):
+    """Random create/commit/merge/drop/vacuum sequences against a pure
+    Python three-way model. 'Changed' is COMMIT identity (every commit
+    mints a fresh token), mirroring the engine's file-list comparison —
+    recommitting identical rows still counts as a change. After every op
+    trunk and branch contents must equal the model, merges must conflict
+    exactly when the model says both sides changed a partition since the
+    divergence point, and vacuum must never disturb either view."""
+    t = str(tmp_path_factory.mktemp("blife") / "t")
+    commit_overwrite_partitions(_df(spark, [(0, "p1")]), t, "day")
+
+    tok = iter(range(1, 10_000))
+    trunk_rows = {"p1": frozenset({0})}
+    trunk_tok = {"p1": 0}
+    branch = None  # (base_tok, head_tok, head_rows)
+
+    for op in ops:
+        kind = op[0]
+        if kind == "trunk":
+            _, part, rows = op
+            commit_overwrite_partitions(
+                _df(spark, [(i, part) for i in sorted(rows)]), t, "day"
+            )
+            trunk_rows[part] = rows
+            trunk_tok[part] = next(tok)
+        elif kind == "create":
+            if branch is None:
+                create_branch(t, "exp")
+                branch = (
+                    dict(trunk_tok),
+                    dict(trunk_tok),
+                    dict(trunk_rows),
+                )
+        elif kind == "bcommit":
+            if branch is not None:
+                _, part, rows = op
+                commit_to_branch(
+                    _df(spark, [(i, part) for i in sorted(rows)]),
+                    t,
+                    "exp",
+                    "day",
+                )
+                branch[1][part] = next(tok)
+                branch[2][part] = rows
+        elif kind == "merge":
+            if branch is not None:
+                base_tok, head_tok, head_rows = branch
+                keys = set(base_tok) | set(trunk_tok) | set(head_tok)
+                conflicts = [
+                    k
+                    for k in keys
+                    if head_tok.get(k) != base_tok.get(k)
+                    and trunk_tok.get(k) != base_tok.get(k)
+                ]
+                if conflicts:
+                    with pytest.raises(MergeConflict):
+                        merge_branch(t, "exp")
+                else:
+                    merge_branch(t, "exp")
+                    for k in keys:
+                        if head_tok.get(k) != base_tok.get(k):
+                            trunk_tok[k] = head_tok[k]
+                            trunk_rows[k] = head_rows[k]
+                    branch = (
+                        dict(trunk_tok),
+                        dict(trunk_tok),
+                        dict(trunk_rows),
+                    )
+        elif kind == "drop":
+            if branch is not None:
+                delete_branch(t, "exp")
+                branch = None
+        elif kind == "vacuum":
+            vacuum(t, keep_versions=2)
+
+        assert _trunk(spark, t) == {
+            k: set(v) for k, v in trunk_rows.items()
+        }, (op, ops)
+        if branch is not None:
+            assert _branch(spark, t, "exp") == {
+                k: set(v) for k, v in branch[2].items()
+            }, (op, ops)
