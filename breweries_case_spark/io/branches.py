@@ -300,14 +300,26 @@ def merge_branch(table_dir: str, name: str) -> int:
             meta_path = os.path.join(
                 _branch_dir(table_dir, name), "meta.json"
             )
-            # unique sidecar per writer (the publish_json_excl staging
-            # convention): a FIXED meta_path+'.tmp' would let two
-            # concurrent merges truncate each other's staged file and
-            # install an empty meta.json via os.replace
+            # full publish_json_excl staging discipline, not just the
+            # unique tmp name: a FIXED meta_path+'.tmp' would let two
+            # concurrent merges truncate each other's staged file, and
+            # replacing WITHOUT fsync can commit the rename metadata
+            # before the data blocks — power loss then leaves an empty
+            # meta.json that wedges every subsequent read/merge/vacuum
             tmp = f"{meta_path}.{uuid.uuid4().hex}.tmp"
             with open(tmp, "w") as f:
                 json.dump({**meta, "created_from": version}, f)
-            os.replace(tmp, meta_path)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.replace(tmp, meta_path)
+            except FileNotFoundError:
+                # an aged-sidecar vacuum sweep beat us (≥15-min stall):
+                # the head is already the merged map with base stale —
+                # consistent (next merge sees t == o on every landed
+                # key), just not fast-forwarded; don't crash a merge
+                # that already published
+                pass
         return version
     raise RuntimeError("merge lost every trunk version race")
 

@@ -438,13 +438,18 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
         )
         for sub in ("manifests", "")
     ]:
-        if os.path.isdir(root):
-            for name in os.listdir(root):
-                if name.endswith(".tmp"):
-                    full = os.path.join(root, name)
-                    with contextlib.suppress(FileNotFoundError):
-                        if now - os.stat(full).st_mtime > TMP_SIDECAR_RETENTION_SEC:
-                            os.unlink(full)
+        # the isdir→listdir window can race delete_branch's rmtree — a
+        # vanished dir has nothing to sweep
+        try:
+            names = os.listdir(root)
+        except (FileNotFoundError, NotADirectoryError):
+            continue
+        for name in names:
+            if name.endswith(".tmp"):
+                full = os.path.join(root, name)
+                with contextlib.suppress(FileNotFoundError):
+                    if now - os.stat(full).st_mtime > TMP_SIDECAR_RETENTION_SEC:
+                        os.unlink(full)
     kept = set(versions[-keep_versions:])
     live: set[str] = set()
     refs_root = os.path.join(table_dir, "_refs")

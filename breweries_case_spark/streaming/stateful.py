@@ -59,9 +59,11 @@ def _update_user_totals_cents(
         # accumulation order (arrival vs batch) can never move the state.
         # NULL values arrive as NaN and must be SKIPPED like SQL SUM
         # skips NULLs — np.floor(NaN).astype('int64') would otherwise
-        # silently poison the state with INT64_MIN.
+        # silently poison the state with INT64_MIN. Only NaN is dropped:
+        # +/-Inf is a VALUE to SQL SUM, and silently skipping it would
+        # mask upstream corruption behind a healthy-looking total.
         v = pdf["value"].to_numpy(dtype="float64")
-        v = v[np.isfinite(v)]
+        v = v[~np.isnan(v)]
         cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(
