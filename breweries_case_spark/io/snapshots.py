@@ -549,8 +549,91 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed GENERATION between two snapshot versions — the
+    Delta CDF / Iceberg changelog analog, derived purely from the
+    snapshot log (no write-side change tracking needed): commit v1
+    (days 1-2 of orders), commit v2 (day 2 rewritten to even-orderkey
+    rows repriced ×1.1 in exact decimal; day 3 added; day 1 carried),
+    then DIFF the two version reads with one full-outer join on the row
+    key — v1-only rows are deletes, v2-only inserts, content-changed
+    rows updates, identical rows (the carried day 1) drop out. Output:
+    per-(day, op) change counts, a deterministic function of orders the
+    oracle recomputes directly.
+
+    Scale shape: the diff is one key-equi full-outer join between two
+    snapshot reads — at 100 TB BOTH sides prune to the partitions whose
+    FILE LISTS differ between the manifests first (day 1's identical
+    files can be skipped without scanning), so the join cost tracks the
+    changed data, not the table. The row-level compare here is the
+    post-prune semantic core."""
+    import shutil
+    import tempfile
+
+    from breweries_case_spark.io.reader import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "day", F.to_date(F.col("o_orderdate")).cast("string")
+    )
+    days = [
+        r.day
+        for r in orders.groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "day")
+        .limit(3)
+        .collect()
+    ]
+    d1, d2, d3 = sorted(days)
+    tdir = tempfile.mkdtemp(prefix="snapcdf_")
+    try:
+        commit_overwrite_partitions(
+            orders.filter(F.col("day").isin([d1, d2])), tdir, "day"
+        )
+        repriced = (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(3,2)")
+        ).cast("double")
+        v2_d2 = (
+            orders.filter((F.col("day") == d2) & (F.col("o_orderkey") % 2 == 0))
+            .withColumn("o_totalprice", repriced)
+        )
+        commit_overwrite_partitions(
+            v2_d2.unionByName(orders.filter(F.col("day") == d3)), tdir, "day"
+        )
+        cols = ["o_orderkey", "day", "o_totalprice"]
+        v1 = read_snapshot(spark, tdir, version=1).select(*cols)
+        v2 = read_snapshot(spark, tdir, version=2).select(*cols)
+        a = v1.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("day").alias("day_a"),
+            F.col("o_totalprice").alias("price_a"),
+        )
+        b = v2.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("day").alias("day_b"),
+            F.col("o_totalprice").alias("price_b"),
+        )
+        diff = (
+            a.join(b, "k", "full_outer")
+            .select(
+                F.coalesce("day_a", "day_b").alias("day"),
+                F.when(F.col("day_b").isNull(), "delete")
+                .when(F.col("day_a").isNull(), "insert")
+                .when(F.col("price_a") != F.col("price_b"), "update")
+                .alias("op"),
+            )
+            .filter(F.col("op").isNotNull())  # identical rows: no change
+        )
+        out = diff.groupBy("day", "op").agg(F.count("*").alias("n"))
+        rows = out.collect()  # tiny; materialize before scratch removal
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
 QUERIES = {
     "q_snapshot_time_travel": q_snapshot_time_travel,
+    "q_snapshot_changes": q_snapshot_changes,
 }
 
 #: oracle added round 4 (previously rows-only): the demonstration's output
@@ -573,5 +656,29 @@ ORACLES: dict[str, str] = {
         SELECT 2 AS version, day,
                CASE WHEN rk = 1 THEN n ELSE 1 END AS n
         FROM s
+    """,
+    # CDF diff recomputed from orders: day2 odd keys were dropped by the
+    # rewrite (deletes), day2 even keys were repriced (updates), day3 is
+    # new (inserts); carried day1 produces no change rows at all.
+    "q_snapshot_changes": """
+        WITH counts AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1),
+        top3 AS (SELECT day FROM counts ORDER BY n DESC, day LIMIT 3),
+        ds AS (SELECT list_sort(list(day)) AS l FROM top3),
+        base AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+                   o_orderkey
+            FROM orders)
+        SELECT (SELECT l[2] FROM ds) AS day, 'delete' AS op,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base WHERE day = (SELECT l[2] FROM ds) AND o_orderkey % 2 = 1
+        UNION ALL
+        SELECT (SELECT l[2] FROM ds), 'update', COUNT(*)
+        FROM base WHERE day = (SELECT l[2] FROM ds) AND o_orderkey % 2 = 0
+        UNION ALL
+        SELECT (SELECT l[3] FROM ds), 'insert', COUNT(*)
+        FROM base WHERE day = (SELECT l[3] FROM ds)
     """,
 }

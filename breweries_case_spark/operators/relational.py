@@ -1036,6 +1036,78 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed apply — the MERGE shape q_merge_upsert lacks:
+    DELETE ops and ORDERED multi-change streams. A deterministic feed of
+    (key, seq, op, price) rows derived from orders carries every net-
+    effect class a change-capture stream produces:
+
+    - seq 1 U (key%7==1): reprice ×1.05 … later OVERRIDDEN for half of
+      them by seq 2 U (key%14==1): reprice ×1.10 — last-wins matters;
+    - seq 1 D (key%7==0): delete … seq 2 I (key%21==0) RE-INSERTS a
+      third of those at price+500 — D-then-I ordering matters;
+    - seq 1 I (key%97==3): brand-new key (+20M), the plain insert.
+
+    Apply = one window (row_number over key ORDER BY seq DESC → the NET
+    op per key) + one full-outer equi-join with the target + a filter
+    dropping net-deletes. Exactly what Delta/Iceberg ``MERGE INTO``
+    with WHEN MATCHED DELETE executes transactionally; at 100 TB the
+    feed shuffles once on the key (it is change-sized, usually tiny next
+    to the table) and the target once — same cost as any equi-join.
+    Prices move through DECIMAL so both engines round identically."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def lit_dec(x: str) -> F.Column:
+        return F.lit(x).cast("decimal(4,2)")
+
+    k = F.col("o_orderkey")
+    u1 = o.filter(k % 7 == 1).select(
+        k.alias("key"), F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        (dec * lit_dec("1.05")).cast("double").alias("price"),
+    )
+    u2 = o.filter(k % 14 == 1).select(
+        k.alias("key"), F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        (dec * lit_dec("1.10")).cast("double").alias("price"),
+    )
+    d1 = o.filter(k % 7 == 0).select(
+        k.alias("key"), F.lit(1).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    i2 = o.filter(k % 21 == 0).select(
+        k.alias("key"), F.lit(2).alias("seq"), F.lit("I").alias("op"),
+        (dec + F.lit("500.00").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price"),
+    )
+    i1 = o.filter(k % 97 == 3).select(
+        (k + 20_000_000).alias("key"), F.lit(1).alias("seq"),
+        F.lit("I").alias("op"), F.col("o_totalprice").alias("price"),
+    )
+    feed = u1.unionByName(u2).unionByName(d1).unionByName(i2).unionByName(i1)
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    net = (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "price")
+    )
+    t = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("t_price"),
+    )
+    merged = t.join(net, "key", "full_outer").filter(
+        (F.col("op").isNull()) | (F.col("op") != "D")
+    )
+    return merged.select(
+        F.col("key").alias("orderkey"),
+        F.coalesce("price", "t_price").alias("final_price"),
+        F.when(F.col("op").isNull(), "keep")
+        .when(F.col("t_price").isNull(), "insert")
+        .otherwise("upsert")
+        .alias("action"),
+    )
+
+
 # --- Registry ---------------------------------------------------------------
 
 QUERIES = {
@@ -1095,6 +1167,7 @@ QUERIES = {
     "q_join_salted": q_join_salted,
     "q_join_skew_split": q_join_skew_split,
     "q_merge_upsert": q_merge_upsert,
+    "q_cdc_apply": q_cdc_apply,
 }
 
 ORACLES = {
@@ -1360,6 +1433,43 @@ ORACLES = {
                    AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1
+    """,
+    "q_cdc_apply": """
+        WITH feed AS (
+            SELECT o_orderkey AS key, 1 AS seq, 'U' AS op,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.05 AS DECIMAL(4,2)) AS DOUBLE) AS price
+            FROM orders WHERE o_orderkey % 7 = 1
+            UNION ALL
+            SELECT o_orderkey, 2, 'U',
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(1.10 AS DECIMAL(4,2)) AS DOUBLE)
+            FROM orders WHERE o_orderkey % 14 = 1
+            UNION ALL
+            SELECT o_orderkey, 1, 'D', NULL
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, 2, 'I',
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        + CAST(500.00 AS DECIMAL(18,2)) AS DOUBLE)
+            FROM orders WHERE o_orderkey % 21 = 0
+            UNION ALL
+            SELECT o_orderkey + 20000000, 1, 'I', CAST(o_totalprice AS DOUBLE)
+            FROM orders WHERE o_orderkey % 97 = 3),
+        net AS (
+            SELECT key, op, price FROM (
+                SELECT key, op, price,
+                       ROW_NUMBER() OVER (PARTITION BY key
+                                          ORDER BY seq DESC) AS rn
+                FROM feed)
+            WHERE rn = 1)
+        SELECT COALESCE(o.o_orderkey, n.key) AS orderkey,
+               COALESCE(n.price, o.o_totalprice) AS final_price,
+               CASE WHEN n.op IS NULL THEN 'keep'
+                    WHEN o.o_orderkey IS NULL THEN 'insert'
+                    ELSE 'upsert' END AS action
+        FROM orders o FULL OUTER JOIN net n ON o.o_orderkey = n.key
+        WHERE n.op IS NULL OR n.op <> 'D'
     """,
     "q_merge_upsert": """
         WITH feed AS (
