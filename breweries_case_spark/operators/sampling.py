@@ -106,6 +106,92 @@ def q_scd2_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: probe points for the point-in-time SCD2 lookup (evenly spaced)
+SCD2_PROBE_POINTS = 6
+
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history — the
+    temporal-correctness join a feature store runs so training features
+    NEVER leak the future: for every (customer, probe date) pair, the
+    status version that was current AT that date (the latest version
+    opened at-or-before it). Probe dates are SCD2_PROBE_POINTS evenly
+    spaced points across the orders date range; customers whose first
+    version opens after a probe get NULL (no value existed yet — the
+    honest answer, not a leaked later one).
+
+    As-of semantics under same-day changes: versions are sequenced by
+    (valid_from, opening orderkey), and the lookup takes the LATEST
+    version at the probe — expressed as one rank window over the
+    candidate versions rather than a BETWEEN range join, which would be
+    ambiguous on zero-length same-day intervals.
+
+    Scale shape: the probe grid is |customers| × a HANDFUL of dates
+    (broadcast nested-loop on a 6-row side — deliberate, output-sized);
+    candidates come from one equi-join on custkey with the ≤-probe
+    filter inside the join, then one rank window per (custkey, probe).
+    Candidate volume is versions-per-customer bounded, not table-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = (
+        o.withColumn("_prev", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col("o_orderstatus") != F.col("_prev"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.col("o_orderkey").alias("seq_key"),
+        )
+    )
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    probes = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SCD2_PROBE_POINTS - 1))
+            ).alias("k"),
+            "lo",
+            "hi",
+        )
+        .select(
+            F.date_add(
+                F.col("lo"),
+                F.floor(
+                    F.col("k")
+                    * F.datediff(F.col("hi"), F.col("lo"))
+                    / F.lit(SCD2_PROBE_POINTS - 1)
+                ).cast("int"),
+            ).alias("probe_date")
+        )
+    )
+    grid = dim.select("custkey").distinct().crossJoin(F.broadcast(probes))
+    cand = grid.join(
+        dim,
+        (grid.custkey == dim.custkey)
+        & (dim.valid_from <= grid.probe_date),
+        "left",
+    ).select(
+        grid.custkey, "probe_date", "status", "valid_from", "seq_key"
+    )
+    pick = Window.partitionBy("custkey", "probe_date").orderBy(
+        F.col("valid_from").desc_nulls_last(),
+        F.col("seq_key").desc_nulls_last(),
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "custkey",
+            "probe_date",
+            F.col("status").alias("as_of_status"),
+        )
+    )
+
+
 #: per-source whitespace-token budget for the mixing sampler
 TOKEN_BUDGET_PER_SOURCE = 20_000
 
@@ -402,6 +488,7 @@ QUERIES = {
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
     "q_scd2_compress": q_scd2_compress,
+    "q_scd2_lookup": q_scd2_lookup,
     "q_profile_columns": q_profile_columns,
     "q_sample_token_budget": q_sample_token_budget,
     "q_sample_weighted": q_sample_weighted,
@@ -412,6 +499,44 @@ QUERIES = {
 
 
 ORACLES = {
+    "q_scd2_lookup": """
+        WITH dim AS (
+            SELECT o_custkey AS custkey, o_orderstatus AS status,
+                   o_orderdate AS valid_from, o_orderkey AS seq_key
+            FROM (
+                SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                       LAG(o_orderstatus) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS prev
+                FROM orders)
+            WHERE prev IS NULL OR o_orderstatus <> prev),
+        bounds AS (
+            SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                   CAST(MAX(o_orderdate) AS DATE) AS hi
+            FROM orders),
+        probes AS (
+            SELECT lo + CAST(FLOOR(k * date_diff('day', lo, hi) / 5.0)
+                             AS INTEGER) AS probe_date
+            FROM bounds, generate_series(0, 5) t(k)),
+        grid AS (
+            SELECT DISTINCT d.custkey, p.probe_date
+            FROM dim d CROSS JOIN probes p),
+        cand AS (
+            SELECT g.custkey, g.probe_date, d.status, d.valid_from,
+                   d.seq_key
+            FROM grid g
+            LEFT JOIN dim d
+              ON d.custkey = g.custkey AND d.valid_from <= g.probe_date),
+        ranked AS (
+            SELECT custkey, probe_date, status,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY custkey, probe_date
+                       ORDER BY valid_from DESC NULLS LAST,
+                                seq_key DESC NULLS LAST) AS rn
+            FROM cand)
+        SELECT custkey, probe_date, status AS as_of_status
+        FROM ranked WHERE rn = 1
+    """,
     "q_table_checksum": _ck_oracle(),
     "q_skew_profile": f"""
         WITH per_key AS (

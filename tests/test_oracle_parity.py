@@ -95,6 +95,9 @@ NESTED_LOOP_OK = {
     "q_text_bm25",  # 1-row (N, avgdl) scalar crossJoin
     "q_skew_profile",  # 1-row (n_keys, total) scalar crossJoin
     "q_hybrid_search",  # BM25's scalars + a 1-row max-bm25 crossJoin
+    # deliberate |customers| × SCD2_PROBE_POINTS(6) probe grid — the
+    # broadcast side is a handful of dates, output-sized by definition
+    "q_scd2_lookup",
 }
 
 
