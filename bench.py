@@ -171,6 +171,12 @@ EXTENDED = [
     "q_python_datasource_stream",
     "q_multimodal_decode",
     "q_stream_stateful_exact",
+    # late r5: ordered CDC apply (window + full-outer merge), snapshot
+    # change-data-feed diff (write-shaped, like q_branch_merge), and the
+    # point-in-time SCD2 probe-grid lookup
+    "q_cdc_apply",
+    "q_snapshot_changes",
+    "q_scd2_lookup",
 ]
 
 
