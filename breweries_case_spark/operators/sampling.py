@@ -246,6 +246,86 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two corpus slices — the
+    monitoring pass a training-data pipeline runs between yesterday's
+    and today's batch before letting the new data through (the drift
+    companion to q_profile_columns' static profile and
+    io/expectations' hard gates). Slices here are the deterministic
+    even/odd doc_id halves (the reproducible stand-in for
+    reference-vs-candidate batches); each metric is emitted for BOTH
+    slices so the consumer computes whatever drift statistic it wants
+    from exact inputs:
+
+    - ``n_rows``, ``lang_distinct``, ``source_distinct``,
+      ``text_null_count``: volume / cardinality / validity shifts
+      (integer-exact);
+    - ``n_chars_mean_x1e4``: length drift (decimal-sum discipline,
+      quantized ×1e4 so both engines publish the identical integer);
+    - ``top_lang_share_ppm``: category-mix drift — the modal language's
+      share in ppm (integer arithmetic; ties broken by lang so the mode
+      is deterministic).
+
+    Plan shape: two filtered aggregate passes over one scan (Catalyst
+    shares the scan), each a map-side-combined hash aggregate; the lang
+    mode is a per-slice groupBy + one-row top-1. No joins, no windows —
+    at 100 TB this is two aggregate sweeps, embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "slice",
+        F.when(F.col("doc_id") % 2 == 0, "ref").otherwise("cand"),
+    )
+    prof = d.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.sum(F.col("text").isNull().cast("long")).alias("text_null_count"),
+        F.floor(
+            F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+            / F.count("n_chars")
+            * F.lit(1e4)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("n_chars_mean_x1e4"),
+    )
+    lang_counts = d.groupBy("slice", "lang").agg(F.count("*").alias("cnt"))
+    top = Window.partitionBy("slice").orderBy(
+        F.col("cnt").desc(), F.col("lang")
+    )
+    mode_share = (
+        lang_counts.withColumn("rk", F.row_number().over(top))
+        .filter(F.col("rk") == 1)
+        .join(prof.select("slice", "n_rows"), "slice")
+        .select(
+            "slice",
+            F.floor(F.col("cnt") * F.lit(1_000_000) / F.col("n_rows"))
+            .cast("long")
+            .alias("top_lang_share_ppm"),
+        )
+    )
+    stacked = prof.join(mode_share, "slice").selectExpr(
+        "slice",
+        "stack(6, 'n_rows', n_rows, 'lang_distinct', lang_distinct,"
+        " 'source_distinct', source_distinct,"
+        " 'text_null_count', text_null_count,"
+        " 'n_chars_mean_x1e4', n_chars_mean_x1e4,"
+        " 'top_lang_share_ppm', top_lang_share_ppm)"
+        " AS (metric, value)",
+    )
+    ref = stacked.filter(F.col("slice") == "ref").select(
+        "metric", F.col("value").alias("ref_value")
+    )
+    cand = stacked.filter(F.col("slice") == "cand").select(
+        "metric", F.col("value").alias("cand_value")
+    )
+    return ref.join(cand, "metric").select(
+        "metric",
+        "ref_value",
+        "cand_value",
+        (F.col("cand_value") - F.col("ref_value")).alias("delta"),
+    )
+
+
 #: weighted-sample size for priority sampling
 WEIGHTED_SAMPLE_K = 500
 #: train/val/test split percentages (out of 100 hash buckets)
@@ -490,6 +570,7 @@ QUERIES = {
     "q_scd2_compress": q_scd2_compress,
     "q_scd2_lookup": q_scd2_lookup,
     "q_profile_columns": q_profile_columns,
+    "q_profile_drift": q_profile_drift,
     "q_sample_token_budget": q_sample_token_budget,
     "q_sample_weighted": q_sample_weighted,
     "q_split_train_val_test": q_split_train_val_test,
@@ -536,6 +617,52 @@ ORACLES = {
             FROM cand)
         SELECT custkey, probe_date, status AS as_of_status
         FROM ranked WHERE rn = 1
+    """,
+    "q_profile_drift": """
+        WITH d AS (
+            SELECT *, CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cand' END
+                      AS slice
+            FROM documents),
+        prof AS (
+            SELECT slice,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT lang) AS lang_distinct,
+                   COUNT(DISTINCT source) AS source_distinct,
+                   SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                       AS text_null_count,
+                   CAST(FLOOR(CAST(SUM(CAST(n_chars AS DECIMAL(18,6)))
+                                   AS DOUBLE)
+                              / COUNT(n_chars) * 10000.0 + 0.5) AS BIGINT)
+                       AS n_chars_mean_x1e4
+            FROM d GROUP BY 1),
+        lc AS (
+            SELECT slice, lang, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY slice
+                                      ORDER BY COUNT(*) DESC, lang) AS rk
+            FROM d GROUP BY slice, lang),
+        ms AS (
+            SELECT l.slice,
+                   CAST(FLOOR(l.cnt * 1000000 / p.n_rows) AS BIGINT)
+                       AS top_lang_share_ppm
+            FROM lc l JOIN prof p ON p.slice = l.slice
+            WHERE l.rk = 1),
+        stacked AS (
+            SELECT p.slice, u.metric, u.value
+            FROM prof p JOIN ms m ON m.slice = p.slice,
+            LATERAL (VALUES
+                ('n_rows', p.n_rows),
+                ('lang_distinct', p.lang_distinct),
+                ('source_distinct', p.source_distinct),
+                ('text_null_count', p.text_null_count),
+                ('n_chars_mean_x1e4', p.n_chars_mean_x1e4),
+                ('top_lang_share_ppm', m.top_lang_share_ppm)
+            ) AS u(metric, value))
+        SELECT r.metric,
+               CAST(r.value AS BIGINT) AS ref_value,
+               CAST(c.value AS BIGINT) AS cand_value,
+               CAST(c.value - r.value AS BIGINT) AS delta
+        FROM stacked r JOIN stacked c ON r.metric = c.metric
+        WHERE r.slice = 'ref' AND c.slice = 'cand'
     """,
     "q_table_checksum": _ck_oracle(),
     "q_skew_profile": f"""
