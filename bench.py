@@ -177,6 +177,7 @@ EXTENDED = [
     "q_cdc_apply",
     "q_snapshot_changes",
     "q_scd2_lookup",
+    "q_profile_drift",
 ]
 
 

@@ -266,63 +266,105 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       share in ppm (integer arithmetic; ties broken by lang so the mode
       is deterministic).
 
-    Plan shape: two filtered aggregate passes over one scan (Catalyst
-    shares the scan), each a map-side-combined hash aggregate; the lang
-    mode is a per-slice groupBy + one-row top-1. No joins, no windows —
+    Plan shape: TWO scans total — one CONDITIONAL aggregate pass
+    computes every ref and cand metric side by side (slice-filtered
+    aggregates in a single groupBy-less agg, map-side combined), and
+    one (slice, lang) pass finds the modal share with a window over the
+    per-lang counts. The two 1-row results meet in a scalar crossJoin
+    (allowlisted idiom) and a stack() unpivot that touches no data —
     at 100 TB this is two aggregate sweeps, embarrassingly parallel."""
     d = load_table(spark, sf_dir, "documents").withColumn(
         "slice",
         F.when(F.col("doc_id") % 2 == 0, "ref").otherwise("cand"),
     )
-    prof = d.groupBy("slice").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("lang").alias("lang_distinct"),
-        F.countDistinct("source").alias("source_distinct"),
-        F.sum(F.col("text").isNull().cast("long")).alias("text_null_count"),
-        F.floor(
-            F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
-            / F.count("n_chars")
-            * F.lit(1e4)
-            + F.lit(0.5)
+    is_ref = F.col("slice") == "ref"
+
+    def per_slice(name, ref_agg, cand_agg):
+        return [ref_agg.alias(f"{name}_r"), cand_agg.alias(f"{name}_c")]
+
+    def cond_mean_x1e4(cond):
+        total = F.sum(
+            F.when(cond, F.col("n_chars").cast("decimal(18,6)"))
+        ).cast("double")
+        return (
+            F.floor(
+                total / F.count(F.when(cond, F.col("n_chars")))
+                * F.lit(1e4)
+                + F.lit(0.5)
+            ).cast("long")
         )
-        .cast("long")
-        .alias("n_chars_mean_x1e4"),
+
+    prof = d.agg(
+        *per_slice(
+            "n_rows",
+            F.count(F.when(is_ref, F.lit(1))),
+            F.count(F.when(~is_ref, F.lit(1))),
+        ),
+        *per_slice(
+            "lang_distinct",
+            F.countDistinct(F.when(is_ref, F.col("lang"))),
+            F.countDistinct(F.when(~is_ref, F.col("lang"))),
+        ),
+        *per_slice(
+            "source_distinct",
+            F.countDistinct(F.when(is_ref, F.col("source"))),
+            F.countDistinct(F.when(~is_ref, F.col("source"))),
+        ),
+        *per_slice(
+            "text_null_count",
+            F.sum((is_ref & F.col("text").isNull()).cast("long")),
+            F.sum((~is_ref & F.col("text").isNull()).cast("long")),
+        ),
+        *per_slice(
+            "n_chars_mean_x1e4",
+            cond_mean_x1e4(is_ref),
+            cond_mean_x1e4(~is_ref),
+        ),
     )
-    lang_counts = d.groupBy("slice", "lang").agg(F.count("*").alias("cnt"))
+    lc = d.groupBy("slice", "lang").agg(F.count("*").alias("cnt"))
+    sw = Window.partitionBy("slice")
     top = Window.partitionBy("slice").orderBy(
         F.col("cnt").desc(), F.col("lang")
     )
-    mode_share = (
-        lang_counts.withColumn("rk", F.row_number().over(top))
+    mode = (
+        lc.withColumn("total", F.sum("cnt").over(sw))
+        .withColumn("rk", F.row_number().over(top))
         .filter(F.col("rk") == 1)
-        .join(prof.select("slice", "n_rows"), "slice")
-        .select(
-            "slice",
-            F.floor(F.col("cnt") * F.lit(1_000_000) / F.col("n_rows"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("slice") == "ref",
+                    F.floor(F.col("cnt") * F.lit(1_000_000) / F.col("total")),
+                )
+            )
             .cast("long")
-            .alias("top_lang_share_ppm"),
+            .alias("top_lang_share_ppm_r"),
+            F.max(
+                F.when(
+                    F.col("slice") == "cand",
+                    F.floor(F.col("cnt") * F.lit(1_000_000) / F.col("total")),
+                )
+            )
+            .cast("long")
+            .alias("top_lang_share_ppm_c"),
         )
     )
-    stacked = prof.join(mode_share, "slice").selectExpr(
-        "slice",
-        "stack(6, 'n_rows', n_rows, 'lang_distinct', lang_distinct,"
-        " 'source_distinct', source_distinct,"
-        " 'text_null_count', text_null_count,"
-        " 'n_chars_mean_x1e4', n_chars_mean_x1e4,"
-        " 'top_lang_share_ppm', top_lang_share_ppm)"
-        " AS (metric, value)",
-    )
-    ref = stacked.filter(F.col("slice") == "ref").select(
-        "metric", F.col("value").alias("ref_value")
-    )
-    cand = stacked.filter(F.col("slice") == "cand").select(
-        "metric", F.col("value").alias("cand_value")
-    )
-    return ref.join(cand, "metric").select(
-        "metric",
-        "ref_value",
-        "cand_value",
-        (F.col("cand_value") - F.col("ref_value")).alias("delta"),
+    metrics = [
+        "n_rows",
+        "lang_distinct",
+        "source_distinct",
+        "text_null_count",
+        "n_chars_mean_x1e4",
+        "top_lang_share_ppm",
+    ]
+    stack_args = ", ".join(f"'{m}', {m}_r, {m}_c" for m in metrics)
+    return (
+        prof.crossJoin(F.broadcast(mode))
+        .selectExpr(
+            f"stack({len(metrics)}, {stack_args})"
+            " AS (metric, ref_value, cand_value)"
+        )
+        .withColumn("delta", F.col("cand_value") - F.col("ref_value"))
     )
 
 

@@ -41,6 +41,27 @@ def main():
             "spark.sql.warehouse.dir": warehouse,
         },
     )
+    try:
+        _run(spark)
+    finally:
+        # cleanup even on mid-run failure: otherwise the derby
+        # metastore keeps table entries pointing at a deleted tempdir
+        # (sibling probes follow the same try/finally convention)
+        for t in ("fact_b", "dim_b", "fact_p", "dim_p"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(warehouse, ignore_errors=True)
+        spark.stop()
+
+
+def _final_plan(agg) -> str:
+    """ONLY the adaptive final plan: executedPlan().toString() prints
+    Final AND Initial sections, so a naive substring count doubles every
+    Exchange (measured: a 2-exchange SMJ counts 4)."""
+    full = agg._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+def _run(spark):
     li = (
         spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         .select("l_orderkey", "l_extendedprice")
@@ -89,12 +110,18 @@ def main():
             agg.collect()
             wall = time.perf_counter() - t0
             results[name] = min(results.get(name, float("inf")), wall)
-            plans[name] = agg._jdf.queryExecution().executedPlan().toString()
+            plans[name] = _final_plan(agg)
 
     # the bucketed plan must contain no Exchange below the final
-    # single-partition agg exchange (count the hashpartitioning ones)
+    # single-partition agg exchange (count the hashpartitioning ones) —
+    # ENFORCED, not just printed: a silently-degraded bucketed run
+    # would otherwise publish a bogus comparison
     bucketed_shuffles = plans["bucketed"].count("Exchange hashpartitioning")
     shuffle_shuffles = plans["shuffle"].count("Exchange hashpartitioning")
+    assert bucketed_shuffles == 0, (
+        f"bucketed join planned {bucketed_shuffles} exchanges — "
+        "co-location is not in effect; comparison invalid"
+    )
     print(
         json.dumps(
             {
@@ -109,11 +136,6 @@ def main():
             }
         )
     )
-    for t in ("fact_b", "dim_b", "fact_p", "dim_p"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-    shutil.rmtree(warehouse, ignore_errors=True)
-    spark.stop()
-
 
 if __name__ == "__main__":
     main()

@@ -98,6 +98,7 @@ NESTED_LOOP_OK = {
     # deliberate |customers| × SCD2_PROBE_POINTS(6) probe grid — the
     # broadcast side is a handful of dates, output-sized by definition
     "q_scd2_lookup",
+    "q_profile_drift",  # 1-row × 1-row scalar crossJoin of two profiles
 }
 
 
