@@ -674,11 +674,14 @@ ORACLES: dict[str, str] = {
         SELECT (SELECT l[2] FROM ds) AS day, 'delete' AS op,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM base WHERE day = (SELECT l[2] FROM ds) AND o_orderkey % 2 = 1
+        HAVING COUNT(*) > 0
         UNION ALL
         SELECT (SELECT l[2] FROM ds), 'update', COUNT(*)
         FROM base WHERE day = (SELECT l[2] FROM ds) AND o_orderkey % 2 = 0
+        HAVING COUNT(*) > 0
         UNION ALL
         SELECT (SELECT l[3] FROM ds), 'insert', COUNT(*)
         FROM base WHERE day = (SELECT l[3] FROM ds)
+        HAVING COUNT(*) > 0
     """,
 }

@@ -1046,7 +1046,8 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       them by seq 2 U (key%14==1): reprice ×1.10 — last-wins matters;
     - seq 1 D (key%7==0): delete … seq 2 I (key%21==0) RE-INSERTS a
       third of those at price+500 — D-then-I ordering matters;
-    - seq 1 I (key%97==3): brand-new key (+20M), the plain insert.
+    - seq 1 I (key%97==3): brand-new key (negated, collision-proof at
+      any scale factor), the plain insert.
 
     Apply = one window (row_number over key ORDER BY seq DESC → the NET
     op per key) + one full-outer equi-join with the target + a filter
@@ -1080,8 +1081,13 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price"),
     )
+    # synthetic-insert keys are NEGATIVE (-(k+1)) so they can never
+    # collide with a real orderkey at ANY scale factor — a k+OFFSET
+    # scheme silently collides once max(orderkey) passes the offset,
+    # and the colliding (key, seq) pair would make the last-wins window
+    # nondeterministic
     i1 = o.filter(k % 97 == 3).select(
-        (k + 20_000_000).alias("key"), F.lit(1).alias("seq"),
+        (-(k + 1)).alias("key"), F.lit(1).alias("seq"),
         F.lit("I").alias("op"), F.col("o_totalprice").alias("price"),
     )
     feed = u1.unionByName(u2).unionByName(d1).unionByName(i2).unionByName(i1)
@@ -1454,7 +1460,7 @@ ORACLES = {
                         + CAST(500.00 AS DECIMAL(18,2)) AS DOUBLE)
             FROM orders WHERE o_orderkey % 21 = 0
             UNION ALL
-            SELECT o_orderkey + 20000000, 1, 'I', CAST(o_totalprice AS DOUBLE)
+            SELECT -(o_orderkey + 1), 1, 'I', CAST(o_totalprice AS DOUBLE)
             FROM orders WHERE o_orderkey % 97 = 3),
         net AS (
             SELECT key, op, price FROM (

@@ -168,7 +168,14 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("probe_date")
         )
     )
-    grid = dim.select("custkey").distinct().crossJoin(F.broadcast(probes))
+    # custkeys straight from orders: every customer's first order
+    # survives the SCD2 lag filter, so dim's key set equals orders' —
+    # deriving the grid from dim would recompute the window subtree
+    grid = (
+        o.select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+        .crossJoin(F.broadcast(probes))
+    )
     cand = grid.join(
         dim,
         (grid.custkey == dim.custkey)
@@ -642,8 +649,8 @@ ORACLES = {
                              AS INTEGER) AS probe_date
             FROM bounds, generate_series(0, 5) t(k)),
         grid AS (
-            SELECT DISTINCT d.custkey, p.probe_date
-            FROM dim d CROSS JOIN probes p),
+            SELECT DISTINCT o_custkey AS custkey, p.probe_date
+            FROM orders CROSS JOIN probes p),
         cand AS (
             SELECT g.custkey, g.probe_date, d.status, d.valid_from,
                    d.seq_key

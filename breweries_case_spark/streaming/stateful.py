@@ -59,11 +59,19 @@ def _update_user_totals_cents(
         # accumulation order (arrival vs batch) can never move the state.
         # NULL values arrive as NaN and must be SKIPPED like SQL SUM
         # skips NULLs — np.floor(NaN).astype('int64') would otherwise
-        # silently poison the state with INT64_MIN. Only NaN is dropped:
-        # +/-Inf is a VALUE to SQL SUM, and silently skipping it would
-        # mask upstream corruption behind a healthy-looking total.
+        # silently poison the state with INT64_MIN. +/-Inf gets neither
+        # treatment: skipping would hide upstream corruption, and
+        # including would ALSO poison the state (floor(inf).astype
+        # int64 → INT64_MIN, not SQL's Infinity) — so it FAILS LOUDLY,
+        # which is the only honest option for an exact-integer state.
         v = pdf["value"].to_numpy(dtype="float64")
         v = v[~np.isnan(v)]
+        if not np.isfinite(v).all():
+            raise ValueError(
+                "non-finite event value reached the cents state — "
+                "upstream corruption; an exact-integer accumulator "
+                "cannot represent Inf"
+            )
         cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(

@@ -45,12 +45,18 @@ def main():
         _run(spark)
     finally:
         # cleanup even on mid-run failure: otherwise the derby
-        # metastore keeps table entries pointing at a deleted tempdir
-        # (sibling probes follow the same try/finally convention)
+        # metastore keeps table entries pointing at a deleted tempdir.
+        # Each step is independently guarded — if the SESSION died,
+        # DROP TABLE would raise and mask the real error AND skip the
+        # rmtree/stop below it
+        import contextlib
+
         for t in ("fact_b", "dim_b", "fact_p", "dim_p"):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            with contextlib.suppress(Exception):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(warehouse, ignore_errors=True)
-        spark.stop()
+        with contextlib.suppress(Exception):
+            spark.stop()
 
 
 def _final_plan(agg) -> str:

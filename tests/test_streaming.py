@@ -616,3 +616,25 @@ def test_cents_state_update_skips_null_values():
     # floor(1.23*100+0.5)=123, floor(2.005*100+0.5)=201 (200.5+0.5 -> 201)
     assert cents == 123 + int(np.floor(2.005 * 100 + 0.5))
     assert out[0]["value_cents"].iloc[0] == cents
+
+
+def test_cents_state_update_rejects_infinite_values():
+    """+/-Inf can neither be skipped (hides corruption) nor included
+    (floor(inf).astype(int64) poisons the state) — it must raise."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from breweries_case_spark.streaming.stateful import (
+        _update_user_totals_cents,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    pdf = pd.DataFrame({"value": [1.0, np.inf]})
+    with _pytest.raises(ValueError, match="non-finite"):
+        list(_update_user_totals_cents((1,), iter([pdf]), FakeState()))
