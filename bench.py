@@ -276,8 +276,11 @@ def main() -> None:
             t0 = time.perf_counter()
             _materialize(qs[name](spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
+        # same 3-dp scale as the samples so the stdout total (sum of
+        # per-query minima) reconciles exactly with BENCH_FULL.json's
+        # min samples — the two artifacts must sum consistently
         samples[name] = [round(t, 3) for t in sorted(runs)]
-        per_query[name] = round(min(runs), 2)
+        per_query[name] = round(min(runs), 3)
         # Release this query's localCheckpoint blocks before the next one
         # runs: dropping the Python refs lets the ContextCleaner reclaim
         # the RDD blocks, and the explicit JVM GC forces it now. Without

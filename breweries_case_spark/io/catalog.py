@@ -26,6 +26,8 @@ fully-qualified name.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 
 # (namespace, table, column DDL) — schemas verbatim from the reference DDL
@@ -143,7 +145,17 @@ def list_catalog(
     """Metadata exploration — the Trino ``SHOW SCHEMAS LIKE '%_layer'`` +
     ``SHOW TABLES FROM <layer>`` surface (reference ``README.md:118-137``)
     as one DataFrame of (schema_name, table_name). Pure catalog metadata:
-    no data files are touched, so it is instant at any table size."""
+    no data files are touched, so it is instant at any table size.
+
+    ``catalog`` and ``schema_pattern`` are interpolated into SQL text, so
+    they are validated against a conservative identifier/LIKE-pattern
+    allowlist — internal callers pass constants, but the function is
+    public API and must not be a quote-injection vector."""
+    _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    if not _IDENT.match(catalog):
+        raise ValueError(f"invalid catalog identifier: {catalog!r}")
+    if not re.match(r"^[A-Za-z0-9_*|]+$", schema_pattern):
+        raise ValueError(f"invalid schema pattern: {schema_pattern!r}")
     schemas = [
         r[0]
         for r in spark.sql(

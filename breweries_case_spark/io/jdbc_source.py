@@ -66,11 +66,14 @@ def read_jdbc_partitioned(
 
 def q_ingest_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JDBC round-trip: stage the nation table into embedded Derby, read
-    it back with a 4-way partitioned range scan on n_nationkey. Rows-only
-    (in-memory Derby has no DuckDB twin); a unit test pins the read-back
-    equal to the parquet source. The registered query exercises BOTH
-    connector directions — executor-side batch insert and parallel
-    range-predicated select."""
+    it back with a 4-way partitioned range scan on n_nationkey. The
+    oracle is the roundtrip pattern (q_ingest_staged_orc's): a plain
+    SELECT over the SOURCE table — the oracle never models Derby; it
+    value-checks that the write→read round trip is lossless, so any
+    insert-side batching bug, range-predicate gap/overlap between the 4
+    partition queries, or type mangling breaks the hash. The registered
+    query exercises BOTH connector directions — executor-side batch
+    insert and parallel range-predicated select."""
     nation = load_table(spark, sf_dir, "nation")
     write_jdbc(nation, "nation_jdbc")
     out = read_jdbc_partitioned(
@@ -80,4 +83,8 @@ def q_ingest_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {"q_ingest_jdbc": q_ingest_jdbc}
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "q_ingest_jdbc": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+}

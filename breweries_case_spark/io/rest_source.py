@@ -172,9 +172,13 @@ def synthetic_page_fetcher(total_rows: int = 450) -> PageFetcher:
 
 
 def q_ingest_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered ingest entry (rows-only): paginated fetch (synthetic
-    fetcher — deterministic, offline) → bronze rows. The same call with
-    ``http_page_fetcher(url)`` is the production path."""
+    """Registered ingest entry: paginated fetch (synthetic fetcher —
+    deterministic, offline) → bronze rows. The same call with
+    ``http_page_fetcher(url)`` is the production path. Oracle-backed:
+    the payload is a pure function of the row index, so DuckDB
+    regenerates all 450 rows and the exact json.dumps rendering — the
+    pagination loop (page boundaries, partial-page stop) and the bronze
+    serializer are value-checked, not just row-counted."""
     from breweries_case_spark.pipelines.medallion import ingest_to_bronze
 
     records = fetch_paginated(synthetic_page_fetcher(), per_page=200)
@@ -259,9 +263,10 @@ def _staging_dir() -> str:
 
 
 def q_ingest_staged_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered staged-file ingest (rows-only): stage the synthetic
-    brewery pages as JSON lines, bulk-read them back with the declared
-    payload schema, and land bronze rows FULLY DISTRIBUTED — the payload →
+    """Registered staged-file ingest (oracle-backed — DuckDB regenerates
+    the index-deterministic payload and the exact to_json rendering):
+    stage the synthetic brewery pages as JSON lines, bulk-read them back
+    with the declared payload schema, and land bronze rows FULLY DISTRIBUTED — the payload →
     raw_json re-serialization runs as to_json on the executors and the
     returned frame is a lazy scan of the staged files; nothing round-trips
     the driver. The backfill twin of q_ingest_rest, same downstream
@@ -286,9 +291,10 @@ def q_ingest_staged_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ingest_staged_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV twin of q_ingest_staged_json (rows-only): the same synthetic
-    pages staged as headered CSV, read back with the declared schema, same
-    distributed bronze conversion. CSV cannot represent JSON's null-vs-
+    """CSV twin of q_ingest_staged_json (oracle-backed, same oracle —
+    the null conventions below make both formats yield identical bronze
+    rows): the same synthetic pages staged as headered CSV, read back
+    with the declared schema, same distributed bronze conversion. CSV cannot represent JSON's null-vs-
     absent distinction (nulls land as empty strings unless nullValue is
     declared) — the reader sets nullValue='' so both staged formats yield
     identical bronze rows, which the unit test asserts."""
@@ -401,14 +407,67 @@ QUERIES = {
     "q_ingest_staged_json_roundtrip": q_ingest_staged_json_roundtrip,
     "q_ingest_staged_csv_roundtrip": q_ingest_staged_csv_roundtrip,
 }
-# network-shaped sources and the synthetic-payload stagers are rows-only
-# by design — the three format round-trips (orc/json/csv) value-check
-# the staged copy against the source table bit-exactly
 _ROUNDTRIP_ORACLE = """
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """
+# The synthetic payload is a pure function of the row index, so the
+# ingest ids get FULL value oracles: DuckDB regenerates the 450 rows
+# from generate_series and renders raw_json exactly the way each path
+# serializes it. Two renderings exist by design and both are pinned:
+# - driver-side json.dumps (q_ingest_rest): ", "/": " separators, null
+#   fields KEPT ("website_url": null), dict insertion order;
+# - executor-side to_json (staged json/csv): compact separators, null
+#   fields DROPPED (address_1, website_url), struct-schema field order.
+# Any drift in the pagination loop (missing/duplicated page), the
+# staging writer, the schema'd reader, or the serializer breaks the
+# value hash — this is a stronger check than the old rows-only status.
+_SYN_FIELDS = """
+        SELECT i,
+               printf('brewery-%05d', i) AS id,
+               'Synthetic Brewery ' || i AS name,
+               (['micro','nano','regional','brewpub','large','planning'])[i % 6 + 1]
+                   AS brewery_type,
+               'City' || (i % 10) AS city,
+               'State' || (i % 5) AS state_province,
+               CAST(90000 + i AS VARCHAR) AS postal_code,
+               printf('-122.%04d', i) AS longitude,
+               printf('45.%04d', i) AS latitude,
+               printf('555-%04d', i) AS phone
+        FROM generate_series(0, 449) AS t(i)
+    """
+_STAGED_JSON_ORACLE = f"""
+        WITH syn AS ({_SYN_FIELDS})
+        SELECT '{{"id":"' || id || '","name":"' || name
+               || '","brewery_type":"' || brewery_type
+               || '","city":"' || city
+               || '","state_province":"' || state_province
+               || '","postal_code":"' || postal_code
+               || '","country":"United States","longitude":"' || longitude
+               || '","latitude":"' || latitude
+               || '","phone":"' || phone || '"}}' AS raw_json,
+               DATE '2024-01-15' AS extraction_date
+        FROM syn
     """
 ORACLES: dict[str, str] = {
     "q_ingest_staged_orc": _ROUNDTRIP_ORACLE,
     "q_ingest_staged_json_roundtrip": _ROUNDTRIP_ORACLE,
     "q_ingest_staged_csv_roundtrip": _ROUNDTRIP_ORACLE,
+    "q_ingest_staged_json": _STAGED_JSON_ORACLE,
+    # CSV stages the same payload with nullValue='' so both formats yield
+    # identical bronze rows (the unit-tested contract) — same oracle.
+    "q_ingest_staged_csv": _STAGED_JSON_ORACLE,
+    "q_ingest_rest": f"""
+        WITH syn AS ({_SYN_FIELDS})
+        SELECT '{{"id": "' || id || '", "name": "' || name
+               || '", "brewery_type": "' || brewery_type
+               || '", "city": "' || city
+               || '", "state_province": "' || state_province
+               || '", "postal_code": "' || postal_code
+               || '", "country": "United States", "longitude": "' || longitude
+               || '", "latitude": "' || latitude
+               || '", "phone": "' || phone
+               || '", "website_url": null}}' AS raw_json,
+               DATE '2024-01-15' AS extraction_date
+        FROM syn
+    """,
 }

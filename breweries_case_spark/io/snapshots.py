@@ -461,13 +461,19 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
             # mid-sweep
             bdir = os.path.join(refs_root, branch)
             meta_path = os.path.join(bdir, "meta.json")
+            # try/except scoped to the meta read ONLY: create_branch makes
+            # manifests/ BEFORE publishing meta.json, so a vacuum racing
+            # branch creation (or a partial delete where meta vanishes
+            # first) must STILL honor the manifests dir's live-file claims
+            # below — skipping the whole branch here treated its data
+            # files as unclaimed and deleted them.
             try:
                 with open(meta_path) as f:
                     base_v = json.load(f)["created_from"]
                 if base_v in versions:
                     kept.add(base_v)
             except FileNotFoundError:
-                continue
+                pass
             mdir = os.path.join(bdir, "manifests")
             if os.path.isdir(mdir):
                 for name in os.listdir(mdir):

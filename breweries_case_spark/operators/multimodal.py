@@ -530,9 +530,22 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     image rows (w, h, mean intensity, peak), video rows (n_frames,
     last PTS, w, h). This is the end-to-end path a real multimodal
     pipeline runs: binary column in, Arrow batch to Python, bytes →
-    parsed media → features, Arrow back."""
+    parsed media → features, Arrow back.
+
+    The registered form projects the 4-slot feature vector to scalar
+    columns ``f0..f3`` — a list-typed cell is unsortable/unhashable on
+    any pandas-based comparison bridge (the r5 driver err), and the
+    same rule already keeps arrays out of q_embed_normalize's hashed
+    output. The library function (``extract_features``) keeps the
+    array form."""
     media = synth_media_table(spark, sf_dir)
-    return extract_features(media, use_real_decode=True)
+    feats = extract_features(media, use_real_decode=True)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(4)],
+    )
 
 
 def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,7 +660,14 @@ ORACLES = {
     # expression on either side of the mapInPandas boundary reds the
     # value hash; only COMPRESSED codecs stay out (the one declared
     # NotImplementedError).
+    # Outer projection flattens the feature list to scalars f0..f3 —
+    # list cells are unhashable on pandas comparison bridges (r5 err);
+    # DuckDB lists are 1-indexed, Spark arrays 0-indexed.
     "q_multimodal_decode": """
+        SELECT media_id, modality, n_bytes,
+               features[1] AS f0, features[2] AS f1,
+               features[3] AS f2, features[4] AS f3
+        FROM (
         WITH base AS (
             SELECT doc_id AS media_id, doc_id % 3 AS m, n_chars,
                    doc_id % 50 + 2 AS period,
@@ -688,6 +708,7 @@ ORACLES = {
         SELECT * FROM audio
         UNION ALL SELECT * FROM image
         UNION ALL SELECT * FROM video
+        ) AS _flat
     """,
     # q_multimodal_features: rows-only (fake decode is Spark-side plumbing).
     # Real-path certificate: coverage counts recomputed from the modality

@@ -480,6 +480,12 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (up to md5-chunk collisions, ~2^-60 per pair); unequal localize the
     drift to a COLUMN without row-by-row diffing.
 
+    ``hash_sum`` is PUBLISHED AS A STRING on both engines: the exact
+    decimal value exceeds 2^63, and a pandas-based consumer would
+    otherwise coerce DuckDB's HUGEINT to float64 (losing ~70 bits of
+    the checksum — the r4/r5 driver red). String rendering keeps the
+    full 38-digit integer bit-exact through ANY dataframe bridge.
+
     Scale shape: ONE aggregate pass over the table — every per-column
     sum is a commutative partial aggregate (map-side combine), so the
     exchange carries 13 numbers per task regardless of table size, and
@@ -520,7 +526,12 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(names)}, {stack_args})"
             " AS (column_name, n_nulls, hash_sum)",
         )
-        .select("column_name", "n_rows", "n_nulls", "hash_sum")
+        .select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            F.col("hash_sum").cast("string").alias("hash_sum"),
+        )
     )
 
 
@@ -598,14 +609,16 @@ def _ck_oracle() -> str:
     aggs.append(f"COUNT(CASE WHEN {any_null} THEN 1 END) AS nn_row")
     row_expr = "concat_ws('|', " + ", ".join(wrapped[c] for c in canon) + ")"
     aggs.append(f"{hsum(row_expr)} AS hs_row")
+    # hash_sum rendered as VARCHAR — matches the Spark side's STRING
+    # publication; DECIMAL(38,0) > 2^63 must never touch a float64 path.
     branches = [
         f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nulls,"
-        f" hs_{c} AS hash_sum FROM a"
+        f" CAST(hs_{c} AS VARCHAR) AS hash_sum FROM a"
         for c in canon
     ]
     branches.append(
         "SELECT '__row__' AS column_name, n_rows, nn_row AS n_nulls,"
-        " hs_row AS hash_sum FROM a"
+        " CAST(hs_row AS VARCHAR) AS hash_sum FROM a"
     )
     return (
         "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders) "

@@ -397,9 +397,17 @@ ORACLES["q_stream_dedup"] = """
 # The cents-exact stateful replay: per-row quantization then integer
 # accumulation makes the final state order-independent, so the batch SQL
 # twin is exact whatever the micro-batch split was.
+# Outer BIGINT cast: DuckDB's SUM(BIGINT) is HUGEINT, which a pandas
+# .df() consumer coerces to float64 (the r5 driver red) — the bound cast
+# keeps it int64 end-to-end. COALESCE pins the Spark state's convention
+# for all-NULL users (emit 0, like an initialized-empty accumulator,
+# not SQL's NULL) — the fixtures have no NULL values today, but the
+# NaN-skip in streaming/stateful.py anticipates them.
 ORACLES["q_stream_stateful_exact"] = """
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+           CAST(COALESCE(
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)), 0
+           ) AS BIGINT) AS value_cents
     FROM events GROUP BY user_id
 """
 

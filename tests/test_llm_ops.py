@@ -255,16 +255,16 @@ def test_multimodal_real_decode_features(spark, sf_dir):
             period = mid % 50 + 2
             n = min(nchars[mid], 400)
             samples = [((i % period) * 1200 - period * 600) for i in range(n)]
-            assert r.features[0] == float(n)
-            assert r.features[1] == 16000.0
+            assert r.f0 == float(n)
+            assert r.f1 == 16000.0
             exp_mean = sum(abs(s) for s in samples) / n if n else 0.0
-            assert abs(r.features[2] - exp_mean) < 1e-9
+            assert abs(r.f2 - exp_mean) < 1e-9
         elif r.modality == "image":
-            assert r.features[0] == 8.0 and r.features[1] == 8.0
+            assert r.f0 == 8.0 and r.f1 == 8.0
         else:
             assert r.modality == "video"
             # 4 frames at 0/250/500/750 ms, 8x8
-            assert r.features == [4.0, 750.0, 8.0, 8.0]
+            assert (r.f0, r.f1, r.f2, r.f3) == (4.0, 750.0, 8.0, 8.0)
 
 
 def test_multimodal_real_resize_round_trips(spark, sf_dir):

@@ -58,6 +58,95 @@ def _duck_rows(sql, sf_dir):
     )
 
 
+def _duck_frame(sql, sf_dir):
+    """The DRIVER's oracle path: DuckDB → pandas via ``.df()``. Unlike
+    ``fetchall()`` (Python ints — HUGEINT compares equal to Spark's
+    Decimal/long), this bridge coerces HUGEINT/DECIMAL to float64 and
+    materializes LIST cells as numpy arrays — exactly the representation
+    the driver canonicalizes. Every r4/r5 driver red was invisible to the
+    fetchall gate and would have been caught here."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    pdf = con.execute(sql).df()
+    con.close()
+    return pdf
+
+
+#: Spark types whose pandas image is an exact integer column — the oracle
+#: side must deliver the same column as an integer dtype, or the driver's
+#: canonical strings diverge (5 vs 5.0) / lose precision past 2^53.
+_INTEGRAL_SPARK = ("ByteType", "ShortType", "IntegerType", "LongType")
+
+
+@pytest.mark.parametrize("qid", sorted(ORACLES))
+def test_driver_pandas_canon(spark, sf_dir, qid):
+    """Representation contract for the driver's pandas-based compare
+    (VERDICT r5 'What's wrong' #5). Three asymmetric-coercion classes are
+    banned from oracle-backed outputs:
+
+    1. Spark integral column arriving float64 from DuckDB ``.df()``
+       (HUGEINT sums, UNION ALL literal/HUGEINT mixes) — q_table_checksum
+       r4+r5, q_stream_stateful_exact r5, q_embed_pca_invariants r5.
+    2. List/array-typed cells on either side — pandas sort/hash crashes
+       (``unhashable type: 'list'``) — q_multimodal_decode r5.
+    3. High-precision DecimalType on the Spark side — Spark→pandas keeps
+       exact object Decimals while DuckDB coerces to float64; publish as
+       STRING (exactness) or DOUBLE (when ≤2^53) instead.
+    """
+    df = QUERIES[qid](spark, sf_dir)
+    spark_types = {f.name: f.dataType for f in df.schema.fields}
+    for name, dtype in spark_types.items():
+        tname = type(dtype).__name__
+        assert tname not in ("ArrayType", "MapType", "StructType"), (
+            f"{qid}.{name}: {tname} in oracle-backed output — flatten to "
+            "scalars or to_json; pandas canon cannot sort/hash list cells"
+        )
+        assert tname != "DecimalType", (
+            f"{qid}.{name}: DecimalType in oracle-backed output — DuckDB "
+            ".df() coerces DECIMAL/HUGEINT to float64; cast to STRING "
+            "(exact) or DOUBLE/BIGINT (bounded) on BOTH sides"
+        )
+
+    import numpy as np
+
+    pdf = _duck_frame(ORACLES[qid], sf_dir)
+    for name, dtype in spark_types.items():
+        kind = pdf[name].dtype.kind
+        if type(dtype).__name__ in _INTEGRAL_SPARK:
+            if kind not in ("i", "u"):
+                # One SYMMETRIC coercion is driver-safe: a nullable int
+                # column that actually contains NULLs becomes float64 on
+                # BOTH bridges (DuckDB .df() and Spark's Arrow toPandas),
+                # so canonical strings still agree — provided every
+                # non-null value is integral and exactly representable
+                # (< 2^53). Anything else (HUGEINT sums, literal/HUGEINT
+                # UNION mixes — no NULLs involved) is the asymmetric
+                # class that reds the driver.
+                col = pdf[name]
+                vals = col.dropna().to_numpy(dtype="float64")
+                assert kind == "f" and col.isna().any(), (
+                    f"{qid}.{name}: Spark {dtype} but oracle .df() "
+                    f"delivers {col.dtype} with no NULLs — HUGEINT/float "
+                    "coercion; CAST the oracle expression AS BIGINT"
+                )
+                assert (
+                    np.all(vals == np.floor(vals))
+                    and np.all(np.abs(vals) < 2**53)
+                ), (
+                    f"{qid}.{name}: nullable-int float64 carries "
+                    "non-integral or >2^53 values — precision loss"
+                )
+        if kind == "O" and len(pdf):
+            cell = pdf[name].iloc[0]
+            assert not isinstance(cell, (list, np.ndarray)), (
+                f"{qid}.{name}: oracle .df() delivers list cells — "
+                "flatten/to_json on both sides"
+            )
+
+
 @pytest.mark.parametrize("qid", sorted(ORACLES))
 def test_oracle_parity(spark, sf_dir, qid):
     df = QUERIES[qid](spark, sf_dir)
