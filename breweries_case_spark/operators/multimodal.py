@@ -499,14 +499,39 @@ def sample_frames(
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize pipeline over image-modality media (rows-only; shape and
-    determinism pinned by unit tests)."""
-    return resize_images(build_media_table(spark, sf_dir))
+    """Resize pipeline over image-modality media (oracle-backed): the
+    fake resize cycles the source payload to width·height bytes, and the
+    payload is the documents text (pure ASCII at every driver sf), so
+    DuckDB recomputes the resized bytes as substr(repeat(text, ...)) —
+    the cycling arithmetic, the image-modality filter, and the batch
+    plumbing are all value-checked. The registered form casts the binary
+    to STRING (bytes cells stringify differently per bridge — bytearray
+    vs bytes — so binary stays out of hashed outputs, like arrays); the
+    library function keeps the binary column."""
+    out = resize_images(build_media_table(spark, sf_dir))
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.col("resized").cast("string").alias("resized_text"),
+    )
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling pipeline over video-modality media (rows-only)."""
-    return sample_frames(build_media_table(spark, sf_dir))
+    """Frame-sampling pipeline over video-modality media (oracle-backed):
+    the fake sampler takes a 16-byte slice per 1000 ms tick at offset
+    (i·16) mod len, over the ASCII documents-text payload — DuckDB
+    recomputes every slice with substr, so the 1→N cardinality
+    (duration_ms → frame count), tick timestamps, and slice offsets are
+    value-checked. STRING-cast for the same bridge-safety reason as
+    q_multimodal_resize."""
+    out = sample_frames(build_media_table(spark, sf_dir))
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        F.col("frame").cast("string").alias("frame_text"),
+    )
 
 
 def q_multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,10 +594,19 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction pipeline (fake decode): binary in, typed feature
-    array out. Rows-only check; shape/determinism pinned by unit tests."""
-    return extract_features(build_media_table(spark, sf_dir)).select(
-        "media_id", "modality", "n_bytes", "features"
+    """Feature-extraction pipeline (fake decode, oracle-backed): the fake
+    features are byte stats of the documents-text payload — length, first
+    byte, last byte, sum of the first 32 bytes mod 997 — all recomputable
+    in SQL over the ASCII text (ascii/substr/list_transform), so the
+    Arrow batch plumbing and the stat arithmetic are value-checked.
+    Flattened to f0..f3 like q_multimodal_decode (arrays stay out of
+    hashed outputs)."""
+    feats = extract_features(build_media_table(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(4)],
     )
 
 
@@ -710,7 +744,51 @@ ORACLES = {
         UNION ALL SELECT * FROM video
         ) AS _flat
     """,
-    # q_multimodal_features: rows-only (fake decode is Spark-side plumbing).
+    # Fake-decode paths: the payload is the ASCII documents text, so every
+    # byte stat / slice is recomputable with ascii/substr. least(32, len)
+    # mirrors Python's truncating content[:32]; the text is never empty
+    # (min length 47 at every driver sf), so the empty-payload branch
+    # cannot fire — the unit tests cover it.
+    "q_multimodal_features": """
+        SELECT doc_id AS media_id,
+               (['image','audio','video'])[doc_id % 3 + 1] AS modality,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(length(text) AS DOUBLE) AS f0,
+               CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS f1,
+               CAST(ascii(substr(text, length(text), 1)) AS DOUBLE) AS f2,
+               CAST(list_sum(list_transform(
+                        generate_series(1, least(32, length(text))),
+                        i -> ascii(substr(text, i, 1)))) % 997
+                    AS DOUBLE) AS f3
+        FROM documents
+    """,
+    # repeat-then-truncate IS byte cycling: resized[i] = content[i mod L].
+    "q_multimodal_resize": """
+        SELECT doc_id AS media_id,
+               CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+               substr(repeat(text,
+                             CAST(ceil(1024.0 / length(text)) AS INT)),
+                      1, 1024) AS resized_text
+        FROM documents WHERE doc_id % 3 = 0
+    """,
+    # one 16-byte slice per 1000 ms tick, offset (i*16) mod len — the
+    # unnested per-row series reproduces the 1→N cardinality exactly
+    # (the table-function form of generate_series can't take lateral
+    # column parameters).
+    "q_multimodal_frames": """
+        WITH v AS (
+            SELECT doc_id AS media_id, text, length(text) AS L,
+                   greatest(1, (n_chars * 10) // 1000) AS nf
+            FROM documents WHERE doc_id % 3 = 2),
+        ex AS (
+            SELECT media_id, text, L,
+                   unnest(generate_series(0, nf - 1)) AS i
+            FROM v)
+        SELECT media_id, CAST(i AS INT) AS frame_idx,
+               CAST(i * 1000 AS BIGINT) AS frame_ms,
+               substr(text, ((i * 16) % L) + 1, 16) AS frame_text
+        FROM ex
+    """,
     # Real-path certificate: coverage counts recomputed from the modality
     # assignment; every structural residual pinned at zero.
     "q_multimodal_real_invariants": """

@@ -333,7 +333,8 @@ def test_multimodal_resize_shapes(spark, sf_dir):
 
     rows = q_multimodal_resize(spark, sf_dir).limit(20).collect()
     assert rows, "image-modality media must exist"
-    assert all(len(r.resized) == r.width * r.height == 1024 for r in rows)
+    # ASCII payload ⇒ string length == byte length of the resized buffer
+    assert all(len(r.resized_text) == r.width * r.height == 1024 for r in rows)
 
 
 def test_multimodal_frame_sampling_cardinality(spark, sf_dir):
