@@ -178,6 +178,13 @@ EXTENDED = [
     "q_snapshot_changes",
     "q_scd2_lookup",
     "q_profile_drift",
+    # round-6: the 1→N mapInPandas frame-sampling shape (output
+    # cardinality > input — not covered by q_multimodal_decode's 1→1
+    # decode). The other r6 oracle conversions (ingest payloads,
+    # byte-stat features, cycled resize) add no new plan shape and the
+    # q_sim_ivf_recall certificate follows the r5 keep-certificates-out
+    # convention.
+    "q_multimodal_frames",
 ]
 
 
@@ -250,6 +257,44 @@ FULL_ARTIFACT = os.path.join(
 )
 
 
+def build_stdout_line(
+    names: list[str],
+    per_query: dict[str, float],
+    total: float,
+    sf: float | None,
+    medallion: dict[str, float],
+) -> str:
+    """The final stdout line: complete spec shape, truncated to the tail
+    budget by dropping per-query entries from the END of the priority
+    order (HEADLINE block — flagship + TPC-H — survives longest);
+    anything dropped is still in BENCH_FULL.json, and ``queries_omitted``
+    says how many to look for there. Module-level so the budget contract
+    is unit-testable at the current registry size."""
+
+    def _payload(keep: int) -> str:
+        kept = {k: per_query[k] for k in names[:keep]}
+        doc = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": kept,
+            "sf": sf,
+            "medallion_10k_rows_per_layer_sec": medallion,
+        }
+        omitted = len(names) - keep
+        if omitted:
+            doc["queries_omitted"] = omitted
+            doc["full_artifact"] = "BENCH_FULL.json"
+        return json.dumps(doc, separators=(",", ":"))
+
+    keep = len(names)
+    line = _payload(keep)
+    while keep > 0 and len(line) > TAIL_BYTE_BUDGET:
+        keep -= 1
+        line = _payload(keep)
+    return line
+
+
 def main() -> None:
     from __spark_entry__ import queries
 
@@ -318,32 +363,7 @@ def main() -> None:
         )
         fh.write("\n")
 
-    # Final stdout line: complete spec shape, truncated to the tail budget
-    # by dropping per-query entries from the END of the priority order
-    # (HEADLINE block — flagship + TPC-H — survives longest); anything
-    # dropped is still in BENCH_FULL.json, and `queries_omitted` says how
-    # many to look for there.
-    def _payload(keep: int) -> str:
-        kept = {k: per_query[k] for k in names[:keep]}
-        doc = {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": kept,
-            "sf": sf,
-            "medallion_10k_rows_per_layer_sec": medallion,
-        }
-        omitted = len(names) - keep
-        if omitted:
-            doc["queries_omitted"] = omitted
-            doc["full_artifact"] = "BENCH_FULL.json"
-        return json.dumps(doc, separators=(",", ":"))
-
-    keep = len(names)
-    line = _payload(keep)
-    while keep > 0 and len(line) > TAIL_BYTE_BUDGET:
-        keep -= 1
-        line = _payload(keep)
+    line = build_stdout_line(names, per_query, total, sf, medallion)
     sys.stdout.flush()
     print(line)
     spark.stop()
