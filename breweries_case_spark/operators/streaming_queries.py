@@ -161,8 +161,15 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-eviction event). Signups whose timeout the final watermark has
     not passed are withheld, exactly as a live query would withhold
     them; tests/test_streaming.py pins both the matched==batch and the
-    withheld-tail properties on a controlled fixture. Rows-only
-    (streaming execution)."""
+    withheld-tail properties on a controlled fixture.
+
+    Oracle-backed since r6: the replay is deterministic (single-file
+    source → one data micro-batch; final watermark = min of the two
+    sides' max event time minus the 10-minute delay), so the emitted set
+    is a closed-form batch query — every matched signup, plus NULL rows
+    for exactly the signups whose s_ts + 60 s lies strictly before the
+    final watermark. The strict-< eviction boundary is empirical; no
+    fixture event lands on the boundary microsecond at any driver sf."""
     ev = stream_events(spark, sf_dir)
     raw = run_stream_to_memory(
         interval_join_outer(
@@ -416,3 +423,36 @@ ORACLES["q_stream_sink_parquet"] = """
     FROM events GROUP BY 1
 """
 
+
+# LEFT OUTER stream-stream join twin: the deterministic replay's final
+# watermark is min(max signup ts, max purchase ts) - the 10-minute delay
+# (streaming/windows.WATERMARK), and the emitted set is every matched
+# signup plus NULL rows for exactly the signups whose 60 s timeout lies
+# strictly before that watermark (state eviction == NULL emission; the
+# withheld tail is the complement). MIN over the (delta, purchase_id)
+# struct mirrors collapse_outer_probe_rows' coherent-pair pick. The
+# strict-< boundary is empirical — no fixture event lands on the exact
+# boundary microsecond at any driver sf.
+ORACLES["q_stream_join_outer"] = """
+    WITH s AS (SELECT event_id AS signup_id, ts AS s_ts
+               FROM events WHERE event_type = 'signup'),
+    p AS (SELECT event_id AS purchase_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT MAX(s_ts) FROM s),
+                        (SELECT MAX(p_ts) FROM p))
+                  - INTERVAL 10 MINUTE AS w),
+    pairs AS (
+        SELECT s.signup_id,
+               MIN({'delta': epoch_us(p.p_ts) - epoch_us(s.s_ts),
+                    'purchase_id': p.purchase_id}) AS m
+        FROM s JOIN p
+          ON p.p_ts >= s.s_ts
+         AND p.p_ts <= s.s_ts + INTERVAL 60 SECOND
+        GROUP BY 1)
+    SELECT s.signup_id,
+           pairs.m.purchase_id AS purchase_id,
+           CAST(pairs.m.delta AS BIGINT) AS delta_us
+    FROM s LEFT JOIN pairs USING (signup_id) CROSS JOIN wm
+    WHERE pairs.signup_id IS NOT NULL
+       OR s.s_ts + INTERVAL 60 SECOND < wm.w
+"""
