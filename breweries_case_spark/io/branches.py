@@ -124,17 +124,28 @@ def create_branch(
 ) -> int:
     """Create ``name`` pointing at trunk ``from_version`` (default:
     latest). O_EXCL on meta.json makes creation atomic and unique.
-    Returns the divergence version."""
+    Returns the divergence version.
+
+    meta.json is published BEFORE the manifests dir exists: meta's
+    ``created_from`` is the branch's only claim on trunk files until its
+    first commit, so a vacuum racing creation must be able to read it the
+    instant the branch becomes visible — the old manifests-first order
+    left a window where a commit-less branch on an old base had NO
+    readable claim and vacuum could reclaim its divergence point. Every
+    reader tolerates the inverse window (meta present, manifests absent:
+    ``_branch_versions`` returns [], and ``commit_to_branch`` makedirs
+    defensively)."""
     base = latest_version(table_dir) if from_version is None else from_version
     if base is None:
         raise FileNotFoundError(f"no trunk snapshots under {table_dir!r}")
     bdir = _branch_dir(table_dir, name)
-    os.makedirs(os.path.join(bdir, "manifests"), exist_ok=True)
+    os.makedirs(bdir, exist_ok=True)
     meta_path = os.path.join(bdir, "meta.json")
     if not publish_json_excl(
         meta_path, {"created_from": base, "created_at": time.time()}
     ):
         raise FileExistsError(meta_path)
+    os.makedirs(os.path.join(bdir, "manifests"), exist_ok=True)
     return base
 
 
@@ -163,6 +174,9 @@ def commit_to_branch(
     touched = stage_partition_files(df, table_dir, partition_col)
 
     mdir = _branch_manifest_dir(table_dir, name)
+    # meta-first creation means the dir may not exist yet (see
+    # create_branch); make it here rather than assuming creation order
+    os.makedirs(mdir, exist_ok=True)
     for _ in range(_MAX_COMMIT_RETRIES):
         partitions, pcol = _head_partitions(table_dir, name)
         partitions.update(touched)

@@ -461,12 +461,14 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
             # mid-sweep
             bdir = os.path.join(refs_root, branch)
             meta_path = os.path.join(bdir, "meta.json")
-            # try/except scoped to the meta read ONLY: create_branch makes
-            # manifests/ BEFORE publishing meta.json, so a vacuum racing
-            # branch creation (or a partial delete where meta vanishes
-            # first) must STILL honor the manifests dir's live-file claims
-            # below — skipping the whole branch here treated its data
-            # files as unclaimed and deleted them.
+            # try/except scoped to the meta read ONLY: a partially
+            # rmtree'd branch (meta deleted first, manifests still
+            # present) must STILL honor the manifests dir's live-file
+            # claims below — skipping the whole branch here treated its
+            # data files as unclaimed and deleted them. The creation-race
+            # direction is closed on the other side: create_branch
+            # publishes meta.json BEFORE the manifests dir exists, so a
+            # branch is never visible without its created_from claim.
             try:
                 with open(meta_path) as f:
                     base_v = json.load(f)["created_from"]

@@ -747,8 +747,9 @@ ORACLES = {
     # Fake-decode paths: the payload is the ASCII documents text, so every
     # byte stat / slice is recomputable with ascii/substr. least(32, len)
     # mirrors Python's truncating content[:32]; the text is never empty
-    # (min length 47 at every driver sf), so the empty-payload branch
-    # cannot fire — the unit tests cover it.
+    # (min length >= 44 across driver sfs: 47 @ sf0.001, 48 @ sf0.01,
+    # 44 @ sf0.1), so the empty-payload branch cannot fire — the unit
+    # tests cover it.
     "q_multimodal_features": """
         SELECT doc_id AS media_id,
                (['image','audio','video'])[doc_id % 3 + 1] AS modality,

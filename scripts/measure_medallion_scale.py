@@ -56,9 +56,12 @@ def _stage_payloads(spark, staging: str) -> None:
         F.concat(F.lit("State"), i % 5).alias("state_province"),
         (i + 90000).cast("string").alias("postal_code"),
         F.lit("United States").alias("country"),
-        F.format_string("-122.%04d", i % 10000).alias("longitude"),
+        # raw i for longitude/phone, i % 10000 for latitude — exactly the
+        # fetcher's formulas (%04d pads but never truncates, so i >= 10k
+        # renders 5-6 digits in both implementations)
+        F.format_string("-122.%04d", i).alias("longitude"),
         F.format_string("45.%04d", i % 10000).alias("latitude"),
-        F.format_string("555-%04d", i % 10000).alias("phone"),
+        F.format_string("555-%04d", i).alias("phone"),
     )
     (
         spark.range(N_ROWS)

@@ -80,6 +80,21 @@ def _duck_frame(sql, sf_dir):
 #: canonical strings diverge (5 vs 5.0) / lose precision past 2^53.
 _INTEGRAL_SPARK = ("ByteType", "ShortType", "IntegerType", "LongType")
 
+#: Constructing a registered query is EAGER for the streaming replays,
+#: the certificates (IVF Lloyd training), and the snapshot/catalog
+#: bootstraps — and both parametrized tests below need the same frame,
+#: so construction is cached per (qid, sf_dir). Returned frames are
+#: memory-sink/localCheckpoint-backed or lazy plans; re-collecting them
+#: is safe and cheap.
+_DF_CACHE: dict = {}
+
+
+def _spark_df(qid, spark, sf_dir):
+    key = (qid, sf_dir)
+    if key not in _DF_CACHE:
+        _DF_CACHE[key] = QUERIES[qid](spark, sf_dir)
+    return _DF_CACHE[key]
+
 
 @pytest.mark.parametrize("qid", sorted(ORACLES))
 def test_driver_pandas_canon(spark, sf_dir, qid):
@@ -96,7 +111,7 @@ def test_driver_pandas_canon(spark, sf_dir, qid):
        exact object Decimals while DuckDB coerces to float64; publish as
        STRING (exactness) or DOUBLE (when ≤2^53) instead.
     """
-    df = QUERIES[qid](spark, sf_dir)
+    df = _spark_df(qid, spark, sf_dir)
     spark_types = {f.name: f.dataType for f in df.schema.fields}
     for name, dtype in spark_types.items():
         tname = type(dtype).__name__
@@ -140,8 +155,15 @@ def test_driver_pandas_canon(spark, sf_dir, qid):
                     "non-integral or >2^53 values — precision loss"
                 )
         if kind == "O" and len(pdf):
-            cell = pdf[name].iloc[0]
-            assert not isinstance(cell, (list, np.ndarray)), (
+            # EVERY cell, not just row 0: a UNION ALL oracle can lead
+            # with a scalar branch and hide list cells further down —
+            # the driver canon would still crash on them
+            has_listy = (
+                pdf[name]
+                .map(lambda v: isinstance(v, (list, np.ndarray)))
+                .any()
+            )
+            assert not has_listy, (
                 f"{qid}.{name}: oracle .df() delivers list cells — "
                 "flatten/to_json on both sides"
             )
@@ -149,7 +171,7 @@ def test_driver_pandas_canon(spark, sf_dir, qid):
 
 @pytest.mark.parametrize("qid", sorted(ORACLES))
 def test_oracle_parity(spark, sf_dir, qid):
-    df = QUERIES[qid](spark, sf_dir)
+    df = _spark_df(qid, spark, sf_dir)
     s_cols, s_rows = _spark_rows(df)
     d_cols, d_rows = _duck_rows(ORACLES[qid], sf_dir)
     assert s_cols == d_cols, f"{qid}: column mismatch {s_cols} vs {d_cols}"
