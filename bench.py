@@ -185,6 +185,9 @@ EXTENDED = [
     # q_sim_ivf_recall certificate follows the r5 keep-certificates-out
     # convention.
     "q_multimodal_frames",
+    # map-side Misra-Gries candidates + broadcast-semi exact recount —
+    # the two-pass heavy-hitter topology (no full-token-stream shuffle)
+    "q_heavy_hitters",
 ]
 
 

@@ -626,7 +626,36 @@ def _ck_oracle() -> str:
     )
 
 
+#: per-source document cap — the web-corpus curation knob that stops a
+#: single crawl source from dominating the training mix
+SOURCE_CAP = 50
+
+
+def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap documents per source: keep at most SOURCE_CAP docs from each
+    ``source``, preferring longer documents (n_chars DESC, doc_id
+    tiebreak) — the standard domain/source-balancing pass a web-scale
+    corpus runs so one crawl source can't dominate the mix (the
+    per-group analog of q_sample_token_budget's global greedy cut).
+
+    Plan shape: row_number over (source) + a rank filter. Spark 4 plans
+    the ``<= K`` filter as WindowGroupLimit — each map task keeps only
+    its partial top-K per source BEFORE the shuffle, so the exchange
+    carries O(sources x K) rows, not the corpus. That is exactly the
+    100 TB form: a per-source cap never needs the full corpus sorted."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= SOURCE_CAP)
+        .select("doc_id", "source", "n_chars", "rank_in_source")
+    )
+
+
 QUERIES = {
+    "q_sample_source_cap": q_sample_source_cap,
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
     "q_scd2_compress": q_scd2_compress,
@@ -642,6 +671,17 @@ QUERIES = {
 
 
 ORACLES = {
+    "q_sample_source_cap": f"""
+        SELECT doc_id, source, n_chars,
+               CAST(rank_in_source AS INT) AS rank_in_source
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id)
+                       AS rank_in_source
+            FROM documents)
+        WHERE rank_in_source <= {SOURCE_CAP}
+    """,
     "q_scd2_lookup": """
         WITH dim AS (
             SELECT o_custkey AS custkey, o_orderstatus AS status,

@@ -546,7 +546,83 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: heavy-hitter threshold: tokens with count > n_tokens / HH_K (0.5%)
+HH_K = 200
+#: Misra-Gries summary size — MUST exceed HH_K: the mergeable-MG
+#: undercount is bounded by n / (HH_SKETCH_K + 1) < n / HH_K, so every
+#: true heavy hitter survives in at least one partition summary
+HH_SKETCH_K = 400
+
+
+def _mg_merge(counters: dict, batch_counts, k: int) -> dict:
+    """Mergeable Misra-Gries step (Agarwal et al., 'Mergeable summaries'):
+    add the batch counts, and when more than k counters remain, subtract
+    the (k+1)-th largest count from all and drop the non-positive ones.
+    Cumulative undercount after any merge sequence is <= n / (k + 1)."""
+    for t, c in batch_counts.items():
+        counters[t] = counters.get(t, 0) + int(c)
+    if len(counters) > k:
+        kth = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - kth for t, c in counters.items() if c > kth}
+    return counters
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with > 1/HH_K of all token
+    occurrences) via the standard two-pass distributed topology:
+
+    1. **Candidate pass — map-side Misra-Gries, no shuffle.** Each
+       partition folds its token batches into an HH_SKETCH_K-counter
+       mergeable MG summary (``_mg_merge``, vectorized per Arrow batch
+       with value_counts) and emits only its surviving counters — at
+       most HH_SKETCH_K rows per partition regardless of corpus size.
+       The MG bound guarantees every token with global count
+       > n/HH_K > n/(HH_SKETCH_K+1) survives in >= 1 partition summary,
+       so the candidate union is a proven superset.
+    2. **Exact pass — recount candidates only.** A broadcast semi join
+       prunes the token stream to candidates, then one hash aggregate
+       computes exact counts and the integer-exact threshold
+       ``count * HH_K > n_tokens`` filters (no float division — the
+       oracle compares the same integers).
+
+    Output is EXACT, so this is a full value oracle, not a certificate —
+    the sketch only prunes. At 100 TB the candidate set stays
+    O(partitions x sketch_k) while a naive global token groupBy would
+    shuffle the full stream; the exact pass shuffles candidates only."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    tokens = tokens.localCheckpoint()  # shared by both passes + count
+    n_tokens = tokens.count()
+
+    def mg_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            counters = _mg_merge(
+                counters, pdf["token"].value_counts().to_dict(), HH_SKETCH_K
+            )
+        yield pd.DataFrame(
+            {"token": list(counters), "mg_count": list(counters.values())}
+        )
+
+    candidates = tokens.mapInPandas(
+        mg_partials, "token string, mg_count long"
+    ).select("token").distinct()
+
+    exact = (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * HH_K > F.lit(n_tokens))
+    )
+    return exact.select("token", "n_occurrences")
+
+
 QUERIES = {
+    "q_heavy_hitters": q_heavy_hitters,
     "q_token_count": q_token_count,
     "q_text_stats": q_text_stats,
     "q_lang_id": q_lang_id,
@@ -599,6 +675,23 @@ BM25_ORACLE_CTES = r"""
 
 
 ORACLES = {
+    # exact heavy hitters — the MG pass only prunes candidates, so the
+    # plain GROUP BY/HAVING twin must match value-for-value; the
+    # integer-exact threshold (count * HH_K > n) mirrors the Spark side
+    "q_heavy_hitters": rf"""
+        WITH tok AS (
+            SELECT t.token
+            FROM (SELECT list_filter(
+                             string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS tk
+                  FROM documents) d,
+                 unnest(d.tk) AS t(token)),
+        n AS (SELECT COUNT(*) AS n_tokens FROM tok)
+        SELECT token, COUNT(*) AS n_occurrences
+        FROM tok CROSS JOIN n
+        GROUP BY token, n.n_tokens
+        HAVING COUNT(*) * {HH_K} > n.n_tokens
+    """,
     "q_dedup_cdc_chunks": rf"""
         WITH toks AS (
             SELECT doc_id, t.tok,

@@ -1,0 +1,134 @@
+"""Round-6 additions: heavy hitters (mergeable Misra-Gries candidates +
+exact verify), the per-source cap sampler's WindowGroupLimit plan, and
+the branch-creation/vacuum race regression."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _final_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- heavy hitters -----------------------------------------------------------
+
+
+def test_mg_merge_bound_and_superset():
+    """The mergeable-MG error bound (undercount <= n/(k+1)) means every
+    item with true count > n/(k+1) must survive an arbitrary batch
+    split. Adversarial split: the heavy item arrives thinly across many
+    batches, each flooded with distinct one-off fillers that force
+    decrements."""
+    from breweries_case_spark.operators.text import _mg_merge
+
+    k = 10
+    counters: dict = {}
+    n = 0
+    for batch in range(40):
+        fillers = {f"f{batch}_{i}": 1 for i in range(k)}
+        batch_counts = {"heavy": 3, **fillers}
+        n += 3 + k
+        counters = _mg_merge(counters, batch_counts, k)
+        assert len(counters) <= k
+    true_heavy = 3 * 40
+    assert true_heavy > n / (k + 1)
+    assert "heavy" in counters, "true heavy hitter evicted from MG summary"
+    # the undercount bound itself
+    assert true_heavy - counters["heavy"] <= n / (k + 1)
+
+
+def test_heavy_hitters_exact_and_planted(spark, sf_dir):
+    """Output equals the exact GROUP BY/HAVING (no sketch artifacts), and
+    a planted ubiquitous token is found."""
+    from breweries_case_spark.operators.text import HH_K, q_heavy_hitters
+
+    got = {r.token: r.n_occurrences for r in q_heavy_hitters(spark, sf_dir).collect()}
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    n = tokens.count()
+    exact = {
+        r.t: r.c
+        for r in tokens.groupBy("t").agg(F.count("*").alias("c")).collect()
+        if r.c * HH_K > n
+    }
+    assert got == exact
+    assert got, "fixture corpus should have at least one 0.5% token"
+
+
+# --- per-source cap ----------------------------------------------------------
+
+
+def test_source_cap_plan_uses_window_group_limit(spark, sf_dir):
+    """The <= K rank filter must plan as WindowGroupLimit (map-side
+    partial top-K per source) — the property that keeps the exchange at
+    O(sources x K) rows at any corpus size."""
+    from breweries_case_spark.operators.sampling import q_sample_source_cap
+
+    df = q_sample_source_cap(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert "WindowGroupLimit" in _final_plan(df)
+
+
+def test_source_cap_semantics(spark, sf_dir):
+    from breweries_case_spark.operators.sampling import (
+        SOURCE_CAP,
+        q_sample_source_cap,
+    )
+
+    rows = q_sample_source_cap(spark, sf_dir).collect()
+    per_source: dict = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r.source: r.c for r in d.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    for src, kept in per_source.items():
+        assert len(kept) == min(SOURCE_CAP, totals[src])
+        # kept docs are the longest ones: every kept n_chars >= the
+        # (cap+1)-th longest would require full data; check rank bounds
+        assert sorted(r.rank_in_source for r in kept) == list(
+            range(1, len(kept) + 1)
+        )
+
+
+# --- branch-creation / vacuum race -------------------------------------------
+
+
+def test_branch_meta_published_before_manifests(tmp_path, spark, sf_dir):
+    """create_branch must make the branch's created_from claim readable
+    the instant the branch is visible: a branch dir holding meta.json but
+    NO manifests dir (the new creation order's only intermediate state)
+    must (a) protect its base version from vacuum and (b) accept a first
+    commit."""
+    import os
+    import shutil
+
+    from breweries_case_spark.io import branches as br
+    from breweries_case_spark.io import snapshots as sn
+
+    table = str(tmp_path / "t")
+    d1 = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("2024-01-01").alias("extraction_date")
+    )
+    v1 = sn.commit_overwrite_partitions(d1, table, "extraction_date")
+    # advance trunk so v1 falls outside keep_versions=1
+    for _ in range(2):
+        sn.commit_overwrite_partitions(d1, table, "extraction_date")
+
+    base = br.create_branch(table, "b", from_version=v1)
+    assert base == v1
+    # simulate the mid-creation state: manifests dir absent, meta present
+    mdir = br._branch_manifest_dir(table, "b")
+    shutil.rmtree(mdir)
+    assert not os.path.isdir(mdir)
+
+    sn.vacuum(table, keep_versions=1)
+    # the branch's divergence-point manifest must have survived vacuum
+    assert br._read_meta(table, "b")["created_from"] == v1
+    assert sn.read_snapshot(spark, table, v1).count() == 3
+
+    # and a first commit on the manifests-less branch must succeed
+    br.commit_to_branch(d1, table, "b", "extraction_date")
+    assert br._branch_versions(table, "b")
