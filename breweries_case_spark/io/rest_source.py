@@ -399,8 +399,42 @@ def q_ingest_staged_csv_roundtrip(
     return _staged_roundtrip(spark, sf_dir, "csv", nullValue="")
 
 
+def q_ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution staged read — the drift path every long-lived
+    lake table hits: batch 1 lands WITHOUT s_nationkey (an old producer),
+    batch 2 lands WITHOUT s_acctbal (the column was dropped) and WITH
+    s_nationkey (added). Reading the parent dir with
+    ``mergeSchema=true`` + a ``batch`` partition dir yields the UNION
+    schema with per-batch NULLs for absent columns — drift surfaces as
+    NULLs in declared columns (the bronze ELT stance,
+    ``ingest_staged_files`` docstring), never as a failed read or a
+    silently narrowed schema. Each batch is a distributed parquet write;
+    the merged read stays a plain splittable scan (schema merging is a
+    footer-only planning cost, paid once per job, not per row)."""
+    from breweries_case_spark.io.reader import load_table
+
+    src = load_table(spark, sf_dir, "supplier")
+    staging = _staging_dir()
+    root = f"{staging}/supplier_evolving"
+    src.select("s_suppkey", "s_name", "s_acctbal").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/batch=1")
+    src.select("s_suppkey", "s_name", "s_nationkey").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/batch=2")
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .option("basePath", root)
+        .parquet(root)
+    )
+    return merged.select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey", "batch"
+    )
+
+
 QUERIES = {
     "q_ingest_rest": q_ingest_rest,
+    "q_ingest_schema_evolution": q_ingest_schema_evolution,
     "q_ingest_staged_json": q_ingest_staged_json,
     "q_ingest_staged_csv": q_ingest_staged_csv,
     "q_ingest_staged_orc": q_ingest_staged_orc,
@@ -452,6 +486,18 @@ ORACLES: dict[str, str] = {
     "q_ingest_staged_orc": _ROUNDTRIP_ORACLE,
     "q_ingest_staged_json_roundtrip": _ROUNDTRIP_ORACLE,
     "q_ingest_staged_csv_roundtrip": _ROUNDTRIP_ORACLE,
+    # union schema with per-batch NULLs — exactly what mergeSchema must
+    # produce; NULL casts keep each branch's dtypes identical to the
+    # batch that HAS the column (INT nationkey, DOUBLE acctbal)
+    "q_ingest_schema_evolution": """
+        SELECT s_suppkey, s_name, s_acctbal,
+               CAST(NULL AS INTEGER) AS s_nationkey, 1 AS batch
+        FROM supplier
+        UNION ALL
+        SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS s_acctbal,
+               s_nationkey, 2 AS batch
+        FROM supplier
+    """,
     "q_ingest_staged_json": _STAGED_JSON_ORACLE,
     # CSV stages the same payload with nullValue='' so both formats yield
     # identical bronze rows (the unit-tested contract) — same oracle.

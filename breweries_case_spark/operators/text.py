@@ -621,7 +621,57 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select("token", "n_occurrences")
 
 
+#: sliding chunk geometry: 64-token windows advancing by 48 (16-token
+#: overlap) — the context-window prep shape; production swaps the
+#: whitespace tokens for BPE ids, same plan
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the 1→N context-window prep
+    every training/RAG pipeline runs before packing: token windows of
+    CHUNK_TOKENS advancing by CHUNK_STRIDE (overlap keeps boundary
+    context), last partial window kept. ENTIRELY JVM built-ins
+    (split → transform(sequence) → explode): no Python in the hot path,
+    whole-stage codegen end to end, and the 1→N expansion happens
+    inside the scan stage — no shuffle at any corpus size. Every doc
+    emits >= 1 chunk (short docs yield one partial chunk)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = d.select("doc_id", toks.alias("t")).withColumn(
+        "n", F.size(F.col("t"))
+    )
+    n_chunks = F.floor(
+        F.greatest(F.col("n") - 1, F.lit(0)) / F.lit(CHUNK_STRIDE)
+    ).cast("int") + F.lit(1)
+    chunk = lambda i: F.struct(  # noqa: E731
+        i.alias("chunk_idx"),
+        F.concat_ws(
+            " ", F.slice(F.col("t"), i * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.col("n") - i * CHUNK_STRIDE
+        ).alias("chunk_tokens"),
+    )
+    return (
+        base.withColumn(
+            "c",
+            F.explode(
+                F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+        )
+    )
+
+
 QUERIES = {
+    "q_chunk_documents": q_chunk_documents,
     "q_heavy_hitters": q_heavy_hitters,
     "q_token_count": q_token_count,
     "q_text_stats": q_text_stats,
@@ -675,6 +725,31 @@ BM25_ORACLE_CTES = r"""
 
 
 ORACLES = {
+    # sliding chunks: list_slice + unnested per-row series reproduce the
+    # window geometry exactly (1-indexed slice, last partial kept);
+    # note documents text is never empty so n >= 1 and every doc chunks
+    "q_chunk_documents": rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS t,
+                   len(string_split_regex(lower(trim(text)), '\s+')) AS n
+            FROM documents),
+        ex AS (
+            SELECT doc_id, t, n,
+                   unnest(generate_series(
+                       0, CAST(floor(greatest(n - 1, 0)
+                                     / {CHUNK_STRIDE}) AS INT))) AS i
+            FROM base)
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               array_to_string(
+                   list_slice(t, i * {CHUNK_STRIDE} + 1,
+                              i * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                   ' ') AS chunk_text,
+               CAST(least({CHUNK_TOKENS}, n - i * {CHUNK_STRIDE}) AS INT)
+                   AS chunk_tokens
+        FROM ex
+    """,
     # exact heavy hitters — the MG pass only prunes candidates, so the
     # plain GROUP BY/HAVING twin must match value-for-value; the
     # integer-exact threshold (count * HH_K > n) mirrors the Spark side

@@ -132,3 +132,39 @@ def test_branch_meta_published_before_manifests(tmp_path, spark, sf_dir):
     # and a first commit on the manifests-less branch must succeed
     br.commit_to_branch(d1, table, "b", "extraction_date")
     assert br._branch_versions(table, "b")
+
+
+# --- document chunking -------------------------------------------------------
+
+
+def test_chunk_documents_geometry(spark, sf_dir):
+    """Window geometry: chunk i covers tokens [i*S, i*S + C); consecutive
+    chunks overlap by C - S tokens; the union of chunks covers every
+    token; reconstruction from stride-prefixes equals the token stream."""
+    from breweries_case_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_chunk_documents,
+    )
+
+    rows = q_chunk_documents(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    import re
+
+    for doc in d[:50]:
+        toks = re.split(r"\s+", doc.text.strip().lower())
+        chunks = by_doc[doc.doc_id]
+        n = len(toks)
+        expected_chunks = (max(n - 1, 0)) // CHUNK_STRIDE + 1
+        assert len(chunks) == expected_chunks
+        rebuilt: list = []
+        for i in range(expected_chunks):
+            c = chunks[i]
+            want = toks[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_TOKENS]
+            assert c.chunk_text.split(" ") == want
+            assert c.chunk_tokens == len(want)
+            rebuilt.extend(want[:CHUNK_STRIDE] if i < expected_chunks - 1 else want)
+        assert rebuilt == toks, "stride prefixes must reconstruct the stream"
