@@ -188,6 +188,10 @@ EXTENDED = [
     # map-side Misra-Gries candidates + broadcast-semi exact recount —
     # the two-pass heavy-hitter topology (no full-token-stream shuffle)
     "q_heavy_hitters",
+    # month-grid interval-overlap join with count-once-at-first-shared-
+    # cell dedup — the binned interval x interval shape (q_join_range is
+    # point-in-band)
+    "q_join_interval_overlap",
 ]
 
 

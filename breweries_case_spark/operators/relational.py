@@ -267,6 +267,65 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join (distinct from q_join_range's
+    point-in-band): pairs of same-supplier lineitems whose
+    [shipdate, receiptdate] windows overlap, counted per supplier — the
+    in-transit-concurrency shape (how many shipments a supplier has in
+    flight simultaneously).
+
+    Scale path: each interval explodes to the MONTH grid cells it spans
+    (TPC-H transit is days-to-weeks, so 1-2 cells/row), the join runs on
+    (suppkey, month) — an equi join, never a cartesian — and the true
+    overlap is a post-join residual. A pair spanning several shared
+    months would double-count, so each pair is counted ONLY in its
+    FIRST shared cell (the month of the later shipdate): a plan-level
+    dedup that avoids materializing + DISTINCTing the pair set — one
+    less shuffle, and the trick generalizes to any grid-binned
+    overlap/theta join. Canonical (orderkey, linenumber) ordering
+    counts each unordered pair once.
+
+    The driver's trimmed lineitem has no l_receiptdate, so the receipt
+    end is derived deterministically (shipdate + 3-23 transit days
+    keyed on l_partkey) — the oracle derives the identical end."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        F.date_add(
+            F.col("l_shipdate"), (F.col("l_partkey") % 21 + 3).cast("int")
+        ).alias("l_receiptdate"),
+    )
+    months = F.sequence(
+        F.trunc(F.col("l_shipdate"), "month"),
+        F.trunc(F.col("l_receiptdate"), "month"),
+        F.expr("INTERVAL 1 MONTH"),
+    )
+    binned = li.withColumn("m", F.explode(months))
+    a, b = binned.alias("a"), binned.alias("b")
+    first_shared_cell = F.col("a.m") == F.trunc(
+        F.greatest(F.col("a.l_shipdate"), F.col("b.l_shipdate")), "month"
+    )
+    pair_order = (F.col("a.l_orderkey") < F.col("b.l_orderkey")) | (
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+        & (F.col("a.m") == F.col("b.m"))
+        & pair_order
+        & (F.col("a.l_shipdate") <= F.col("b.l_receiptdate"))
+        & (F.col("b.l_shipdate") <= F.col("a.l_receiptdate"))
+        & first_shared_cell,
+    )
+    return (
+        pairs.groupBy(F.col("a.l_suppkey").alias("l_suppkey"))
+        .agg(F.count("*").alias("overlapping_pairs"))
+    )
+
+
 def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join via bucketing: orders and lineitem written
     bucketed-by-orderkey into the same bucket count, then joined — Spark
@@ -1135,6 +1194,7 @@ QUERIES = {
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
     "q_join_range": q_join_range,
+    "q_join_interval_overlap": q_join_interval_overlap,
     "q_join_range_binned": q_join_range_binned,
     "q_join_bucketed": q_join_bucketed,
     "q_dedup_pairs": q_dedup_pairs,
@@ -1340,6 +1400,27 @@ ORACLES = {
         FROM customer JOIN supplier
           ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
         GROUP BY s_suppkey
+    """,
+    # naive pairwise twin of the month-grid overlap join: the Spark
+    # side's count-once-at-first-shared-cell dedup must reproduce the
+    # ungridded pair count exactly; receipt end derived identically
+    # (shipdate + partkey%21 + 3 days)
+    "q_join_interval_overlap": """
+        WITH li AS (
+            SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+                   l_shipdate
+                   + to_days(CAST(l_partkey % 21 + 3 AS INT))
+                       AS l_receiptdate
+            FROM lineitem)
+        SELECT a.l_suppkey, count(*) AS overlapping_pairs
+        FROM li a JOIN li b
+          ON a.l_suppkey = b.l_suppkey
+         AND (a.l_orderkey < b.l_orderkey
+              OR (a.l_orderkey = b.l_orderkey
+                  AND a.l_linenumber < b.l_linenumber))
+         AND a.l_shipdate <= b.l_receiptdate
+         AND b.l_shipdate <= a.l_receiptdate
+        GROUP BY a.l_suppkey
     """,
     "q_dedup_pairs": """
         SELECT a.lang AS lang, count(*) AS candidate_pairs
