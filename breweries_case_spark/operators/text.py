@@ -670,7 +670,193 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: merge candidates surfaced per BPE count step
+BPE_TOPK = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer-training count step: global
+    adjacent-token-pair frequencies, top-BPE_TOPK merge candidates.
+    One iteration of the classic corpus-scale BPE trainer (Sennrich et
+    al. 2016 "Neural Machine Translation of Rare Words with Subword
+    Units", public) — production loops this count step, merging the
+    winning pair between iterations; the per-iteration plan is
+    identical at every step, so this single step IS the scale shape.
+
+    Plan: the 1→N pair expansion (slice+zip+explode) happens inside
+    the scan stage (whole-stage codegen, no Python); the only exchange
+    is the pair-count hash aggregate WITH map-side partials — each
+    mapper ships at most |local vocab|² pair partials, not its token
+    stream; the global top-K is TakeOrderedAndProject (per-partition
+    top-K, no full sort). The (count DESC, left, right) order is total,
+    so the K-boundary is deterministic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = d.select(toks.alias("t")).withColumn("n", F.size("t"))
+    ln = F.greatest(F.col("n") - 1, F.lit(0))  # n=1 → zero pairs
+    pairs = F.arrays_zip(
+        F.slice(F.col("t"), 1, ln).alias("l"),
+        F.slice(F.col("t"), 2, ln).alias("r"),
+    )
+    return (
+        base.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok")
+        )
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
+        .limit(BPE_TOPK)
+    )
+
+
+#: cross-source overlap shingle width (string n-grams — readable and
+#: oracle-checkable; the hashed-shingle variant lives in dedup.py)
+OVERLAP_N = 5
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram contamination matrix: for every source pair,
+    the count of shared distinct OVERLAP_N-gram shingles and the
+    Jaccard overlap — the corpus-curation pass that finds mirrored /
+    cross-posted content BETWEEN ingest sources before mixing (the
+    same shape as train-vs-eval decontamination, q_decontaminate, but
+    symmetric over all source pairs).
+
+    Plan: gram generation is the chunking shape (slice inside the scan
+    stage); one distinct on (source, gram); the pair counting is an
+    equi-join ON GRAM — per-gram fanout is bounded by
+    (sources sharing that gram)², never corpus², and the source-pair
+    aggregate output is at most |sources|²/2 rows. Totals are
+    broadcast. At web scale (millions of domains) the same plan holds
+    because a gram shared by that many sources is stopword noise —
+    production caps per-gram source lists (cf. the heavy-hitters
+    prune); at this corpus's 20 sources the cap is moot. Jaccard uses
+    the repo-standard FLOOR(q·1e6+0.5)/1e6 rendering on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = d.select("source", toks.alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(F.col("t"), i, OVERLAP_N)
+    )
+    grams = (
+        base.filter(F.col("n") >= OVERLAP_N)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - (OVERLAP_N - 1)),
+                    gram,
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    totals = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("common_grams"))
+    )
+    ta = totals.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("grams_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("grams_b")
+    )
+    q = F.col("common_grams") / (
+        F.col("grams_a") + F.col("grams_b") - F.col("common_grams")
+    )
+    return (
+        common.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "common_grams",
+            "grams_a",
+            "grams_b",
+            (F.floor(q * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
+        )
+    )
+
+
+#: quality-curve bucket width: floor(score * QC_BUCKETS_PER_UNIT)
+QC_SCALE = 50
+
+
+def q_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold planning curve: per quality-score bucket, the
+    doc count, token sum, and the fraction of ALL corpus tokens
+    retained if the filter threshold were set at that bucket (keep
+    bucket >= X). This is how a pretraining-mix owner picks the
+    quality cutoff — "what cutoff keeps 80% of tokens?" — without
+    materializing a filtered corpus per candidate threshold.
+
+    Scale shape: a naive exact curve needs a GLOBAL sort/ntile over
+    every document (single-partition window — the anti-pattern); the
+    bucketed histogram instead does one map-side-combined hash
+    aggregate over quantized scores, then runs the cumulative window
+    over the TINY bucket summary (~tens of rows at any corpus size).
+    The score reuses q_quality_score's features unrounded — every term
+    is IEEE +,×,/ (no transcendentals), so the double is bit-identical
+    across engines and bucketing cannot flip."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_ws_tokens(F.col("text")))
+    n_chars = F.length(F.col("text"))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(F.col("text"), F.lit(EN_MARKERS))
+    score = (
+        (n_stop / n_tok) * 0.5
+        + (n_punct / n_chars) * -0.25
+        + (n_chars / n_tok) * 0.05
+    )
+    per_doc = d.filter((n_tok > 0) & (n_chars > 0)).select(
+        F.floor(score * QC_SCALE).cast("long").alias("score_bucket"),
+        n_tok.cast("long").alias("n_tok"),
+    )
+    summary = per_doc.groupBy("score_bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("bucket_tokens")
+    )
+    # both windows run over the tiny bucket summary only
+    w_cum = Window.orderBy(F.col("score_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum("bucket_tokens").over(w_cum)
+    total = F.sum("bucket_tokens").over(w_all)
+    return summary.select(
+        "score_bucket",
+        "n_docs",
+        "bucket_tokens",
+        cum.alias("tokens_retained"),
+        (F.floor(cum / total * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "retained_frac"
+        ),
+    )
+
+
 QUERIES = {
+    "q_bpe_pair_counts": q_bpe_pair_counts,
+    "q_quality_token_curve": q_quality_token_curve,
+    "q_source_overlap": q_source_overlap,
     "q_chunk_documents": q_chunk_documents,
     "q_heavy_hitters": q_heavy_hitters,
     "q_token_count": q_token_count,
@@ -725,6 +911,100 @@ BM25_ORACLE_CTES = r"""
 
 
 ORACLES = {
+    # one BPE count step: zip of the two off-by-one token slices is the
+    # adjacent-pair multiset; the (count DESC, left, right) order is
+    # total, so the LIMIT boundary is engine-independent
+    "q_bpe_pair_counts": rf"""
+        WITH t AS (
+            SELECT list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS tk
+            FROM documents),
+        p AS (
+            SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS z
+            FROM t)
+        SELECT z[1] AS left_tok, z[2] AS right_tok,
+               COUNT(*) AS pair_count
+        FROM p
+        GROUP BY 1, 2
+        ORDER BY pair_count DESC, left_tok, right_tok
+        LIMIT {BPE_TOPK}
+    """,
+    # threshold curve: identical raw-double score (IEEE +,×,/ only, so
+    # bucketing cannot flip between engines); BIGINT-cast every summed
+    # column (DuckDB SUM(BIGINT) is HUGEINT → float64 via .df())
+    "q_quality_token_curve": rf"""
+        WITH per_doc AS (
+            SELECT CAST(FLOOR((
+                       len(regexp_extract_all(text,
+                               '\b(the|a|of|is|and|to|in)\b'))
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.5
+                       + len(regexp_extract_all(text, '[^\w\s]'))
+                           / length(text) * -0.25
+                       + length(text)
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.05) * {QC_SCALE}) AS BIGINT)
+                       AS score_bucket,
+                   CAST(len(string_split_regex(trim(text), '\s+'))
+                        AS BIGINT) AS n_tok
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) > 0
+              AND length(text) > 0),
+        summary AS (
+            SELECT score_bucket, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS bucket_tokens
+            FROM per_doc GROUP BY 1)
+        SELECT score_bucket, n_docs, bucket_tokens,
+               CAST(SUM(bucket_tokens) OVER (
+                   ORDER BY score_bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tokens_retained,
+               FLOOR(SUM(bucket_tokens) OVER (
+                         ORDER BY score_bucket DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+                     / SUM(bucket_tokens) OVER ()
+                     * 1e6 + 0.5) / 1e6 AS retained_frac
+        FROM summary
+    """,
+    # cross-source contamination: same gram generation as the chunk
+    # oracle (1-indexed list_slice over an unnested series); DuckDB's
+    # `/` on integers is IEEE double division like Spark's
+    "q_source_overlap": rf"""
+        WITH base AS (
+            SELECT source,
+                   list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS t
+            FROM documents),
+        ex AS (
+            SELECT source, t,
+                   unnest(generate_series(1, len(t) - {OVERLAP_N - 1}))
+                       AS i
+            FROM base WHERE len(t) >= {OVERLAP_N}),
+        grams AS (
+            SELECT DISTINCT source,
+                   array_to_string(
+                       list_slice(t, i, i + {OVERLAP_N - 1}), ' ') AS gram
+            FROM ex),
+        totals AS (SELECT source, COUNT(*) AS n_grams FROM grams
+                   GROUP BY 1),
+        common AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   COUNT(*) AS common_grams
+            FROM grams a
+            JOIN grams b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2)
+        SELECT src_a, src_b, common_grams,
+               ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+               FLOOR(common_grams
+                     / (ta.n_grams + tb.n_grams - common_grams)
+                     * 1e6 + 0.5) / 1e6 AS jaccard
+        FROM common
+        JOIN totals ta ON ta.source = src_a
+        JOIN totals tb ON tb.source = src_b
+    """,
     # sliding chunks: list_slice + unnested per-row series reproduce the
     # window geometry exactly (1-indexed slice, last partial kept);
     # note documents text is never empty so n >= 1 and every doc chunks

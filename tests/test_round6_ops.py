@@ -168,3 +168,104 @@ def test_chunk_documents_geometry(spark, sf_dir):
             assert c.chunk_tokens == len(want)
             rebuilt.extend(want[:CHUNK_STRIDE] if i < expected_chunks - 1 else want)
         assert rebuilt == toks, "stride prefixes must reconstruct the stream"
+
+
+# --- BPE pair counts ---------------------------------------------------------
+
+
+def test_bpe_pair_counts_matches_python(spark, sf_dir):
+    """The top-K merge candidates equal a pure-Python recount of every
+    adjacent pair under the identical total order — the count step a
+    BPE trainer loops is exact, not approximate."""
+    import re
+    from collections import Counter
+
+    from breweries_case_spark.operators.text import (
+        BPE_TOPK,
+        q_bpe_pair_counts,
+    )
+
+    counts: Counter = Counter()
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        toks = [
+            t for t in re.split(r"\s+", r.text.strip().lower()) if t != ""
+        ]
+        counts.update(zip(toks, toks[1:]))
+    want = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:BPE_TOPK]
+    got = [
+        ((r.left_tok, r.right_tok), r.pair_count)
+        for r in q_bpe_pair_counts(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_bpe_pair_counts_plan_topk_not_global_sort(spark, sf_dir):
+    """The top-K must plan as TakeOrderedAndProject (per-partition
+    top-K + driver merge), never a full global Sort of the pair
+    aggregate."""
+    from breweries_case_spark.operators.text import q_bpe_pair_counts
+
+    plan = _final_plan(q_bpe_pair_counts(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+# --- cross-source overlap ----------------------------------------------------
+
+
+def test_source_overlap_invariants_and_spotcheck(spark, sf_dir):
+    """Pair identity is canonical (src_a < src_b), overlap is bounded by
+    both totals, and one pair's counts equal a Python set recompute."""
+    import re
+
+    from breweries_case_spark.operators.text import (
+        OVERLAP_N,
+        q_source_overlap,
+    )
+
+    rows = q_source_overlap(spark, sf_dir).collect()
+    assert rows, "synthetic corpus shares vocabulary across sources"
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.common_grams <= min(r.grams_a, r.grams_b)
+        assert 0.0 < r.jaccard <= 1.0
+
+    grams: dict = {}
+    for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        toks = [
+            t for t in re.split(r"\s+", d.text.strip().lower()) if t != ""
+        ]
+        g = grams.setdefault(d.source, set())
+        for i in range(len(toks) - OVERLAP_N + 1):
+            g.add(" ".join(toks[i : i + OVERLAP_N]))
+    r = min(rows, key=lambda r: (r.src_a, r.src_b))
+    inter = grams[r.src_a] & grams[r.src_b]
+    assert r.common_grams == len(inter)
+    assert r.grams_a == len(grams[r.src_a])
+    assert r.grams_b == len(grams[r.src_b])
+
+
+# --- quality token curve -----------------------------------------------------
+
+
+def test_quality_token_curve_cumulative_contract(spark, sf_dir):
+    """tokens_retained is the descending-bucket cumulative of
+    bucket_tokens, the lowest bucket retains every token
+    (retained_frac = 1.0), and doc/token totals reconcile with the
+    corpus."""
+    from breweries_case_spark.operators.text import q_quality_token_curve
+
+    rows = sorted(
+        q_quality_token_curve(spark, sf_dir).collect(),
+        key=lambda r: -r.score_bucket,
+    )
+    assert len(rows) >= 2, "score quantization should spread buckets"
+    cum = 0
+    for r in rows:
+        cum += r.bucket_tokens
+        assert r.tokens_retained == cum
+    assert rows[-1].retained_frac == 1.0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
