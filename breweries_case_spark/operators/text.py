@@ -712,6 +712,89 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_merge_fold(tokens, left, right):
+    """Greedy left-to-right non-overlapping merge of the (left, right)
+    pair in a token array, as a codegen'd higher-order fold: append
+    each token unless the accumulator's last element is `left` and the
+    token is `right` — then collapse the two into one space-joined
+    token (a space cannot occur inside a whitespace-split token, so a
+    fresh merge is never mistaken for a bare `left`, which is what
+    makes an "a a a" run merge floor(run/2) times)."""
+    return F.aggregate(
+        tokens,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat_ws(" ", left, right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def q_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's APPLY step: take the winning pair from the
+    count step (q_bpe_pair_counts, top-1) and greedily merge its
+    non-overlapping left-to-right occurrences in every document,
+    publishing per-doc token counts before/after. Together with the
+    count step this is one full BPE training iteration — production
+    loops the two, feeding the merged stream back in.
+
+    The merge itself is a real left-to-right fold, executed JVM-side
+    as a codegen'd higher-order ``F.aggregate``: the accumulator array
+    appends each token unless its last element equals LEFT and the
+    token equals RIGHT, in which case the pair collapses into one
+    merged token (joined with a space — impossible inside a
+    whitespace-split token, so a fresh merge can never be mistaken for
+    a bare LEFT and overlapping occurrences — the "a a a" run — merge
+    floor(run/2) times, the standard greedy semantics). The winning
+    pair reaches every row via crossJoin(broadcast(top-1)) — a 1-row
+    scalar broadcast, no driver collect.
+
+    The oracle does NOT re-run a fold (DuckDB's list_reduce cannot
+    carry an array accumulator); it verifies through the closed form:
+    greedy non-overlapping merges = sum over islands of consecutive
+    adjacent-match positions of ceil(island/2). The two computations
+    share no code path, so agreement certifies the fold."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = d.select("doc_id", toks.alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    ln = F.greatest(F.col("n") - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(F.col("t"), 1, ln).alias("l"),
+        F.slice(F.col("t"), 2, ln).alias("r"),
+    )
+    top1 = (
+        base.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok")
+        )
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
+        .limit(1)
+        .select("left_tok", "right_tok")
+    )
+    merged = bpe_merge_fold(
+        F.col("t"), F.col("left_tok"), F.col("right_tok")
+    )
+    return base.crossJoin(F.broadcast(top1)).select(
+        "doc_id",
+        "left_tok",
+        "right_tok",
+        F.col("n").alias("n_tokens_before"),
+        (F.col("n") - F.size(merged)).alias("n_merges"),
+        F.size(merged).alias("n_tokens_after"),
+    )
+
+
 #: cross-source overlap shingle width (string n-grams — readable and
 #: oracle-checkable; the hashed-shingle variant lives in dedup.py)
 OVERLAP_N = 5
@@ -855,6 +938,7 @@ def q_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_bpe_pair_counts": q_bpe_pair_counts,
+    "q_bpe_merge_apply": q_bpe_merge_apply,
     "q_quality_token_curve": q_quality_token_curve,
     "q_source_overlap": q_source_overlap,
     "q_chunk_documents": q_chunk_documents,
@@ -929,6 +1013,55 @@ ORACLES = {
         GROUP BY 1, 2
         ORDER BY pair_count DESC, left_tok, right_tok
         LIMIT {BPE_TOPK}
+    """,
+    # merge apply: the oracle never re-runs the fold — greedy
+    # non-overlapping LTR merges equal sum(ceil(island/2)) over islands
+    # of consecutive adjacent-match positions (an island longer than 1
+    # requires left_tok = right_tok, the "a a a" run case)
+    "q_bpe_merge_apply": r"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS t
+            FROM documents),
+        pos AS (
+            SELECT doc_id, p.tok, p.pos
+            FROM tk, LATERAL (SELECT unnest(tk.t) AS tok,
+                                     generate_subscripts(tk.t, 1) AS pos) p),
+        adj AS (
+            SELECT doc_id, pos, tok AS l,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS r
+            FROM pos),
+        counts AS (
+            SELECT l, r, COUNT(*) AS c
+            FROM adj WHERE r IS NOT NULL GROUP BY 1, 2),
+        top1 AS (
+            SELECT l AS left_tok, r AS right_tok FROM counts
+            ORDER BY c DESC, l, r LIMIT 1),
+        m AS (
+            SELECT adj.doc_id, adj.pos
+            FROM adj, top1
+            WHERE adj.l = top1.left_tok AND adj.r = top1.right_tok),
+        isl AS (
+            SELECT doc_id, grp, COUNT(*) AS run
+            FROM (SELECT doc_id,
+                         pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) AS grp
+                  FROM m)
+            GROUP BY 1, 2),
+        merges AS (
+            SELECT doc_id,
+                   SUM(CAST(CEIL(run / 2.0) AS BIGINT)) AS n_merges
+            FROM isl GROUP BY 1),
+        nn AS (SELECT doc_id, len(t) AS n_tok FROM tk)
+        SELECT nn.doc_id, top1.left_tok, top1.right_tok,
+               CAST(nn.n_tok AS INT) AS n_tokens_before,
+               CAST(COALESCE(merges.n_merges, 0) AS INT) AS n_merges,
+               CAST(nn.n_tok - COALESCE(merges.n_merges, 0) AS INT)
+                   AS n_tokens_after
+        FROM nn CROSS JOIN top1
+        LEFT JOIN merges ON merges.doc_id = nn.doc_id
     """,
     # threshold curve: identical raw-double score (IEEE +,×,/ only, so
     # bucketing cannot flip between engines); BIGINT-cast every summed

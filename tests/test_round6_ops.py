@@ -269,3 +269,34 @@ def test_quality_token_curve_cumulative_contract(spark, sf_dir):
     assert rows[-1].retained_frac == 1.0
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert sum(r.n_docs for r in rows) == docs.count()
+
+
+def test_bpe_merge_fold_greedy_semantics(spark):
+    """The fold implements standard greedy non-overlapping BPE merge:
+    runs of k identical tokens merge floor(k/2) times, disjoint
+    occurrences all merge, and merged tokens never re-merge."""
+    from breweries_case_spark.operators.text import bpe_merge_fold
+
+    cases = [
+        (["a", "b"], "a", "b", ["a b"]),
+        (["a", "a", "a"], "a", "a", ["a a", "a"]),
+        (["a", "a", "a", "a"], "a", "a", ["a a", "a a"]),
+        (["a", "b", "a", "b"], "a", "b", ["a b", "a b"]),
+        (["x", "a", "b", "y"], "a", "b", ["x", "a b", "y"]),
+        (["a", "a", "b"], "a", "b", ["a", "a b"]),
+        (["b", "a"], "a", "b", ["b", "a"]),
+        (["a"], "a", "a", ["a"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, r) for i, (t, l, r, _) in enumerate(cases)],
+        "i int, t array<string>, l string, r string",
+    )
+    got = {
+        row.i: row.m
+        for row in df.select(
+            "i",
+            bpe_merge_fold(F.col("t"), F.col("l"), F.col("r")).alias("m"),
+        ).collect()
+    }
+    for i, (_, _, _, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]} != {want}"
