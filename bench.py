@@ -192,6 +192,11 @@ EXTENDED = [
     # cell dedup — the binned interval x interval shape (q_join_range is
     # point-in-band)
     "q_join_interval_overlap",
+    # per-row higher-order fold over full token arrays (the BPE APPLY
+    # step) — the only O(tokens)-per-row F.aggregate in the registry;
+    # its count/curve/overlap siblings reuse already-benched explode→agg
+    # and gram-join shapes and stay out
+    "q_bpe_merge_apply",
 ]
 
 

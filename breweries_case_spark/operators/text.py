@@ -714,7 +714,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bpe_merge_fold(tokens, left, right):
     """Greedy left-to-right non-overlapping merge of the (left, right)
-    pair in a token array, as a codegen'd higher-order fold: append
+    pair in a token array, as a JVM-evaluated higher-order fold: append
     each token unless the accumulator's last element is `left` and the
     token is `right` — then collapse the two into one space-joined
     token (a space cannot occur inside a whitespace-split token, so a
@@ -744,7 +744,7 @@ def q_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops the two, feeding the merged stream back in.
 
     The merge itself is a real left-to-right fold, executed JVM-side
-    as a codegen'd higher-order ``F.aggregate``: the accumulator array
+    as a JVM-evaluated higher-order ``F.aggregate``: the accumulator array
     appends each token unless its last element equals LEFT and the
     token equals RIGHT, in which case the pair collapses into one
     merged token (joined with a space — impossible inside a

@@ -210,6 +210,7 @@ NESTED_LOOP_OK = {
     # broadcast side is a handful of dates, output-sized by definition
     "q_scd2_lookup",
     "q_profile_drift",  # 1-row × 1-row scalar crossJoin of two profiles
+    "q_bpe_merge_apply",  # 1-row winning-pair scalar crossJoin
 }
 
 
