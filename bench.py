@@ -197,6 +197,14 @@ EXTENDED = [
     # its count/curve/overlap siblings reuse already-benched explode→agg
     # and gram-join shapes and stay out
     "q_bpe_merge_apply",
+    # 6-batch watermark replay: the only id whose cost is dominated by
+    # repeated micro-batch scheduling (6 processAllAvailable rounds),
+    # not by a data plan — benched so that cadence regression is visible
+    "q_stream_late_data",
+    # cluster-root split: pair source + connected components + label
+    # join — the only id that composes component labels back onto a
+    # full-corpus projection (q_dedup_clusters aggregates instead)
+    "q_split_leakage_safe",
 ]
 
 

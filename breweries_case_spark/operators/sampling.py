@@ -446,6 +446,68 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split UNIT is the near-dup
+    CLUSTER, not the document. Hashing each doc independently
+    (q_split_train_val_test) puts near-copies of an eval document into
+    train — the classic train/test contamination path; hashing the
+    cluster root instead guarantees every member of a near-dup cluster
+    lands in the SAME split, by construction (split is a function of the
+    root). Pipeline: exact-Jaccard pair source → connected components →
+    per-doc root label → md5(root) bucket, the same deterministic
+    80/10/10 rule as the naive split so the two are comparable;
+    ``reassigned`` flags docs whose split MOVED relative to per-doc
+    hashing (non-root members whose own bucket lands elsewhere — the
+    would-be leaks plus their collateral).
+
+    Scale: the pair source and components are the documented dedup-tier
+    shapes (at 100 TB swap in the bounded blocker composition and
+    ``connected_components_star``); the split itself adds one
+    label-join plus stateless hash expressions — nothing new shuffles.
+    Oracle: the recursive-CTE component fixpoint + the identical md5
+    bucket arithmetic."""
+    from breweries_case_spark.operators.dedup import (
+        connected_components,
+        q_dedup_ngram_jaccard,
+    )
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    comps = connected_components(
+        pairs, d.select(F.col("doc_id").alias("node"))
+    )
+    labeled = d.select("doc_id", "source").join(
+        comps, d.doc_id == comps.node, "left"
+    )
+    root = F.coalesce(F.col("label"), F.col("doc_id"))
+
+    def bucket_of(col):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10)
+            .cast("long")
+            % 100
+        )
+
+    def split_of(bucket):
+        return (
+            F.when(bucket < SPLIT_TRAIN_LT, "train")
+            .when(bucket < SPLIT_VAL_LT, "val")
+            .otherwise("test")
+        )
+
+    split = split_of(bucket_of(root))
+    naive = split_of(bucket_of(F.col("doc_id")))
+    return labeled.select(
+        "doc_id",
+        "source",
+        root.alias("cluster_root"),
+        split.alias("split"),
+        (split != naive).cast("int").alias("reassigned"),
+    )
+
+
 #: canonical NULL sentinel for checksum hashing (concat_ws silently drops
 #: nulls, so every column is coalesced BEFORE hashing/concatenation)
 _CK_NULL = "<NULL>"
@@ -665,6 +727,7 @@ QUERIES = {
     "q_sample_token_budget": q_sample_token_budget,
     "q_sample_weighted": q_sample_weighted,
     "q_split_train_val_test": q_split_train_val_test,
+    "q_split_leakage_safe": q_split_leakage_safe,
     "q_table_checksum": q_table_checksum,
     "q_skew_profile": q_skew_profile,
 }
@@ -874,3 +937,37 @@ ORACLES = {
         FROM documents
     """,
 }
+
+# Leakage-safe split twin: the dedup module's recursive-CTE component
+# fixpoint supplies the doc -> cluster-root labels; the bucket/split
+# arithmetic is the identical md5 rendering as q_split_train_val_test,
+# applied to the root (split) and the doc (naive comparison flag).
+from breweries_case_spark.operators.dedup import (  # noqa: E402
+    _CLUSTERS_CTES as _DEDUP_CLUSTERS_CTES,
+)
+
+ORACLES["q_split_leakage_safe"] = (
+    _DEDUP_CLUSTERS_CTES
+    + f"""
+        SELECT doc_id, source, cluster_root,
+               CASE WHEN rb < {SPLIT_TRAIN_LT} THEN 'train'
+                    WHEN rb < {SPLIT_VAL_LT} THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN (CASE WHEN rb < {SPLIT_TRAIN_LT} THEN 'train'
+                               WHEN rb < {SPLIT_VAL_LT} THEN 'val'
+                               ELSE 'test' END)
+                    <> (CASE WHEN nb < {SPLIT_TRAIN_LT} THEN 'train'
+                             WHEN nb < {SPLIT_VAL_LT} THEN 'val'
+                             ELSE 'test' END)
+                    THEN 1 ELSE 0 END AS reassigned
+        FROM (
+            SELECT d.doc_id, d.source, l.cluster_id AS cluster_root,
+                   CAST(concat('0x', substr(md5(
+                       CAST(l.cluster_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) % 100 AS rb,
+                   CAST(concat('0x', substr(md5(
+                       CAST(d.doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) % 100 AS nb
+            FROM documents d JOIN labels l USING (doc_id))
+    """
+)

@@ -137,6 +137,76 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: late-data replay: every LATE_EVERY-th event (by id) arrives
+#: LATE_SHIFT_US after its event time; the replay delivers arrival order
+#: in LATE_BATCHES micro-batches, so watermark advancement between
+#: batches drops the stragglers whose window has already closed.
+LATE_SHIFT_US = 2 * 24 * 3600 * 1_000_000  # 2 days offline, then sync
+LATE_EVERY = 17
+LATE_BATCHES = 6
+#: streaming/windows.WATERMARK ("10 minutes") in milliseconds — the
+#: oracle models the engine's ms-granular watermark with this value
+LATE_WM_MS = 10 * 60 * 1000
+
+
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics, driver-value-checked on a real
+    multi-batch replay — the one Structured Streaming behavior a
+    single-batch replay can never exercise (within one micro-batch the
+    watermark hasn't advanced, so nothing is ever late). Arrival
+    simulation: every 17th event arrives 2 days after its event time
+    (a device offline then syncing); arrival order is split into 6
+    micro-batches delivered one processAllAvailable at a time, so the
+    engine's watermark advances on exactly the batch boundaries.
+    Late events whose 5-minute window already closed are dropped; the
+    append-mode result is the closed windows computed over the
+    SURVIVORS only.
+
+    The oracle replays the engine's contract in SQL, from three
+    empirically pinned rules (probed on Spark 4.1.2, see
+    tests/test_streaming.py):
+      1. watermark entering batch i = max event-time MILLISECOND (floor)
+         over batches < i, minus the 10-minute delay — late rows still
+         feed the stats, and the first batch has no watermark;
+      2. a row is dropped iff its window END <= that watermark
+         (inclusive), compared on the window, not the raw timestamp;
+      3. a window is emitted iff its end <= the FINAL watermark
+         (inclusive — processAllAvailable runs the trailing eviction
+         batch after the last data batch).
+    Batching is ntile(6) over the total (arrival_us, event_id) order —
+    deterministic and identical in both engines.
+
+    Scale: the staging window is the SIMULATION, not the operator — a
+    production stream arrives pre-batched by time. The streaming plan
+    itself is the standard watermark + tumbling-agg shape whose state is
+    O(open windows x event types), independent of stream length."""
+    from breweries_case_spark.streaming.windows import replay_in_batches
+
+    ev = load_table(spark, sf_dir, "events")
+    arrival = F.unix_micros(F.col("ts")) + F.when(
+        F.col("event_id") % LATE_EVERY == 0, F.lit(LATE_SHIFT_US)
+    ).otherwise(F.lit(0))
+    w = Window.orderBy("arrival_us", "event_id")
+    batched = (
+        ev.select("ts", "event_type", "value", "event_id")
+        .withColumn("arrival_us", arrival)
+        .withColumn("batch", F.ntile(LATE_BATCHES).over(w))
+        .select("ts", "event_type", "value", "batch")
+        .localCheckpoint()
+    )
+    batches = [
+        batched.filter(F.col("batch") == i).drop("batch")
+        for i in range(1, LATE_BATCHES + 1)
+    ]
+    return replay_in_batches(
+        spark,
+        batches,
+        "ts timestamp, event_type string, value double",
+        tumbling_counts,
+        "stream_late_out",
+    )
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream time-bounded join replay: purchases within 60 s of a
     signup, both sides real streams. Must equal the batch
@@ -301,6 +371,7 @@ QUERIES = {
     "q_stream_join": q_stream_join,
     "q_stream_join_outer": q_stream_join_outer,
     "q_stream_static_join": q_stream_static_join,
+    "q_stream_late_data": q_stream_late_data,
 }
 
 # Spark's F.window FLOORS from the Unix epoch. DuckDB's // truncates
@@ -416,6 +487,48 @@ ORACLES["q_stream_stateful_exact"] = """
                SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)), 0
            ) AS BIGINT) AS value_cents
     FROM events GROUP BY user_id
+"""
+
+# Multi-batch late-data replay twin: the watermark trajectory is a
+# closed form of the deterministic batching (ntile over the total
+# arrival order), and the three comparison rules are the empirically
+# pinned engine semantics documented on q_stream_late_data. Window
+# arithmetic in epoch MICROseconds; watermark in engine-native
+# MILLIseconds (floored), scaled back to us at the comparisons.
+ORACLES["q_stream_late_data"] = f"""
+    WITH arr AS (
+        SELECT ts, event_type, value, event_id,
+               epoch_us(ts) + CASE WHEN event_id % {LATE_EVERY} = 0
+                                   THEN {LATE_SHIFT_US} ELSE 0 END
+                   AS arrival_us
+        FROM events),
+    b AS (
+        SELECT ts, event_type, value,
+               ntile({LATE_BATCHES})
+                   OVER (ORDER BY arrival_us, event_id) AS batch
+        FROM arr),
+    bm AS (SELECT batch, MAX(epoch_us(ts) // 1000) AS mx_ms
+           FROM b GROUP BY batch),
+    wm AS (
+        SELECT batch,
+               MAX(mx_ms) OVER (ORDER BY batch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - {LATE_WM_MS} AS wm_ms
+        FROM bm),
+    fin AS (SELECT MAX(mx_ms) - {LATE_WM_MS} AS fin_ms FROM bm),
+    surv AS (
+        SELECT (epoch_us(b.ts) // 300000000) * 300000000 AS ws_us,
+               b.event_type, b.value
+        FROM b JOIN wm USING (batch)
+        WHERE wm.wm_ms IS NULL
+           OR (epoch_us(b.ts) // 300000000) * 300000000 + 300000000
+                  > wm.wm_ms * 1000)
+    SELECT make_timestamp(ws_us) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM surv CROSS JOIN fin
+    WHERE ws_us + 300000000 <= fin.fin_ms * 1000
+    GROUP BY ws_us, event_type
 """
 
 ORACLES["q_stream_sink_parquet"] = """

@@ -293,6 +293,65 @@ def collapse_outer_probe_rows(raw: DataFrame) -> DataFrame:
     )
 
 
+def replay_in_batches(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    schema_ddl: str,
+    build_query,
+    name: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drive a streaming query over a MULTI-batch replay: each entry in
+    ``batches`` is written to the file source and fully processed before
+    the next is written, so micro-batch boundaries — and therefore
+    watermark advancement — are exactly the list boundaries. This is the
+    harness for semantics that only exist ACROSS batches (late-data
+    drops, append-mode eviction timing); the single-shot
+    ``run_stream_to_memory`` replay feeds everything in one batch, where
+    a watermark can never drop anything.
+
+    Asserts exactly len(batches) data-carrying micro-batches ran — the
+    delivery-cadence premise the caller's oracle encodes — and returns
+    the memory-sink result materialized off the scratch dir."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=f"{name}_")
+    src = f"{base}/in"
+    try:
+        batches[0].write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(schema_ddl).parquet(src)
+        q = (
+            build_query(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                b.write.mode("append").parquet(src)
+                q.processAllAvailable()
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches != len(batches):
+                raise AssertionError(
+                    f"stream {name!r}: {data_batches} data-carrying "
+                    f"micro-batches, replay premise requires exactly "
+                    f"{len(batches)} — the oracle's watermark "
+                    "trajectory no longer matches the delivery"
+                )
+        finally:
+            q.stop()
+        out = spark.table(name)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame,
     name: str,

@@ -300,3 +300,162 @@ def test_bpe_merge_fold_greedy_semantics(spark):
     }
     for i, (_, _, _, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]} != {want}"
+
+
+# --- watermark boundary rules (q_stream_late_data's oracle premises) ---------
+
+
+def test_watermark_boundary_rules(spark, tmp_path):
+    """Pin the THREE empirical rules q_stream_late_data's oracle encodes
+    (probed on Spark 4.1.2; a Spark upgrade that moves any boundary
+    must fail HERE, not as a driver value mismatch):
+      1. a late row whose window is still open (end > wm from PRIOR
+         batches) is ADMITTED — and the filter tests the WINDOW end,
+         not the raw timestamp (a row with ts < wm but window end > wm
+         survives);
+      2. eviction/drop is INCLUSIVE: a window whose end == wm is
+         emitted, and a late row for it is dropped;
+      3. processAllAvailable runs the trailing eviction batch, so
+         windows closed by the FINAL watermark are emitted."""
+    import datetime
+
+    path = str(tmp_path / "wm_rules_in")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    def write(rows, mode):
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        ).write.mode(mode).parquet(path)
+
+    from breweries_case_spark.streaming.windows import tumbling_counts
+
+    # batch 1: wm after = 00:03
+    write([(ts(1), "a", 1.0), (ts(13), "a", 1.0)], "overwrite")
+    events = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(path)
+    q = (
+        tumbling_counts(events)
+        .writeStream.format("memory")
+        .queryName("wm_rules_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: ts 00:02 < wm 00:03 but window [0,5) end 00:05 > wm
+        # -> rule 1 says ADMITTED; max ts 00:15:00 exactly -> wm becomes
+        # 00:05:00.000 exactly
+        write([(ts(2), "a", 1.0), (ts(15), "a", 1.0)], "append")
+        q.processAllAvailable()
+        # batch 3: late row at the EXACT boundary (window end 00:05 ==
+        # wm 00:05) -> rule 2 says dropped; ts 00:40 closes the rest
+        write([(ts(4), "a", 99.0), (ts(40), "a", 1.0)], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r.window_start.strftime("%H:%M"), r.event_type): (
+            r.n_events,
+            r.sum_value,
+        )
+        for r in spark.table("wm_rules_out").collect()
+    }
+    # rule 1 + rule 2 (emission at exact boundary): w[0,5) emitted with
+    # ts1 AND the ts2 straggler, never the 99.0 boundary late row
+    assert out[("00:00", "a")] == (2, 2.0)
+    # rule 2 (drop at exact boundary): no duplicate/updated emission
+    assert sum(1 for (w, _k) in out if w == "00:00") == 1
+    # rule 3: final wm 00:30 closed [10,15) and [15,20)
+    assert out[("00:10", "a")] == (1, 1.0)
+    assert out[("00:15", "a")] == (1, 1.0)
+    # [40,45) is NOT closed by wm 00:30 -> withheld
+    assert ("00:40", "a") not in out
+
+
+def test_stream_late_data_drops_and_matches_model(spark, sf_dir):
+    """The registered replay must (a) actually drop late rows (the id is
+    not vacuously the batch aggregate) and (b) equal its own oracle's
+    closed form — parity also runs this, but HERE a failure localizes
+    to the replay harness vs the model rather than a generic red."""
+    import duckdb
+
+    from breweries_case_spark.operators.streaming_queries import (
+        ORACLES,
+        q_stream_late_data,
+    )
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in q_stream_late_data(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = {
+        (r[0], r[1]): (r[2], float(r[3]))
+        for r in con.execute(ORACLES["q_stream_late_data"]).fetchall()
+    }
+    assert got == want
+    # non-vacuous: summed over the emitted (closed) windows, the replay
+    # kept FEWER events than the batch aggregate of those same windows —
+    # the gap is exactly the dropped stragglers (at this sf most dropped
+    # rows were their window's only event, so the window vanishes
+    # outright rather than shrinking; totals catch both forms)
+    batch = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            """SELECT make_timestamp((epoch_us(ts)//300000000)*300000000),
+                      event_type, count(*)
+               FROM events GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    final_wm_us = con.execute(
+        """WITH arr AS (SELECT ts, event_id FROM events),
+        mx AS (SELECT MAX(epoch_us(ts) // 1000) AS ms FROM arr)
+        SELECT (ms - 600000) * 1000 FROM mx"""
+    ).fetchone()[0]
+    import datetime
+
+    closed_batch_total = sum(
+        n
+        for (w, _k), n in batch.items()
+        if (w - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6
+        + 300_000_000
+        <= final_wm_us
+    )
+    emitted_total = sum(n for n, _s in got.values())
+    assert emitted_total < closed_batch_total, (
+        "replay emitted every batch event — no late row was dropped"
+    )
+
+
+def test_split_leakage_safe_invariants(spark, sf_dir):
+    """Every near-dup cluster lands in ONE split; reassignments are
+    exactly the docs whose own-hash split differs from their root's;
+    roots keep their naive assignment."""
+    from breweries_case_spark.operators.sampling import (
+        q_split_leakage_safe,
+        q_split_train_val_test,
+    )
+
+    safe = q_split_leakage_safe(spark, sf_dir).collect()
+    naive = {
+        r.doc_id: r.split for r in q_split_train_val_test(spark, sf_dir).collect()
+    }
+    by_root: dict = {}
+    for r in safe:
+        by_root.setdefault(r.cluster_root, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_root.values()), "cluster spans splits"
+    for r in safe:
+        assert r.reassigned == int(r.split != naive[r.doc_id])
+        if r.doc_id == r.cluster_root:
+            assert r.split == naive[r.doc_id]
+    assert sum(r.reassigned for r in safe) > 0, (
+        "fixture has near-dup clusters, so some doc must move"
+    )
