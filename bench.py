@@ -192,6 +192,10 @@ EXTENDED = [
     # cell dedup — the binned interval x interval shape (q_join_range is
     # point-in-band)
     "q_join_interval_overlap",
+    # the join-free sweep-line twin of the overlap COUNT — union of ±1
+    # events, ONE exchange on suppkey, window running sum; benched so
+    # the grid-vs-sweep crossover stays measured
+    "q_join_interval_sweep",
     # per-row higher-order fold over full token arrays (the BPE APPLY
     # step) — the only O(tokens)-per-row F.aggregate in the registry;
     # its count/curve/overlap siblings reuse already-benched explode→agg

@@ -329,6 +329,78 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COUNT form of the interval-overlap join as a sweep line —
+    zero joins: each interval becomes a +1 event at shipdate and a −1
+    event at receiptdate; a running sum per supplier in event order
+    gives the number of already-open intervals at each start, and every
+    open interval is exactly one overlapping pair counted once (at the
+    later start). Tie order makes the inclusive-overlap boundary exact:
+    starts sort BEFORE ends at the same date (an interval ending the
+    day another starts still overlaps it), equal-date starts break by
+    the packed pair key so each unordered pair is counted at exactly
+    one of its endpoints. The count is invariant to how exact ties
+    (same date, type, AND key) are broken — positions i and i+1 in the
+    frame contribute (i−1)+i either way — so the sweep counts every
+    unordered pair of distinct overlapping ROWS exactly once even
+    though the synthetic testdata has duplicate (orderkey, linenumber)
+    keys (6000 rows, 4599 distinct at sf0.001). That makes its output a
+    strict superset of ``q_join_interval_overlap``'s strict-key-order
+    pair count; the oracle below mirrors the row semantics with a
+    ``row_number() OVER ()`` unique row id, which is deterministic for
+    the COUNT because the number of unordered pairs does not depend on
+    the total order chosen.
+
+    When to use which: the grid join materializes the PAIRS (needed for
+    pair-level outputs — dedup verify, conflict lists); when only
+    per-key counts are needed, the sweep replaces the Σcell df² join
+    volume with 2n event rows and one sort per key — O(n log n) per
+    supplier instead of join-candidate quadratic in the per-cell
+    density, and immune to a hot month that fattens a grid cell.
+    Suppliers whose every shipment is disjoint aggregate to zero and
+    are dropped to match the inner-join twin's output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("pk"),
+        "l_suppkey",
+        "l_shipdate",
+        F.date_add(
+            F.col("l_shipdate"), (F.col("l_partkey") % 21 + 3).cast("int")
+        ).alias("l_receiptdate"),
+    )
+    starts = li.select(
+        "l_suppkey",
+        F.col("l_shipdate").alias("t"),
+        F.lit(0).alias("typ"),
+        "pk",
+        F.lit(1).alias("delta"),
+    )
+    ends = li.select(
+        "l_suppkey",
+        F.col("l_receiptdate").alias("t"),
+        F.lit(1).alias("typ"),
+        "pk",
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("t", "typ", "pk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    active = F.sum("delta").over(w)
+    return (
+        starts.unionAll(ends)
+        .withColumn("open_incl_self", active)
+        .filter(F.col("typ") == 0)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("open_incl_self") - F.lit(1)).alias(
+                "overlapping_pairs"
+            )
+        )
+        .filter(F.col("overlapping_pairs") > 0)
+    )
+
+
 def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join via bucketing: orders and lineitem written
     bucketed-by-orderkey into the same bucket count, then joined — Spark
@@ -1198,6 +1270,7 @@ QUERIES = {
     "q_join_anti": q_join_anti,
     "q_join_range": q_join_range,
     "q_join_interval_overlap": q_join_interval_overlap,
+    "q_join_interval_sweep": q_join_interval_sweep,
     "q_join_range_binned": q_join_range_binned,
     "q_join_bucketed": q_join_bucketed,
     "q_dedup_pairs": q_dedup_pairs,
@@ -1421,6 +1494,26 @@ ORACLES = {
          AND (a.l_orderkey < b.l_orderkey
               OR (a.l_orderkey = b.l_orderkey
                   AND a.l_linenumber < b.l_linenumber))
+         AND a.l_shipdate <= b.l_receiptdate
+         AND b.l_shipdate <= a.l_receiptdate
+        GROUP BY a.l_suppkey
+    """,
+    # The sweep counts unordered pairs of distinct overlapping ROWS
+    # (the testdata has duplicate (orderkey, linenumber) keys, which
+    # the grid twin's strict key order skips), so its oracle assigns a
+    # unique row id via row_number() OVER () — the pair COUNT is
+    # invariant to whatever total order the window picks.
+    "q_join_interval_sweep": """
+        WITH li AS (
+            SELECT row_number() OVER () AS rid, l_suppkey, l_shipdate,
+                   l_shipdate
+                   + to_days(CAST(l_partkey % 21 + 3 AS INT))
+                       AS l_receiptdate
+            FROM lineitem)
+        SELECT a.l_suppkey, count(*) AS overlapping_pairs
+        FROM li a JOIN li b
+          ON a.l_suppkey = b.l_suppkey
+         AND a.rid < b.rid
          AND a.l_shipdate <= b.l_receiptdate
          AND b.l_shipdate <= a.l_receiptdate
         GROUP BY a.l_suppkey

@@ -459,3 +459,64 @@ def test_split_leakage_safe_invariants(spark, sf_dir):
     assert sum(r.reassigned for r in safe) > 0, (
         "fixture has near-dup clusters, so some doc must move"
     )
+
+
+# --- interval-overlap sweep line ---------------------------------------------
+
+
+def test_interval_sweep_plan_is_join_free_single_exchange(spark, sf_dir):
+    """The sweep's entire value is its plan shape: no join operator at
+    all, and exactly ONE exchange (hash on l_suppkey) feeding the sort +
+    window; the per-supplier aggregate must REUSE that partitioning
+    rather than shuffle again."""
+    from breweries_case_spark.operators.relational import q_join_interval_sweep
+
+    plan = _final_plan(q_join_interval_sweep(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_interval_sweep_equals_grid_plus_duplicate_key_pairs(spark, sf_dir):
+    """The sweep counts unordered pairs of distinct ROWS; the grid twin's
+    strict packed-key order skips pairs whose (orderkey, linenumber) key
+    collides (the synthetic lineitem is NOT key-unique: 6000 rows / 4599
+    distinct keys at sf0.001). Pin the exact decomposition per supplier:
+    sweep == grid + (# overlapping pairs among equal-pk rows)."""
+    from breweries_case_spark.operators.relational import (
+        q_join_interval_overlap,
+        q_join_interval_sweep,
+    )
+    from breweries_case_spark.io.reader import load_table
+
+    sweep = {
+        r.l_suppkey: r.overlapping_pairs
+        for r in q_join_interval_sweep(spark, sf_dir).collect()
+    }
+    grid = {
+        r.l_suppkey: r.overlapping_pairs
+        for r in q_join_interval_overlap(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("pk"),
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(
+            F.col("l_shipdate"), (F.col("l_partkey") % 21 + 3).cast("int")
+        ).alias("e"),
+    )
+    rows = li.collect()
+    from collections import defaultdict
+    import itertools
+
+    by_pk: dict = defaultdict(list)
+    for r in rows:
+        by_pk[(r.l_suppkey, r.pk)].append((r.s, r.e))
+    dup_pairs: dict = defaultdict(int)
+    for (sk, _pk), ivs in by_pk.items():
+        for a, b in itertools.combinations(ivs, 2):
+            if a[0] <= b[1] and b[0] <= a[1]:
+                dup_pairs[sk] += 1
+    assert sum(dup_pairs.values()) > 0, "fixture must exercise key collisions"
+    for sk in set(sweep) | set(grid) | set(dup_pairs):
+        assert sweep.get(sk, 0) == grid.get(sk, 0) + dup_pairs[sk], sk
