@@ -205,6 +205,83 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact-Jaccard pair set as ``q_dedup_ngram_jaccard``
+    (same oracle — two independent Spark plans against one DuckDB
+    formulation) computed with PPJoin-style PREFIX FILTERING (Chaudhuri
+    et al. ICDE'06; Xiao et al. WWW'08): instead of indexing EVERY gram
+    of every document, each document posts only its p = |d| − ⌈t·|d|⌉ + 1
+    rarest grams (global ascending-document-frequency order, ties broken
+    by gram text for determinism), and candidates are prefix⋈prefix on
+    (lang, gram). Lossless by the prefix lemma: J(a,b) ≥ t implies
+    |a∩b| ≥ t·max(|a|,|b|), and if the smallest shared gram (in the
+    global order) escaped either document's prefix, that document could
+    hold at most ⌈t·|d|⌉ − 1 < t·|d| shared grams — contradiction; so
+    every qualifying pair shares a PREFIX gram and survives to the
+    verify stage, which recounts the full intersection exactly.
+
+    Scale shape vs the full inverted index: candidate volume drops from
+    Σ_gram df² to Σ_prefix-gram df_p² where the prefix keeps only the
+    (1−t)-fraction RAREST grams of each doc — precisely the grams with
+    the smallest df — so the frequent-gram buckets that dominate the
+    df² sum (the skew hazard flagged on q_dedup_ngram_jaccard) never
+    enter the join at all. The price is one extra df aggregate + a
+    per-doc rank window + a candidate-verify join — the same
+    candidate-then-verify topology as the bounded dedup tier. Measured
+    at sf0.1: see SURVEY §6."""
+    t = JACCARD_THRESHOLD
+    grams = (
+        _docs_with_gram_rows(spark, sf_dir)
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+        .localCheckpoint()
+    )
+    df_tbl = grams.groupBy("lang", "gram").agg(F.count("*").alias("df"))
+    ranked = grams.join(df_tbl, ["lang", "gram"]).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "gram")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + F.lit(1)
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= F.col("b.sz") * F.lit(t))
+            & (F.col("b.sz") >= F.col("a.sz") * F.lit(t)),
+        )
+        # two shared prefix grams emit the pair twice; dedup before the
+        # verify join or the intersection counts double
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = F.count("*")
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b", "lang", "sz_a", "sz_b")
+        .agg(F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select("doc_a", "doc_b", "lang", "jaccard")
+    )
+
+
 # --- X2b: SimHash -----------------------------------------------------------
 
 SIMHASH_BITS = 64
@@ -1231,6 +1308,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_prefix_filter": q_dedup_prefix_filter,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_blocker_recall": q_dedup_blocker_recall,
@@ -1330,6 +1408,12 @@ ORACLES = {
         FROM documents GROUP BY 1
     """,
     "q_dedup_ngram_jaccard": _NGRAM_JACCARD_CTES
+    + """
+        SELECT doc_a, doc_b, lang, jaccard FROM true_pairs
+    """,
+    # prefix filtering is LOSSLESS, so the PPJoin-style plan answers to
+    # the identical exact-pair oracle as the full inverted index
+    "q_dedup_prefix_filter": _NGRAM_JACCARD_CTES
     + """
         SELECT doc_a, doc_b, lang, jaccard FROM true_pairs
     """,

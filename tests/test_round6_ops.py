@@ -520,3 +520,33 @@ def test_interval_sweep_equals_grid_plus_duplicate_key_pairs(spark, sf_dir):
     assert sum(dup_pairs.values()) > 0, "fixture must exercise key collisions"
     for sk in set(sweep) | set(grid) | set(dup_pairs):
         assert sweep.get(sk, 0) == grid.get(sk, 0) + dup_pairs[sk], sk
+
+
+def test_prefix_filter_lossless_and_smaller_index(spark, sf_dir):
+    """The prefix-filter plan must produce the IDENTICAL exact pair set
+    as the full inverted index (prefix filtering is lossless), while
+    posting strictly fewer (doc, gram) rows into the candidate join."""
+    from breweries_case_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _docs_with_gram_rows,
+        q_dedup_ngram_jaccard,
+        q_dedup_prefix_filter,
+    )
+    from pyspark.sql.window import Window
+
+    full = {tuple(r) for r in q_dedup_ngram_jaccard(spark, sf_dir).collect()}
+    pref = {tuple(r) for r in q_dedup_prefix_filter(spark, sf_dir).collect()}
+    assert full == pref and len(full) > 0
+    t = JACCARD_THRESHOLD
+    grams = _docs_with_gram_rows(spark, sf_dir).withColumn(
+        "sz", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    df_tbl = grams.groupBy("lang", "gram").agg(F.count("*").alias("df"))
+    ranked = grams.join(df_tbl, ["lang", "gram"]).withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram")),
+    )
+    n_prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + F.lit(1)
+    ).count()
+    assert 0 < n_prefix < grams.count()
