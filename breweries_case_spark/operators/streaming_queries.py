@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from breweries_case_spark.io.reader import load_table
 from breweries_case_spark.streaming.windows import (
+    WATERMARK_MINUTES,
     collapse_outer_probe_rows,
     dedup_events,
     interval_join,
@@ -144,9 +145,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 LATE_SHIFT_US = 2 * 24 * 3600 * 1_000_000  # 2 days offline, then sync
 LATE_EVERY = 17
 LATE_BATCHES = 6
-#: streaming/windows.WATERMARK ("10 minutes") in milliseconds — the
-#: oracle models the engine's ms-granular watermark with this value
-LATE_WM_MS = 10 * 60 * 1000
+#: streaming/windows.WATERMARK in milliseconds — DERIVED from the same
+#: WATERMARK_MINUTES int the engine-side withWatermark uses, so the
+#: oracle's ms-granular watermark model can never desync from the engine
+LATE_WM_MS = WATERMARK_MINUTES * 60 * 1000
 
 
 def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,18 +548,18 @@ ORACLES["q_stream_sink_parquet"] = """
 # struct mirrors collapse_outer_probe_rows' coherent-pair pick. The
 # strict-< boundary is empirical — no fixture event lands on the exact
 # boundary microsecond at any driver sf.
-ORACLES["q_stream_join_outer"] = """
+ORACLES["q_stream_join_outer"] = f"""
     WITH s AS (SELECT event_id AS signup_id, ts AS s_ts
                FROM events WHERE event_type = 'signup'),
     p AS (SELECT event_id AS purchase_id, ts AS p_ts
           FROM events WHERE event_type = 'purchase'),
     wm AS (SELECT LEAST((SELECT MAX(s_ts) FROM s),
                         (SELECT MAX(p_ts) FROM p))
-                  - INTERVAL 10 MINUTE AS w),
+                  - INTERVAL {WATERMARK_MINUTES} MINUTE AS w),
     pairs AS (
         SELECT s.signup_id,
-               MIN({'delta': epoch_us(p.p_ts) - epoch_us(s.s_ts),
-                    'purchase_id': p.purchase_id}) AS m
+               MIN({{'delta': epoch_us(p.p_ts) - epoch_us(s.s_ts),
+                    'purchase_id': p.purchase_id}}) AS m
         FROM s JOIN p
           ON p.p_ts >= s.s_ts
          AND p.p_ts <= s.s_ts + INTERVAL 60 SECOND

@@ -632,7 +632,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking — the 1→N context-window prep
     every training/RAG pipeline runs before packing: token windows of
     CHUNK_TOKENS advancing by CHUNK_STRIDE (overlap keeps boundary
-    context), last partial window kept. ENTIRELY JVM built-ins
+    context), last partial window kept. A chunk i>0 is only emitted when
+    it ADDS tokens beyond the previous window's end (i·stride + tokens >
+    (i-1)·stride + tokens ⇔ n > i·stride + (tokens - stride)), so no
+    chunk is ever a strict suffix of its predecessor — the dedup real
+    chunkers apply: n_chunks = 1 + floor(max(n - tokens + stride - 1, 0)
+    / stride). ENTIRELY JVM built-ins
     (split → transform(sequence) → explode): no Python in the hot path,
     whole-stage codegen end to end, and the 1→N expansion happens
     inside the scan stage — no shuffle at any corpus size. Every doc
@@ -643,7 +648,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", F.size(F.col("t"))
     )
     n_chunks = F.floor(
-        F.greatest(F.col("n") - 1, F.lit(0)) / F.lit(CHUNK_STRIDE)
+        F.greatest(
+            F.col("n") - F.lit(CHUNK_TOKENS - CHUNK_STRIDE + 1), F.lit(0)
+        )
+        / F.lit(CHUNK_STRIDE)
     ).cast("int") + F.lit(1)
     chunk = lambda i: F.struct(  # noqa: E731
         i.alias("chunk_idx"),
@@ -1139,7 +1147,9 @@ ORACLES = {
         JOIN totals tb ON tb.source = src_b
     """,
     # sliding chunks: list_slice + unnested per-row series reproduce the
-    # window geometry exactly (1-indexed slice, last partial kept);
+    # window geometry exactly (1-indexed slice, last partial kept; a
+    # trailing window that would be a strict suffix of the previous one
+    # is not emitted — same n_chunks formula as the Spark side);
     # note documents text is never empty so n >= 1 and every doc chunks
     "q_chunk_documents": rf"""
         WITH base AS (
@@ -1150,7 +1160,8 @@ ORACLES = {
         ex AS (
             SELECT doc_id, t, n,
                    unnest(generate_series(
-                       0, CAST(floor(greatest(n - 1, 0)
+                       0, CAST(floor(greatest(
+                              n - {CHUNK_TOKENS - CHUNK_STRIDE + 1}, 0)
                                      / {CHUNK_STRIDE}) AS INT))) AS i
             FROM base)
         SELECT doc_id,

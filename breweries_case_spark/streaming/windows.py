@@ -29,7 +29,12 @@ from breweries_case_spark.schemas import (
     EVENTS_RAW_SCHEMA_NTZ,
 )
 
-WATERMARK = "10 minutes"
+#: single source of truth for the watermark delay — every engine-side
+#: withWatermark AND every oracle constant (streaming_queries.LATE_WM_MS,
+#: the INTERVAL in the q_stream_join_outer oracle) derives from this int
+#: so a change here can never silently desync an oracle
+WATERMARK_MINUTES = 10
+WATERMARK = f"{WATERMARK_MINUTES} minutes"
 
 
 def _events_ts_encoding(sf_dir: str) -> str:
