@@ -168,7 +168,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     empirically pinned rules (probed on Spark 4.1.2, see
     tests/test_streaming.py):
       1. watermark entering batch i = max event-time MILLISECOND (floor)
-         over batches < i, minus the 10-minute delay — late rows still
+         over batches < i, minus the WATERMARK_MINUTES delay — late rows still
          feed the stats, and the first batch has no watermark;
       2. a row is dropped iff its window END <= that watermark
          (inclusive), compared on the window, not the raw timestamp;
@@ -237,7 +237,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-backed since r6: the replay is deterministic (single-file
     source → one data micro-batch; final watermark = min of the two
-    sides' max event time minus the 10-minute delay), so the emitted set
+    sides' max event time minus the WATERMARK_MINUTES delay), so the emitted set
     is a closed-form batch query — every matched signup, plus NULL rows
     for exactly the signups whose s_ts + 60 s lies strictly before the
     final watermark. The strict-< eviction boundary is empirical; no
@@ -540,7 +540,7 @@ ORACLES["q_stream_sink_parquet"] = """
 
 
 # LEFT OUTER stream-stream join twin: the deterministic replay's final
-# watermark is min(max signup ts, max purchase ts) - the 10-minute delay
+# watermark is min(max signup ts, max purchase ts) - the WATERMARK_MINUTES delay
 # (streaming/windows.WATERMARK), and the emitted set is every matched
 # signup plus NULL rows for exactly the signups whose 60 s timeout lies
 # strictly before that watermark (state eviction == NULL emission; the

@@ -633,8 +633,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     every training/RAG pipeline runs before packing: token windows of
     CHUNK_TOKENS advancing by CHUNK_STRIDE (overlap keeps boundary
     context), last partial window kept. A chunk i>0 is only emitted when
-    it ADDS tokens beyond the previous window's end (i·stride + tokens >
-    (i-1)·stride + tokens ⇔ n > i·stride + (tokens - stride)), so no
+    it ADDS tokens beyond the previous window's n-clamped end
+    (min(i·stride + tokens, n) > min((i-1)·stride + tokens, n)
+    ⇔ n > (i-1)·stride + tokens), so no
     chunk is ever a strict suffix of its predecessor — the dedup real
     chunkers apply: n_chunks = 1 + floor(max(n - tokens + stride - 1, 0)
     / stride). ENTIRELY JVM built-ins

@@ -158,7 +158,10 @@ def test_chunk_documents_geometry(spark, sf_dir):
         toks = re.split(r"\s+", doc.text.strip().lower())
         chunks = by_doc[doc.doc_id]
         n = len(toks)
-        expected_chunks = (max(n - 1, 0)) // CHUNK_STRIDE + 1
+        # Suffix-suppressed geometry (operators/text.py q_chunk_documents):
+        # chunk i>0 emitted only when it adds tokens beyond chunk i-1's
+        # clamped end, so trailing strict-suffix chunks are dropped.
+        expected_chunks = 1 + max(n - CHUNK_TOKENS + CHUNK_STRIDE - 1, 0) // CHUNK_STRIDE
         assert len(chunks) == expected_chunks
         rebuilt: list = []
         for i in range(expected_chunks):
@@ -168,6 +171,12 @@ def test_chunk_documents_geometry(spark, sf_dir):
             assert c.chunk_tokens == len(want)
             rebuilt.extend(want[:CHUNK_STRIDE] if i < expected_chunks - 1 else want)
         assert rebuilt == toks, "stride prefixes must reconstruct the stream"
+        # no emitted chunk is a strict suffix of its predecessor: each
+        # emitted window's clamped end strictly exceeds its predecessor's
+        for i in range(1, expected_chunks):
+            end_i = min(i * CHUNK_STRIDE + CHUNK_TOKENS, n)
+            end_prev = min((i - 1) * CHUNK_STRIDE + CHUNK_TOKENS, n)
+            assert end_i > end_prev, "emitted chunk must add tokens"
 
 
 # --- BPE pair counts ---------------------------------------------------------
