@@ -15,13 +15,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# The driver checks only the FIRST ~50 registry ids, so ordering matters:
-# oracle-backed ids it has NOT yet recorded fully green (rows+schema+hash
-# in any past round's CORRECTNESS_r*.json at the repo root) go first
-# (new + changed + previously-outside-the-window), then the proven ones,
-# then rows-only ids last. Within each tier, registration order. Scanning
-# the scoreboard files at import keeps this self-maintaining round over
-# round — no hand-updated frozen sets to forget.
+# The driver checks only the FIRST ~50 registry ids, so ordering matters.
+# Tiers (ascending — lower = earlier = inside the scored window):
+#   0  oracle-backed, never driver-green (new work)
+#   1  oracle-backed, never green, DEFERRED (registered while the window
+#      was already full of older unproven ids — queue behind those)
+#   2  proven but MODIFIED since last driver green: the operator source +
+#      oracle text content hash no longer matches the hash recorded in
+#      VERIFIED_HASHES.json at its last green — must be re-verified
+#   3  proven and stable (hash matches) — ROTATED by round number so all
+#      proven ids recycle through the 50-slot window every ~5 rounds
+#      instead of the same registration-order prefix forever
+#   4  rows-only: never consumes a scored driver slot
+# Within each tier, registration order (tier 3 rotated). Scanning the
+# scoreboard + hash files at import keeps this self-maintaining round
+# over round — no hand-updated frozen sets to forget.
+# VERIFIED_HASHES.json is refreshed at each round start by
+# scripts/refresh_verified_hashes.py (see SURVEY.md round checklist).
+
+#: how many stably-proven ids advance past the window per round; with
+#: ~220 proven ids the rotation covers the full set in ~5 rounds
+ROTATE_STEP = 45
 
 
 def _driver_green_ids() -> frozenset[str]:
@@ -49,17 +63,77 @@ def _driver_green_ids() -> frozenset[str]:
 _DRIVER_GREEN = _driver_green_ids()
 
 
+def current_round() -> int:
+    """The in-progress round number: newest CORRECTNESS_r{N}.json + 1."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    rounds = [
+        int(m.group(1))
+        for f in root.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json", f.name))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def query_content_hash(fn, oracle: str | None) -> str:
+    """sha256 over the operator function's source + its oracle SQL —
+    the change detector behind the proven-but-modified tier."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    return hashlib.sha256(
+        (src + "\x00" + (oracle or "")).encode()
+    ).hexdigest()
+
+
+def _verified_hashes() -> dict[str, dict]:
+    """qid -> {"hash": <sha256 at last driver green>, "round": N}.
+    Missing file or entry => treat the id as modified (safe default:
+    it re-enters the scored window until re-verified)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[2] / "VERIFIED_HASHES.json"
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return {}
+    entries = data.get("entries", data)
+    return {k: v for k, v in entries.items() if isinstance(v, dict)}
+
+
+def _modified_ids(
+    queries: dict[str, "QueryFn"], oracles: dict[str, str]
+) -> frozenset[str]:
+    stored = _verified_hashes()
+    out: set[str] = set()
+    for qid in queries:
+        if qid not in oracles or qid not in _DRIVER_GREEN:
+            continue
+        entry = stored.get(qid)
+        if entry is None or entry.get("hash") != query_content_hash(
+            queries[qid], oracles.get(qid)
+        ):
+            out.add(qid)
+    return frozenset(out)
+
+
 def _registry_rank(
-    qid: str, oracles: dict[str, str], deferred: frozenset[str] = frozenset()
+    qid: str,
+    oracles: dict[str, str],
+    deferred: frozenset[str] = frozenset(),
+    modified: frozenset[str] = frozenset(),
 ) -> int:
     if qid not in oracles:
-        return 3  # rows-only: never consumes a scored driver slot
+        return 4  # rows-only: never consumes a scored driver slot
     if qid in _DRIVER_GREEN:
-        return 2
-    # Deferred ids are oracle-backed but registered the same round the
-    # window was already full of older unproven ids — they queue behind
-    # those (and still ahead of proven ids) so no window slot is wasted
-    # and they flow in automatically as earlier ids turn green.
+        return 2 if qid in modified else 3
     return 1 if qid in deferred else 0
 
 
@@ -134,7 +208,28 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     if unknown:
         raise ValueError(f"oracles without queries: {unknown}")
     frozen_deferred = frozenset(deferred)
-    ordered = sorted(
-        queries, key=lambda qid: _registry_rank(qid, oracles, frozen_deferred)
-    )  # stable: preserves registration order within each tier
+    modified = _modified_ids(queries, oracles)
+    ordered = _order_ids(
+        list(queries), oracles, frozen_deferred, modified, current_round()
+    )
     return {qid: queries[qid] for qid in ordered}, oracles
+
+
+def _order_ids(
+    ids: list[str],
+    oracles: dict[str, str],
+    deferred: frozenset[str],
+    modified: frozenset[str],
+    round_no: int,
+) -> list[str]:
+    """Tier-sort (stable within tier), then rotate the stably-proven tier
+    by ``round_no * ROTATE_STEP`` so every proven id cycles through the
+    driver's 50-slot window every ~len/ROTATE_STEP rounds."""
+    by_tier: dict[int, list[str]] = {t: [] for t in range(5)}
+    for qid in ids:
+        by_tier[_registry_rank(qid, oracles, deferred, modified)].append(qid)
+    stable = by_tier[3]
+    if stable:
+        rot = (round_no * ROTATE_STEP) % len(stable)
+        by_tier[3] = stable[rot:] + stable[:rot]
+    return [qid for t in range(5) for qid in by_tier[t]]

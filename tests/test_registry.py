@@ -16,11 +16,87 @@ def _deferred():
     return collect_deferred()
 
 
+def _modified():
+    from breweries_case_spark.operators import _modified_ids
+
+    return _modified_ids(entrymod.queries(), entrymod.oracle_sql())
+
+
 def test_registry_ordering_tiers():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    deferred = _deferred()
-    ranks = [_registry_rank(qid, oracles, deferred) for qid in qs]
+    deferred, modified = _deferred(), _modified()
+    ranks = [_registry_rank(qid, oracles, deferred, modified) for qid in qs]
     assert ranks == sorted(ranks), "registry not emitted in tier order"
+
+
+def test_modified_since_green_ids_enter_window():
+    """A proven id whose (source + oracle) content hash no longer matches
+    VERIFIED_HASHES.json must outrank every stably-proven id, so the
+    driver re-verifies changed code the very next round instead of
+    keeping a stale green."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    ids, modified = list(qs), _modified()
+    first = set(ids[:DRIVER_WINDOW])
+    outside = [q for q in modified if q not in first]
+    assert not outside, f"modified-since-green ids outside the window: {outside}"
+    # and they precede every stably-proven id
+    if modified:
+        last_mod = max(ids.index(q) for q in modified)
+        stable = [
+            q
+            for q in ids
+            if q in oracles and q in _DRIVER_GREEN and q not in modified
+        ]
+        if stable:
+            assert last_mod < ids.index(stable[0])
+
+
+def test_stably_proven_tier_rotates_by_round():
+    """The stably-proven tier must rotate with the round number so all
+    proven ids recycle through the driver's 50-slot window every
+    ~len/ROTATE_STEP rounds — never the same registration-order prefix
+    forever (the r7 structural gap)."""
+    from breweries_case_spark.operators import ROTATE_STEP, _order_ids
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    ids, deferred, modified = list(qs), _deferred(), _modified()
+    stable = [
+        q
+        for q in ids
+        if q in oracles and q in _DRIVER_GREEN and q not in modified
+    ]
+    if len(stable) <= ROTATE_STEP:
+        return  # nothing to rotate through yet
+    a = _order_ids(ids, oracles, deferred, modified, 8)
+    b = _order_ids(ids, oracles, deferred, modified, 9)
+    assert a != b, "consecutive rounds must present different windows"
+    assert set(a) == set(b) == set(ids), "rotation must only permute"
+    # consecutive-round windows advance by ROTATE_STEP stable ids
+    sa = [q for q in a if q in stable]
+    sb = [q for q in b if q in stable]
+    rot = sa.index(sb[0])
+    assert rot == ROTATE_STEP % len(stable)
+    # full cycle: every stable id appears in some round's window slice
+    seen: set = set()
+    for rnd in range(1, 2 * len(stable) // ROTATE_STEP + 3):
+        o = _order_ids(ids, oracles, deferred, modified, rnd)
+        seen.update(q for q in o[:DRIVER_WINDOW] if q in stable)
+    assert seen == set(stable), "rotation never covers some proven ids"
+
+
+def test_verified_hashes_fresh_for_current_round():
+    """VERIFIED_HASHES.json must have been refreshed after the newest
+    CORRECTNESS file appeared (scripts/refresh_verified_hashes.py, run at
+    round start) — otherwise ids greened last round would wrongly stay in
+    the modified tier and squat scored window slots."""
+    import json
+    from pathlib import Path
+
+    from breweries_case_spark.operators import current_round
+
+    root = Path(__file__).resolve().parents[1]
+    data = json.loads((root / "VERIFIED_HASHES.json").read_text())
+    assert data.get("refreshed_for_round", 0) >= current_round() - 1
 
 
 def test_unproven_oracle_ids_fit_driver_window():
