@@ -1157,11 +1157,13 @@ def q_dedup_clusters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    # unrounded jaccard, like the cluster oracle's pair CTE; the when-guard
-    # keeps empty-shingle candidate pairs (SimHash can pair sub-3-token
-    # docs) away from a 0/0 division
+    # ROUND(...,6) before thresholding — the single edge definition shared
+    # with q_dedup_ngram_jaccard and the cluster oracle's pair CTE; the
+    # when-guard keeps empty-shingle candidate pairs (SimHash can pair
+    # sub-3-token docs) away from a 0/0 division
     jac = F.when(
-        union > 0, inter.cast("double") / union.cast("double")
+        union > 0,
+        F.round(inter.cast("double") / union.cast("double"), 6),
     ).otherwise(F.lit(0.0))
     pairs = (
         cands.join(a, "doc_a")
@@ -1279,8 +1281,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_c")))
     union = F.size(F.col("sh_s")) + F.size(F.col("sh_c")) - inter
+    # same ROUND(...,6)-then-threshold edge definition as every other
+    # jaccard tier (and this id's oracle nr CTE)
     jac = F.when(
-        union > 0, inter.cast("double") / union.cast("double")
+        union > 0,
+        F.round(inter.cast("double") / union.cast("double"), 6),
     ).otherwise(F.lit(0.0))
     near = (
         cand.join(a, "shard_id")
@@ -1335,11 +1340,15 @@ _CLUSTERS_CTES = r"""
                             string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
             FROM documents),
         pairs AS (
+            -- ROUND(...,6) BEFORE thresholding, identical to the Spark
+            -- side (F.round(inter/union, 6) >= t) and to
+            -- _NGRAM_JACCARD_CTES, so the edge set can never differ by a
+            -- sub-ulp quotient landing a hair under 0.5 on one engine
             SELECT doc_a, doc_b FROM (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       len(list_intersect(a.sh, b.sh)) /
-                       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                           AS jaccard
+                       ROUND(len(list_intersect(a.sh, b.sh)) /
+                             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                             6) AS jaccard
                 FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
             WHERE jaccard >= 0.5),
         edges AS (
@@ -1489,8 +1498,9 @@ ORACLES = {
             FROM sh a JOIN sh b
               ON a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
              AND a.lang = b.lang
-             AND len(list_intersect(a.sh, b.sh)) /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AND ROUND(len(list_intersect(a.sh, b.sh)) /
+                       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                       6)
                  >= 0.5
             GROUP BY a.doc_id)
         SELECT d.doc_id, d.lang,

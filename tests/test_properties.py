@@ -104,3 +104,27 @@ def test_ffd_pack_invariants(sizes, cap):
             running.append(s)
         else:
             running[b] += s
+
+
+# --- fixture invariants the engine's packed keys rely on ---------------------
+
+
+def test_linenumber_fits_pair_key_packing():
+    """q_join_interval_overlap / q_join_interval_sweep pack the pair
+    identity as l_orderkey*8 + l_linenumber (relational.py), injective
+    only while l_linenumber is in 1..7 (the TPC-H domain). The synthetic
+    generator already deviates from TPC-H elsewhere — if it ever emits
+    linenumber >= 8 the packing would silently alias distinct rows, so
+    pin the domain at every shipped sf dir with a plain parquet scan."""
+    import glob
+
+    import duckdb
+
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        lo, hi = duckdb.sql(
+            f"SELECT min(l_linenumber), max(l_linenumber) "
+            f"FROM '{d}/lineitem.parquet'"
+        ).fetchone()
+        assert 1 <= lo and hi <= 7, (
+            f"{d}: l_linenumber range [{lo}, {hi}] breaks the *8 packing"
+        )
