@@ -201,6 +201,10 @@ EXTENDED = [
     # its count/curve/overlap siblings reuse already-benched explode→agg
     # and gram-join shapes and stay out
     "q_bpe_merge_apply",
+    # the k-round training LOOP over the same plan: benched so the
+    # per-round checkpoint + re-scan cadence (the loop overhead on top
+    # of the already-benched single apply step) stays measured
+    "q_bpe_train_k",
     # 6-batch watermark replay: the only id whose cost is dominated by
     # repeated micro-batch scheduling (6 processAllAvailable rounds),
     # not by a data plan — benched so that cadence regression is visible

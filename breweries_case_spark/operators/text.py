@@ -804,6 +804,98 @@ def q_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rounds of the k-round BPE training loop (count → merge → recount);
+#: the oracle unrolls the same number of rounds
+BPE_TRAIN_ROUNDS = 4
+
+
+def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full k-round BPE TRAINING LOOP: compose the proven count step
+    (q_bpe_pair_counts' plan) and apply step (q_bpe_merge_apply's
+    JVM-side greedy fold) BPE_TRAIN_ROUNDS times, feeding each round's
+    merged token stream into the next round's count — the actual
+    tokenizer-training control flow (Sennrich et al. 2016), not a single
+    iteration. Output: one row per round with the winning pair, its
+    corpus frequency, total merges applied, and the corpus token count
+    after the round — the vocabulary-growth trajectory a trainer logs.
+
+    Per-round plan (identical every round — this IS the scale shape):
+    pair expansion inside the scan stage (slice+zip+explode, whole-stage
+    codegen), ONE exchange for the pair-count hash aggregate with
+    map-side partials (shuffle rows bounded by |vocab|² partials per
+    mapper, measured vocabulary-bounded in scripts/measure_bpe_scaling
+    .py), top-1 via TakeOrderedAndProject, winner broadcast to every row
+    as a 1-row crossJoin scalar, merge as a JVM higher-order fold. The
+    merged stream is localCheckpoint-ed between rounds — exactly the
+    persist a production trainer does so round k+1 scans the merged
+    stream once instead of recomputing k folds (lineage would otherwise
+    grow multiplicatively); checkpoint size is the token stream, which
+    SHRINKS every round.
+
+    Oracle: the identical loop unrolled BPE_TRAIN_ROUNDS times as a CTE
+    chain (_bpe_round_ctes) — the merge simulated position-wise (match
+    flags → gaps-and-islands → odd-offset positions merge, the closed
+    form of the greedy LTR fold; islands longer than 1 require
+    left = right), sharing no code with the Spark fold, so agreement
+    certifies both the fold and the loop plumbing round by round."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    cur = d.select("doc_id", toks.alias("t"))
+    per_round = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        ln = F.greatest(F.size("t") - 1, F.lit(0))
+        pairs = F.arrays_zip(
+            F.slice(F.col("t"), 1, ln).alias("l"),
+            F.slice(F.col("t"), 2, ln).alias("r"),
+        )
+        top1 = (
+            cur.select(F.explode(pairs).alias("p"))
+            .groupBy(
+                F.col("p.l").alias("left_tok"),
+                F.col("p.r").alias("right_tok"),
+            )
+            .agg(F.count("*").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
+            .limit(1)
+        )
+        merged = (
+            cur.crossJoin(F.broadcast(top1))
+            .select(
+                "doc_id",
+                "left_tok",
+                "right_tok",
+                "pair_count",
+                F.size("t").alias("nb"),
+                bpe_merge_fold(
+                    F.col("t"), F.col("left_tok"), F.col("right_tok")
+                ).alias("t"),
+            )
+            .localCheckpoint()
+        )
+        per_round.append(
+            merged.groupBy("left_tok", "right_tok", "pair_count").agg(
+                F.sum(F.col("nb") - F.size("t")).alias("n_merges_total"),
+                F.sum(F.size("t")).alias("n_tokens_after_total"),
+            )
+            .select(
+                F.lit(rnd).alias("round"),
+                "left_tok",
+                "right_tok",
+                "pair_count",
+                "n_merges_total",
+                "n_tokens_after_total",
+            )
+        )
+        cur = merged.select("doc_id", "t")
+    out = per_round[0]
+    for s in per_round[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")
+
+
 #: cross-source overlap shingle width (string n-grams — readable and
 #: oracle-checkable; the hashed-shingle variant lives in dedup.py)
 OVERLAP_N = 5
@@ -948,6 +1040,7 @@ def q_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_bpe_merge_apply": q_bpe_merge_apply,
+    "q_bpe_train_k": q_bpe_train_k,
     "q_quality_token_curve": q_quality_token_curve,
     "q_source_overlap": q_source_overlap,
     "q_chunk_documents": q_chunk_documents,
@@ -1072,6 +1165,12 @@ ORACLES = {
         FROM nn CROSS JOIN top1
         LEFT JOIN merges ON merges.doc_id = nn.doc_id
     """,
+    # k-round BPE training loop: the Spark fold's greedy LTR merge is
+    # simulated position-wise per round (match flags → gaps-and-islands
+    # → odd island offsets merge, then rebuild the stream), unrolled
+    # BPE_TRAIN_ROUNDS times — see _bpe_round_ctes below; injected after
+    # the dict literal because the chain is generated by a loop
+    # (placeholder replaced right below)
     # threshold curve: identical raw-double score (IEEE +,×,/ only, so
     # bucketing cannot flip between engines); BIGINT-cast every summed
     # column (DuckDB SUM(BIGINT) is HUGEINT → float64 via .df())
@@ -1411,3 +1510,79 @@ ORACLES = {
         GROUP BY g.doc_id
     """,
 }
+
+
+def _bpe_round_ctes(i: int) -> str:
+    """One unrolled BPE training round over ``stream_{i}`` (doc_id, pos,
+    tok): winner by the (count DESC, left, right) total order; greedy
+    LTR non-overlapping merge via gaps-and-islands (match positions in
+    the same island merge at ODD island offsets — the closed form of
+    the fold; islands longer than 1 require left = right); the surviving
+    positions rebuild ``stream_{i+1}``. COALESCE keeps the last-token
+    NULL lookahead out of the boolean pipeline (a NULL mt would drop the
+    row at the NOT consumed filter)."""
+    return f"""
+        adj_{i} AS (
+            SELECT doc_id, pos, tok,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM stream_{i}),
+        win_{i} AS (
+            SELECT tok AS left_tok, nxt AS right_tok, COUNT(*) AS pair_count
+            FROM adj_{i} WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1),
+        mt_{i} AS (
+            SELECT a.doc_id, a.pos, a.tok, a.nxt,
+                   COALESCE(a.tok = w.left_tok AND a.nxt = w.right_tok,
+                            FALSE) AS mt
+            FROM adj_{i} a CROSS JOIN win_{i} w),
+        grp_{i} AS (
+            SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY doc_id, mt
+                                               ORDER BY pos) AS grp
+            FROM mt_{i}),
+        fl_{i} AS (
+            SELECT doc_id, pos, tok, nxt,
+                   mt AND (ROW_NUMBER() OVER (PARTITION BY doc_id, mt, grp
+                                              ORDER BY pos) % 2 = 1)
+                       AS merged_at
+            FROM grp_{i}),
+        nx_{i} AS (
+            SELECT doc_id, pos, tok, nxt, merged_at,
+                   lag(merged_at, 1, FALSE)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS consumed
+            FROM fl_{i}),
+        stream_{i + 1} AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS pos,
+                   CASE WHEN merged_at THEN tok || ' ' || nxt
+                        ELSE tok END AS tok
+            FROM nx_{i} WHERE NOT consumed),
+        row_{i} AS (
+            SELECT {i} AS round, w.left_tok, w.right_tok, w.pair_count,
+                   (SELECT COUNT(*) FROM fl_{i} WHERE merged_at)
+                       AS n_merges_total,
+                   (SELECT COUNT(*) FROM stream_{i + 1})
+                       AS n_tokens_after_total
+            FROM win_{i} w)"""
+
+
+ORACLES["q_bpe_train_k"] = (
+    r"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS t
+            FROM documents),
+        stream_1 AS (
+            SELECT doc_id, p.pos, p.tok
+            FROM tk, LATERAL (SELECT unnest(tk.t) AS tok,
+                                     generate_subscripts(tk.t, 1) AS pos) p),"""
+    + ",".join(_bpe_round_ctes(i) for i in range(1, BPE_TRAIN_ROUNDS + 1))
+    + "\n        "
+    + "\n        UNION ALL ".join(
+        f"SELECT * FROM row_{i}" for i in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    + "\n        ORDER BY round\n    "
+)

@@ -559,3 +559,51 @@ def test_prefix_filter_lossless_and_smaller_index(spark, sf_dir):
         F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + F.lit(1)
     ).count()
     assert 0 < n_prefix < grams.count()
+
+
+def test_bpe_train_k_matches_python(spark, sf_dir):
+    """Third independent implementation: a pure-Python k-round BPE
+    trainer (Counter counts, greedy list-walk merge) must reproduce the
+    engine's per-round winner, pair count, merge count, and corpus size
+    — certifying the loop plumbing end to end, not just one round."""
+    import re
+    from collections import Counter
+
+    from breweries_case_spark.operators.text import (
+        BPE_TRAIN_ROUNDS,
+        q_bpe_train_k,
+    )
+
+    docs = [
+        [t for t in re.split(r"\s+", r.text.strip().lower()) if t]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    expected = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        counts: Counter = Counter()
+        for t in docs:
+            counts.update(zip(t, t[1:]))
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges = 0
+        nxt_docs = []
+        for t in docs:
+            out: list = []
+            i = 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == left and t[i + 1] == right:
+                    out.append(f"{left} {right}")
+                    merges += 1
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            nxt_docs.append(out)
+        docs = nxt_docs
+        expected.append(
+            (rnd, left, right, cnt, merges, sum(len(t) for t in docs))
+        )
+
+    got = [tuple(r) for r in q_bpe_train_k(spark, sf_dir).collect()]
+    assert got == expected
