@@ -220,6 +220,32 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: run the stall sentinel after every N benched ids
+SENTINEL_EVERY = 10
+#: a sentinel sample this many times over the session MEDIAN marks the
+#: bracket of ids since the previous sentinel as stall-suspect (median,
+#: not min: the sentinel itself has a fast-path outlier mode on this
+#: host — smoke run showed samples of 0.094 s against a 0.26-0.30 s
+#: typical band, and a min reference would flag every bracket)
+SENTINEL_STALL_FACTOR = 1.5
+
+
+def _sentinel_time(spark) -> float:
+    """Fixed-cost reference job (pure JVM range-sum, constant plan, no
+    data dependence): its wall time moves ONLY with host weather, so a
+    drifting sentinel marks the surrounding per-id samples as
+    stall-contaminated instead of leaving round-over-round comparisons
+    hostage to single-run noise (SURVEY §6 variance model; the r7 +6.2%
+    on bit-identical plans is the motivating incident)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    _materialize(
+        spark.range(0, 20_000_000, 1, 32).select(F.sum("id").alias("s"))
+    )
+    return time.perf_counter() - t0
+
+
 def _medallion_layer_times(spark) -> dict[str, float]:
     """Per-layer wall time for a 10k-row medallion run — the reference's
     only published envelope is < 30 s/layer at 10k rows
@@ -291,6 +317,7 @@ def build_stdout_line(
     total: float,
     sf: float | None,
     medallion: dict[str, float],
+    stall_suspect_n: int = 0,
 ) -> str:
     """The final stdout line: complete spec shape, truncated to the tail
     budget by dropping per-query entries from the END of the priority
@@ -309,6 +336,10 @@ def build_stdout_line(
             "sf": sf,
             "medallion_10k_rows_per_layer_sec": medallion,
         }
+        if stall_suspect_n:
+            # how many per-id numbers the sentinel flags as
+            # stall-contaminated (details in BENCH_FULL.json)
+            doc["stall_suspect_n"] = stall_suspect_n
         omitted = len(names) - keep
         if omitted:
             doc["queries_omitted"] = omitted
@@ -343,7 +374,9 @@ def main() -> None:
 
     import gc
 
-    for name in names:
+    sentinel_samples: list[list] = []  # [after_n_ids, sec]
+    sentinel_samples.append([0, round(_sentinel_time(spark), 3)])
+    for i, name in enumerate(names):
         runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -364,7 +397,23 @@ def main() -> None:
         # is not billed to any query.
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        # sentinel AFTER the GC barrier so it reads host weather, not
+        # this query's block-cleanup debt
+        if (i + 1) % SENTINEL_EVERY == 0 or i + 1 == len(names):
+            sentinel_samples.append([i + 1, round(_sentinel_time(spark), 3)])
     total = round(sum(per_query.values()), 3)
+
+    # stall-suspect ids: every id benched in a bracket whose trailing
+    # sentinel drifted SENTINEL_STALL_FACTOR× over the session median
+    import statistics
+
+    sentinel_ref = statistics.median(s for _, s in sentinel_samples)
+    stall_suspect: list[str] = []
+    prev_mark = 0
+    for mark, sec in sentinel_samples[1:]:
+        if sec > SENTINEL_STALL_FACTOR * sentinel_ref:
+            stall_suspect.extend(names[prev_mark:mark])
+        prev_mark = mark
 
     base = os.path.basename(SF_DIR.rstrip("/"))
     try:
@@ -385,13 +434,22 @@ def main() -> None:
                 "sf": sf,
                 "samples_min_second": samples,
                 "medallion_10k_rows_per_layer_sec": medallion,
+                "sentinel": {
+                    "job": "range(20M,32p).sum via noop",
+                    "median": round(sentinel_ref, 3),
+                    "samples_after_n_ids": sentinel_samples,
+                    "stall_factor": SENTINEL_STALL_FACTOR,
+                    "stall_suspect_ids": stall_suspect,
+                },
             },
             fh,
             indent=1,
         )
         fh.write("\n")
 
-    line = build_stdout_line(names, per_query, total, sf, medallion)
+    line = build_stdout_line(
+        names, per_query, total, sf, medallion, len(stall_suspect)
+    )
     sys.stdout.flush()
     print(line)
     spark.stop()

@@ -716,8 +716,160 @@ def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- URL canonicalization / domain-level dedup ------------------------------
+
+#: per-domain document cap for the web-curation cap pass — 15 so the
+#: rank filter BINDS at the driver's sf0.001/sf0.01 gates (max
+#: per-domain keeper counts there are ~18/~25; a cap that never
+#: filters would be verified vacuously)
+DOMAIN_CAP = 15
+
+
+def _derived_url():
+    """Deterministic synthetic raw URL (the driver's documents table
+    carries no URL column, so one is derived from doc fields exactly
+    like the interval joins derive l_receiptdate — the oracle builds the
+    identical string). The residues inject every standard crawl mess
+    canonicalization must undo: scheme varies, optional ``www.``,
+    SHOUTING host case, explicit default ports, trailing-slash variance,
+    utm_* tracking params (sometimes alongside a meaningful ``page``
+    param), and fragments. Distinct docs from the same source/lang
+    share a path when doc_id collides mod 50 — the canonical-dup
+    groups a crawler's URL frontier produces."""
+    d = F.col("doc_id")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    parts = [
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.upper(host)).otherwise(host),
+        F.when(
+            d % 7 == 0,
+            F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.col("lang"),
+        F.lit("/item"),
+        (d % 50).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    ]
+    utm = F.when(
+        d % 6 == 0,
+        F.concat(F.lit("utm_source=feed&utm_campaign=c"), (d % 9).cast("string")),
+    ).otherwise(F.lit(""))
+    page = F.when(
+        d % 8 == 0, F.concat(F.lit("page="), (d % 3).cast("string"))
+    ).otherwise(F.lit(""))
+    qs = F.array_join(
+        F.filter(F.array(utm, page), lambda x: x != F.lit("")), "&"
+    )
+    parts.append(
+        F.when(qs != F.lit(""), F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+    )
+    parts.append(
+        F.when(
+            d % 10 == 0, F.concat(F.lit("#sec"), (d % 4).cast("string"))
+        ).otherwise(F.lit(""))
+    )
+    return F.concat(*parts)
+
+
+def _canonicalized():
+    """(canonical_url, domain) from the raw ``url`` column, all JVM
+    built-ins: ``parse_url`` splits host/path/query (dropping ports and
+    fragments for free), the host lowercases and sheds ``www.``, the
+    path sheds one trailing slash, and the query keeps only non-utm
+    params via a higher-order filter — the standard canonicalization
+    every URL-frontier dedup runs before hashing. The oracle reparses
+    the same string with an independent regex pipeline."""
+    u = F.col("url")
+    host = F.regexp_replace(
+        F.lower(F.parse_url(u, F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(F.parse_url(u, F.lit("PATH")), r"/$", "")
+    kept = F.array_join(
+        F.filter(
+            F.split(F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit("")), "&"),
+            lambda x: (x != F.lit("")) & ~x.startswith("utm_"),
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        F.substring_index(u, "://", 1),
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept != F.lit(""), F.concat(F.lit("?"), kept)).otherwise(
+            F.lit("")
+        ),
+    )
+    return canonical, host
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization, the first pass of web-corpus curation:
+    raw crawl URL → canonical form (lowercased host, www./default-port/
+    fragment/trailing-slash stripped, utm_* tracking params dropped,
+    meaningful params kept) plus the domain used for per-domain policy.
+    Stateless per-row expressions — zero shuffles, scan-adjacent at any
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    canonical, host = _canonicalized()
+    return d.select("doc_id", _derived_url().alias("url")).select(
+        "doc_id",
+        "url",
+        canonical.alias("canonical_url"),
+        host.alias("domain"),
+    )
+
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup AFTER canonicalization: raw URLs that
+    differ only by scheme-noise/tracking-params/fragments collapse to
+    one canonical key; keeper = min doc_id, like q_dedup_exact's
+    fingerprint rule. One hash aggregate on the canonical string — the
+    same O(n) shuffle shape as content fingerprint dedup, run first in
+    production because it's 10-100× cheaper than content hashing (no
+    document bytes move, only URLs)."""
+    return (
+        q_url_canonicalize(spark, sf_dir)
+        .groupBy("canonical_url", "domain")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("copies"),
+        )
+    )
+
+
+def q_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-curation cap pass: canonical-URL dedup survivors
+    (keepers only), then at most DOMAIN_CAP docs per DOMAIN preferring
+    longer documents — q_sample_source_cap's balancing knob applied to
+    the domain a URL actually resolves to rather than the ingest-time
+    source label. Plan: the dedup aggregate, one join back for doc
+    attributes, then row_number ≤ K which Spark plans as
+    WindowGroupLimit (map-side partial top-K per domain, exchange
+    carries O(domains × K) rows — the 100 TB form)."""
+    keepers = q_dedup_url(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id"), "domain"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        keepers.join(d, "doc_id")
+        .withColumn("rank_in_domain", F.row_number().over(w))
+        .filter(F.col("rank_in_domain") <= DOMAIN_CAP)
+        .select("doc_id", "domain", "n_chars", "rank_in_domain")
+    )
+
+
 QUERIES = {
     "q_sample_source_cap": q_sample_source_cap,
+    "q_url_canonicalize": q_url_canonicalize,
+    "q_dedup_url": q_dedup_url,
+    "q_sample_domain_cap": q_sample_domain_cap,
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
     "q_scd2_compress": q_scd2_compress,
@@ -733,7 +885,91 @@ QUERIES = {
 }
 
 
+#: raw-URL derivation + regex canonicalization shared by the three URL
+#: ids; the derivation mirrors _derived_url residue by residue while
+#: the canonicalization reparses with regexes instead of parse_url —
+#: independent pipelines, same contract
+_URL_CTES = r"""
+        WITH q0 AS (
+            SELECT doc_id, lang, source, n_chars,
+                   array_to_string(list_filter([
+                       CASE WHEN doc_id % 6 = 0
+                            THEN 'utm_source=feed&utm_campaign=c'
+                                 || CAST(doc_id % 9 AS VARCHAR)
+                            ELSE '' END,
+                       CASE WHEN doc_id % 8 = 0
+                            THEN 'page=' || CAST(doc_id % 3 AS VARCHAR)
+                            ELSE '' END
+                   ], x -> x <> ''), '&') AS qs
+            FROM documents),
+        u AS (
+            SELECT doc_id, n_chars,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+                   || '://'
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                   || (CASE WHEN doc_id % 5 = 0
+                            THEN upper(source || '.example.com')
+                            ELSE source || '.example.com' END)
+                   || (CASE WHEN doc_id % 7 = 0
+                            THEN (CASE WHEN doc_id % 2 = 0
+                                       THEN ':443' ELSE ':80' END)
+                            ELSE '' END)
+                   || '/docs/' || lang || '/item'
+                   || CAST(doc_id % 50 AS VARCHAR)
+                   || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+                   || (CASE WHEN doc_id % 10 = 0
+                            THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+                            ELSE '' END) AS url
+            FROM q0),
+        c AS (
+            SELECT doc_id, url, n_chars,
+                   regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+                       ':[0-9]+$', ''), '^www\.', '') AS dom,
+                   regexp_replace(
+                       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                       '/$', '') AS pth,
+                   array_to_string(list_filter(
+                       string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                       x -> x <> '' AND NOT starts_with(x, 'utm_')), '&')
+                       AS kept
+            FROM u),
+        canon AS (
+            SELECT doc_id, url, n_chars, dom AS domain,
+                   scheme || '://' || dom || pth
+                   || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+                       AS canonical_url
+            FROM c)
+"""
+
 ORACLES = {
+    "q_url_canonicalize": _URL_CTES
+    + """
+        SELECT doc_id, url, canonical_url, domain FROM canon
+    """,
+    "q_dedup_url": _URL_CTES
+    + """
+        SELECT canonical_url, domain,
+               MIN(doc_id) AS keeper_doc_id, COUNT(*) AS copies
+        FROM canon GROUP BY 1, 2
+    """,
+    "q_sample_domain_cap": _URL_CTES
+    + f"""
+        , keepers AS (
+            SELECT MIN(doc_id) AS doc_id, domain
+            FROM canon GROUP BY canonical_url, domain)
+        SELECT doc_id, domain, n_chars,
+               CAST(rank_in_domain AS INT) AS rank_in_domain
+        FROM (
+            SELECT k.doc_id, k.domain, d.n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY k.domain
+                                      ORDER BY d.n_chars DESC, k.doc_id)
+                       AS rank_in_domain
+            FROM keepers k JOIN documents d USING (doc_id))
+        WHERE rank_in_domain <= {DOMAIN_CAP}
+    """,
     "q_sample_source_cap": f"""
         SELECT doc_id, source, n_chars,
                CAST(rank_in_source AS INT) AS rank_in_source

@@ -136,8 +136,11 @@ def _near_dup_shard_ids(
     def _verified(cands, sh_a, sh_b):
         inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
         union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+        # same ROUND(...,6)-then-threshold edge definition as every
+        # jaccard tier in operators/dedup.py (r8 unification)
         jac = F.when(
-            union > 0, inter.cast("double") / union.cast("double")
+            union > 0,
+            F.round(inter.cast("double") / union.cast("double"), 6),
         ).otherwise(F.lit(0.0))
         return (
             cands.join(sh_a, "doc_a")

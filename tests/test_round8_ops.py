@@ -1,0 +1,82 @@
+"""Round-8 additions: URL canonicalization / domain-level dedup / the
+composed domain-cap curation pass."""
+
+from __future__ import annotations
+
+import re
+
+
+def _final_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_url_canonical_properties(spark, sf_dir):
+    """Every canonical URL is free of crawl mess: no tracking params, no
+    fragment, no explicit default port, no www., no trailing slash,
+    lowercase host — and meaningful params survive."""
+    from breweries_case_spark.operators.sampling import q_url_canonicalize
+
+    rows = q_url_canonicalize(spark, sf_dir).collect()
+    assert rows
+    saw_kept_param = False
+    for r in rows:
+        c = r.canonical_url
+        assert "utm_" not in c
+        assert "#" not in c
+        assert ":443" not in c and ":80" not in c
+        assert "//www." not in c
+        host = re.match(r"^https?://([^/?#]+)", c).group(1)
+        assert host == host.lower()
+        assert r.domain == host
+        path = re.match(r"^https?://[^/?#]+([^?#]*)", c).group(1)
+        assert not path.endswith("/")
+        if "page=" in c:
+            saw_kept_param = True
+    assert saw_kept_param, "fixture should exercise kept non-utm params"
+
+
+def test_url_dedup_partitions_corpus(spark, sf_dir):
+    """Canonical groups partition the corpus: copies sum to the doc
+    count, keepers are the min doc_id of their group, and the fixture
+    produces real dup groups (mod-50 path collisions)."""
+    from breweries_case_spark.operators.sampling import (
+        q_dedup_url,
+        q_url_canonicalize,
+    )
+
+    canon = {
+        r.doc_id: r.canonical_url
+        for r in q_url_canonicalize(spark, sf_dir).collect()
+    }
+    groups = q_dedup_url(spark, sf_dir).collect()
+    assert sum(g.copies for g in groups) == len(canon)
+    assert any(g.copies > 1 for g in groups), "no dup groups in fixture"
+    by_url: dict = {}
+    for did, cu in canon.items():
+        by_url.setdefault(cu, []).append(did)
+    for g in groups:
+        assert g.keeper_doc_id == min(by_url[g.canonical_url])
+
+
+def test_domain_cap_binds_and_plans_window_group_limit(spark, sf_dir):
+    """The cap must actually filter at driver SFs (a never-binding cap
+    is vacuous) and must plan as WindowGroupLimit so the exchange stays
+    O(domains x K) at any corpus size."""
+    from breweries_case_spark.operators.sampling import (
+        DOMAIN_CAP,
+        q_dedup_url,
+        q_sample_domain_cap,
+    )
+
+    df = q_sample_domain_cap(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert "WindowGroupLimit" in _final_plan(df)
+    rows = df.collect()
+    keepers = q_dedup_url(spark, sf_dir).count()
+    assert len(rows) < keepers, "cap never bound — raise fixture or lower cap"
+    per_domain: dict = {}
+    for r in rows:
+        per_domain.setdefault(r.domain, []).append(r.rank_in_domain)
+    for dom, ranks in per_domain.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= DOMAIN_CAP
