@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import re
 
+import pyspark.sql.functions as F
+
 
 def _final_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
@@ -80,3 +82,24 @@ def test_domain_cap_binds_and_plans_window_group_limit(spark, sf_dir):
     for dom, ranks in per_domain.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= DOMAIN_CAP
+
+
+def test_url_canonicalize_idempotent(spark, sf_dir):
+    """Canonicalization is a projection: applying it to an already
+    canonical URL is the identity (no port/www/utm/fragment left to
+    strip, host already lowercase, no trailing slash) — the property
+    that makes canonical keys stable under re-crawls of cleaned URLs."""
+    from breweries_case_spark.operators.sampling import (
+        _canonicalized,
+        q_url_canonicalize,
+    )
+
+    once = q_url_canonicalize(spark, sf_dir).select(
+        F.col("canonical_url").alias("url")
+    )
+    canonical, host = _canonicalized()
+    twice = once.select(
+        "url", canonical.alias("again"), host.alias("domain")
+    )
+    diff = twice.filter(F.col("again") != F.col("url")).count()
+    assert diff == 0
