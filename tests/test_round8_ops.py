@@ -103,3 +103,44 @@ def test_url_canonicalize_idempotent(spark, sf_dir):
     )
     diff = twice.filter(F.col("again") != F.col("url")).count()
     assert diff == 0
+
+
+def test_bpe_merge_fold_random_streams(spark):
+    """The JVM fold equals the pure-Python greedy LTR merge on 300
+    random token streams over a two-letter alphabet (maximizing overlap
+    islands — the 'a a a' ambiguity corpus text rarely produces), for
+    both a self-pair (a,a) and a cross-pair (a,b)."""
+    import random
+
+    from breweries_case_spark.operators.text import bpe_merge_fold
+
+    rng = random.Random(8)
+    rows = [
+        (i, [rng.choice("ab") for _ in range(rng.randint(0, 12))])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, t array<string>")
+
+    def py_merge(toks, left, right):
+        out, j = [], 0
+        while j < len(toks):
+            if j + 1 < len(toks) and toks[j] == left and toks[j + 1] == right:
+                out.append(f"{left} {right}")
+                j += 2
+            else:
+                out.append(toks[j])
+                j += 1
+        return out
+
+    for left, right in (("a", "a"), ("a", "b")):
+        got = {
+            r.id: r.m
+            for r in df.select(
+                "id",
+                bpe_merge_fold(
+                    F.col("t"), F.lit(left), F.lit(right)
+                ).alias("m"),
+            ).collect()
+        }
+        for i, toks in rows:
+            assert got[i] == py_merge(toks, left, right), (i, toks, left, right)
