@@ -358,8 +358,113 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(joined, "stream_static_out")
 
 
+#: daily corpus-ingest replay: shard count and their idempotency dates
+CORPUS_SHARDS = 3
+CORPUS_SHARD_DATES = ("2024-01-01", "2024-01-02", "2024-01-03")
+
+
+def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION corpus-ingest topology end to end, driver-checked
+    as one id: a real Structured Streaming query over a file source
+    replays three daily document shards (doc_id mod CORPUS_SHARDS), and
+    ``foreachBatch`` runs each micro-batch through the full nightly
+    pipeline (pipelines/corpus.update_corpus: quality gate →
+    within-shard exact keep-min-fp dedup → corpus-fingerprint anti-join
+    → MinHash-LSH near-dup probe of the persisted bucket state with
+    exact-Jaccard verify on candidates only → ACID partition-overwrite
+    commit of docs + fingerprint + bucket state). Output: the final
+    committed corpus (doc_id, lang, source, shard_date) after all three
+    days — deterministic, so unlike most true-streaming ids this
+    composition is ORACLE-BACKED end to end: the oracle unrolls the
+    three days as a CTE chain (gate/fp/anti-join per shard, near-dup
+    as exact same-lang 3-gram Jaccard ≥ 0.5 vs the prior corpus or a
+    lower-id fresh shard doc — the q_dedup_incremental oracle contract,
+    which holds iff the LSH blocker recall is lossless on this corpus:
+    a driver red here is a RECALL metric, not a pipeline bug).
+
+    Scale: each micro-batch pays O(shard) + O(candidates) only — the
+    corpus is touched via one fingerprint equi-join and a broadcast
+    bucket semi-join (pipelines/corpus.py design contract); the
+    streaming shell adds checkpointed exactly-once delivery on top.
+    The replay asserts exactly CORPUS_SHARDS data-carrying
+    micro-batches, mirroring streaming/windows.replay_in_batches."""
+    import shutil
+    import tempfile
+
+    from breweries_case_spark.pipelines.corpus import (
+        read_corpus,
+        update_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    batches = [
+        d.filter(F.col("doc_id") % CORPUS_SHARDS == i).withColumn(
+            "shard_date", F.lit(day)
+        )
+        for i, day in enumerate(CORPUS_SHARD_DATES)
+    ]
+    corpus_dir = tempfile.mkdtemp(prefix="stream_corpus_")
+    spool = tempfile.mkdtemp(prefix="stream_corpus_src_")
+    try:
+
+        def handle(batch_df, _batch_id):
+            day_rows = batch_df.select("shard_date").distinct().collect()
+            if not day_rows:
+                return
+            if len(day_rows) > 1:
+                raise AssertionError(
+                    f"one micro-batch per shard expected, got dates "
+                    f"{sorted(r[0] for r in day_rows)}"
+                )
+            update_corpus(
+                spark,
+                batch_df.drop("shard_date"),
+                corpus_dir,
+                day_rows[0][0],
+                near_dedup=True,
+            )
+
+        schema = (
+            "doc_id long, text string, lang string, "
+            "source string, shard_date string"
+        )
+        batches[0].write.mode("overwrite").parquet(spool)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(spool)
+            .writeStream.foreachBatch(handle)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                b.write.mode("append").parquet(spool)
+                q.processAllAvailable()
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches != CORPUS_SHARDS:
+                raise AssertionError(
+                    f"corpus replay: {data_batches} data-carrying "
+                    f"micro-batches, premise requires {CORPUS_SHARDS}"
+                )
+        finally:
+            q.stop()
+        out = read_corpus(spark, corpus_dir).select(
+            "doc_id", "lang", "source", "shard_date"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(spool, ignore_errors=True)
+
+
 QUERIES = {
     "q_stream_tumbling_batch": q_stream_tumbling_batch,
+    "q_stream_corpus_ingest": q_stream_corpus_ingest,
     "q_stream_sink_parquet": q_stream_sink_parquet,
     "q_stream_sliding_batch": q_stream_sliding_batch,
     "q_stream_session_batch": q_stream_session_batch,
@@ -571,3 +676,92 @@ ORACLES["q_stream_join_outer"] = f"""
     WHERE pairs.signup_id IS NOT NULL
        OR s.s_ts + INTERVAL 60 SECOND < wm.w
 """
+
+
+def _corpus_shard_ctes(i: int, day: str) -> str:
+    """One unrolled ingest day for the q_stream_corpus_ingest oracle:
+    quality gate (training_mix constants) → within-shard exact
+    keep-min-fp → corpus-fingerprint anti-join → near-dup drop (exact
+    same-lang 3-gram Jaccard ≥ 0.5, ROUND-6-then-threshold, vs the
+    prior corpus OR a lower-id fresh doc in the same shard — the
+    q_dedup_incremental contract) → corpus accumulation."""
+    from breweries_case_spark.operators.training_mix import (
+        MEAN_TOKEN_LEN_RANGE,
+        MIN_TOKENS,
+    )
+
+    lo, hi = MEAN_TOKEN_LEN_RANGE
+    jac = (
+        "ROUND(len(list_intersect(sa.sh, sb.sh)) / "
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)"
+    )
+    return f"""
+        g_{i} AS (
+            SELECT doc_id, text, lang, source FROM base
+            WHERE doc_id % {CORPUS_SHARDS} = {i - 1}
+              AND n_tok >= {MIN_TOKENS}
+              AND CAST(length(text) AS DOUBLE) / n_tok
+                  BETWEEN {lo} AND {hi}),
+        u_{i} AS (
+            SELECT g.* FROM g_{i} g
+            JOIN (SELECT MIN(doc_id) AS doc_id
+                  FROM (SELECT md5(lower(trim(text))) AS fp, doc_id
+                        FROM g_{i})
+                  GROUP BY fp) k USING (doc_id)),
+        f_{i} AS (
+            SELECT u.* FROM u_{i} u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM corpus_{i - 1} c
+                WHERE md5(lower(trim(c.text))) = md5(lower(trim(u.text))))),
+        nd_{i} AS (
+            SELECT DISTINCT sa.doc_id
+            FROM f_{i} fa
+            JOIN shingled sa ON sa.doc_id = fa.doc_id
+            JOIN corpus_{i - 1} c ON TRUE
+            JOIN shingled sb ON sb.doc_id = c.doc_id
+             AND sb.lang = sa.lang
+            WHERE {jac} >= 0.5
+            UNION
+            SELECT DISTINCT sa.doc_id
+            FROM f_{i} fa
+            JOIN shingled sa ON sa.doc_id = fa.doc_id
+            JOIN f_{i} fb ON fb.doc_id < fa.doc_id
+            JOIN shingled sb ON sb.doc_id = fb.doc_id
+             AND sb.lang = sa.lang
+            WHERE {jac} >= 0.5),
+        a_{i} AS (
+            SELECT f.doc_id, f.text, f.lang, f.source,
+                   '{day}' AS shard_date
+            FROM f_{i} f
+            WHERE f.doc_id NOT IN (SELECT doc_id FROM nd_{i})),
+        corpus_{i} AS (
+            SELECT * FROM corpus_{i - 1}
+            UNION ALL SELECT * FROM a_{i})"""
+
+
+ORACLES["q_stream_corpus_ingest"] = (
+    r"""
+    WITH base AS (
+        SELECT doc_id, text, lang, source,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents),
+    shingled AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, len(tk) - 2),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        FROM (SELECT doc_id, lang,
+                     string_split_regex(trim(lower(text)), '\s+') AS tk
+              FROM documents)),
+    corpus_0 AS (
+        SELECT doc_id, text, lang, source,
+               CAST(NULL AS VARCHAR) AS shard_date
+        FROM documents WHERE FALSE),"""
+    + ",".join(
+        _corpus_shard_ctes(i, day)
+        for i, day in enumerate(CORPUS_SHARD_DATES, start=1)
+    )
+    + f"""
+    SELECT doc_id, lang, source, shard_date FROM corpus_{CORPUS_SHARDS}
+"""
+)

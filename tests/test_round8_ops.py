@@ -144,3 +144,43 @@ def test_bpe_merge_fold_random_streams(spark):
         }
         for i, toks in rows:
             assert got[i] == py_merge(toks, left, right), (i, toks, left, right)
+
+
+def test_stream_corpus_ingest_equals_batch_pipeline(spark, sf_dir, tmp_path):
+    """The streaming shell must be semantically transparent: the
+    foreachBatch replay's final corpus equals calling update_corpus
+    directly with the same three shards in order."""
+    from breweries_case_spark.operators.streaming_queries import (
+        CORPUS_SHARD_DATES,
+        CORPUS_SHARDS,
+        q_stream_corpus_ingest,
+    )
+    from breweries_case_spark.pipelines.corpus import (
+        read_corpus,
+        update_corpus,
+    )
+
+    streamed = {
+        tuple(r)
+        for r in q_stream_corpus_ingest(spark, sf_dir).collect()
+    }
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    for i, day in enumerate(CORPUS_SHARD_DATES):
+        update_corpus(
+            spark,
+            d.filter(F.col("doc_id") % CORPUS_SHARDS == i),
+            corpus_dir,
+            day,
+            near_dedup=True,
+        )
+    batch = {
+        tuple(r)
+        for r in read_corpus(spark, corpus_dir)
+        .select("doc_id", "lang", "source", "shard_date")
+        .collect()
+    }
+    assert streamed == batch
