@@ -104,8 +104,67 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source sampling weights — the multilingual /
+    multi-source mixing rule p_s ∝ (tokens_s)^α (exponentiated
+    smoothing, public from Conneau et al. 2020 "Unsupervised
+    Cross-lingual Representation Learning at Scale", XLM-R §3): α = 1
+    is proportional sampling, smaller α upweights small sources. One
+    row per source with the probabilities at α ∈ {1, 0.5, 0.25}.
+
+    Cross-engine float discipline: the exponents are 0.5 and 0.25 ON
+    PURPOSE — sqrt is a correctly-rounded IEEE operation (unlike pow),
+    so nested sqrt gives bit-identical weights on both engines; each
+    weight is then quantized FLOOR(w·1e6+0.5)/1e6, the normalizer is an
+    exact DECIMAL sum of the quantized weights (functions/numeric.py
+    contract — addition-order-independent), and the final probability
+    is one IEEE division + the same quantization. Every step is a
+    single correctly-rounded op on bit-identical operands.
+
+    Plan: one hash aggregate to per-source totals (the only exchange —
+    corpus-sized scan, |sources|-sized result), then a 1-row broadcast
+    crossJoin for the normalizers: at 100 TB the normalization costs
+    nothing because it runs on the |sources|-row aggregate, never the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok.cast("long")).alias("ws_tokens"),
+        )
+        .withColumn("w05", q6(F.sqrt(F.col("ws_tokens").cast("double"))))
+        .withColumn(
+            "w025", q6(F.sqrt(F.sqrt(F.col("ws_tokens").cast("double"))))
+        )
+    )
+    z = per.agg(
+        F.sum("ws_tokens").alias("z1"),
+        F.sum(F.col("w05").cast("decimal(18,6)")).cast("double").alias("z05"),
+        F.sum(F.col("w025").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("z025"),
+    )
+    return per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "ws_tokens",
+        q6(
+            F.col("ws_tokens").cast("double") / F.col("z1").cast("double")
+        ).alias("p_alpha1"),
+        q6(F.col("w05") / F.col("z05")).alias("p_alpha05"),
+        q6(F.col("w025") / F.col("z025")).alias("p_alpha025"),
+    )
+
+
 QUERIES = {
     "q_training_mix": q_training_mix,
+    "q_mix_temperature": q_mix_temperature,
 }
 
 ORACLES = {
@@ -154,5 +213,33 @@ ORACLES = {
         SELECT doc_id, lang, source, ws_tokens, cum_tokens
         FROM ranked
         WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+    """,
+    # temperature mixing: nested-sqrt exponents (correctly-rounded IEEE,
+    # unlike pow), FLOOR-quantized weights, exact DECIMAL normalizer —
+    # every step bit-identical cross-engine (see q_mix_temperature)
+    "q_mix_temperature": r"""
+        WITH per AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                        AS BIGINT) AS ws_tokens
+            FROM documents GROUP BY source),
+        w AS (
+            SELECT *,
+                   FLOOR(sqrt(CAST(ws_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS w05,
+                   FLOOR(sqrt(sqrt(CAST(ws_tokens AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS w025
+            FROM per),
+        z AS (
+            SELECT CAST(SUM(ws_tokens) AS BIGINT) AS z1,
+                   CAST(SUM(CAST(w05 AS DECIMAL(18,6))) AS DOUBLE) AS z05,
+                   CAST(SUM(CAST(w025 AS DECIMAL(18,6))) AS DOUBLE) AS z025
+            FROM w)
+        SELECT source, n_docs, ws_tokens,
+               FLOOR(CAST(ws_tokens AS DOUBLE) / CAST(z1 AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS p_alpha1,
+               FLOOR(w05 / z05 * 1000000.0 + 0.5) / 1000000.0 AS p_alpha05,
+               FLOOR(w025 / z025 * 1000000.0 + 0.5) / 1000000.0 AS p_alpha025
+        FROM w CROSS JOIN z
     """,
 }

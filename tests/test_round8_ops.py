@@ -184,3 +184,31 @@ def test_stream_corpus_ingest_equals_batch_pipeline(spark, sf_dir, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_mix_temperature_invariants(spark, sf_dir):
+    """Each alpha column is a probability distribution over sources, and
+    smaller alpha flattens the mix (strictly smaller spread on any
+    corpus with unequal sources)."""
+    import math
+
+    from breweries_case_spark.operators.training_mix import (
+        q_mix_temperature,
+    )
+
+    rows = q_mix_temperature(spark, sf_dir).collect()
+    assert len(rows) > 1
+    for col in ("p_alpha1", "p_alpha05", "p_alpha025"):
+        total = sum(getattr(r, col) for r in rows)
+        assert math.isclose(total, 1.0, abs_tol=1e-4), (col, total)
+    def spread(col):
+        vals = [getattr(r, col) for r in rows]
+        m = sum(vals) / len(vals)
+        return sum((v - m) ** 2 for v in vals)
+    if len({r.ws_tokens for r in rows}) > 1:
+        assert spread("p_alpha1") > spread("p_alpha05") > spread("p_alpha025")
+    # proportional column recomputes from the exact token totals
+    z = sum(r.ws_tokens for r in rows)
+    for r in rows:
+        want = math.floor(r.ws_tokens / z * 1e6 + 0.5) / 1e6
+        assert r.p_alpha1 == want
