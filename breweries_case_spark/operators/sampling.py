@@ -865,11 +865,56 @@ def q_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frequency SOFT dedup — keep every fetch of a URL but weight
+    each document by the inverse of its canonical-URL duplicate count,
+    the repetition-discounting alternative to hard removal (public
+    practice: RefinedWeb/Gopher-style pipelines weigh dropping repeated
+    content against downweighting it; downweighting preserves the
+    natural distribution while bounding any one page's effective
+    contribution at 1). Per doc: its canonical group's copy count,
+    sample_weight = 1/copies, and effective character budget under that
+    weight. Weight and effective_chars follow the q_mix_temperature
+    float discipline — single IEEE ops on bit-identical operands + 6-dp
+    FLOOR quantization, bit-identical cross-engine.
+
+    Plan: one canonical-string window-count exchange — exactly what the
+    hard URL dedup (q_dedup_url) costs, but the per-doc row survives
+    with its weight attached, no join back. (The content-fingerprint
+    variant is the same plan over md5(text); the driver fixtures carry
+    no exact content dups, so the URL key is the form whose weight math
+    is actually exercised at every sf.)"""
+    w = Window.partitionBy("canonical_url")
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        q_url_canonicalize(spark, sf_dir)
+        .join(d, "doc_id")
+        .withColumn("copies", F.count("*").over(w))
+        .withColumn(
+            "sample_weight",
+            q6(F.lit(1.0) / F.col("copies").cast("double")),
+        )
+        .withColumn(
+            "effective_chars",
+            q6(F.col("n_chars").cast("double") * F.col("sample_weight")),
+        )
+        .select(
+            "doc_id",
+            "canonical_url",
+            "copies",
+            "sample_weight",
+            "effective_chars",
+        )
+    )
+
+
 QUERIES = {
     "q_sample_source_cap": q_sample_source_cap,
     "q_url_canonicalize": q_url_canonicalize,
     "q_dedup_url": q_dedup_url,
     "q_sample_domain_cap": q_sample_domain_cap,
+    "q_url_downweight": q_url_downweight,
     "q_sample_hash": q_sample_hash,
     "q_sample_stratified": q_sample_stratified,
     "q_scd2_compress": q_scd2_compress,
@@ -954,6 +999,23 @@ ORACLES = {
         SELECT canonical_url, domain,
                MIN(doc_id) AS keeper_doc_id, COUNT(*) AS copies
         FROM canon GROUP BY 1, 2
+    """,
+    # soft URL dedup: the q_mix_temperature float discipline (single
+    # IEEE ops on bit-identical operands + 6-dp FLOOR quantization)
+    "q_url_downweight": _URL_CTES
+    + """
+        , dw AS (
+            SELECT canon.doc_id, canon.canonical_url, d.n_chars,
+                   COUNT(*) OVER (PARTITION BY canonical_url) AS copies
+            FROM canon JOIN documents d USING (doc_id))
+        SELECT doc_id, canonical_url, copies,
+               FLOOR(1.0 / CAST(copies AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 AS sample_weight,
+               FLOOR(CAST(n_chars AS DOUBLE)
+                     * (FLOOR(1.0 / CAST(copies AS DOUBLE)
+                              * 1000000.0 + 0.5) / 1000000.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS effective_chars
+        FROM dw
     """,
     "q_sample_domain_cap": _URL_CTES
     + f"""

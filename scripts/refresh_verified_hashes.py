@@ -22,6 +22,13 @@ keeps flagging the id as modified until the driver re-greens it.
                 their latest green round. Used when code changed AFTER
                 the last green (so the verified-time hash is unknown and
                 the plain rule would wrongly bless the new code).
+
+Known limitation: the hash covers the operator FUNCTION source + its
+oracle SQL, not helpers it calls — a change inside a shared helper
+(e.g. a signature kernel) does not flag its callers. Use --stale for
+callers of a changed helper when the change is not proven
+output-identical; the stably-proven rotation still re-covers every id
+within ~5 rounds regardless.
 """
 
 from __future__ import annotations

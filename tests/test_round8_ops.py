@@ -212,3 +212,22 @@ def test_mix_temperature_invariants(spark, sf_dir):
     for r in rows:
         want = math.floor(r.ws_tokens / z * 1e6 + 0.5) / 1e6
         assert r.p_alpha1 == want
+
+
+def test_url_downweight_invariants(spark, sf_dir):
+    """Weights invert group sizes; each canonical group's total weight
+    is ~1 (so the corpus's effective size equals its distinct-URL
+    count); the fixture exercises copies > 1."""
+    from breweries_case_spark.operators.sampling import q_url_downweight
+
+    rows = q_url_downweight(spark, sf_dir).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.canonical_url, []).append(r)
+    assert any(len(g) > 1 for g in groups.values())
+    for g in groups.values():
+        copies = len(g)
+        for r in g:
+            assert r.copies == copies
+            assert abs(r.sample_weight - 1.0 / copies) < 1e-6
+        assert abs(sum(r.sample_weight for r in g) - 1.0) < 1e-4
