@@ -84,6 +84,24 @@ def test_stably_proven_tier_rotates_by_round():
     assert seen == set(stable), "rotation never covers some proven ids"
 
 
+def test_priority_tiers_fit_driver_window():
+    """Never-green + deferred + modified-since-green ids must together
+    fit the 50-slot window — otherwise some changed or new id can never
+    turn green on the scoreboard. If this fires, either mark new ids
+    DEFERRED or split the round's changes."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    modified = _modified()
+    priority = [
+        q
+        for q in qs
+        if q in oracles and (q not in _DRIVER_GREEN or q in modified)
+    ]
+    assert len(priority) <= DRIVER_WINDOW, (
+        f"{len(priority)} priority ids exceed the {DRIVER_WINDOW}-slot "
+        f"window: {priority}"
+    )
+
+
 def test_verified_hashes_fresh_for_current_round():
     """VERIFIED_HASHES.json must have been refreshed after the newest
     CORRECTNESS file appeared (scripts/refresh_verified_hashes.py, run at
