@@ -33,9 +33,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # VERIFIED_HASHES.json is refreshed at each round start by
 # scripts/refresh_verified_hashes.py (see SURVEY.md round checklist).
 
-#: how many stably-proven ids advance past the window per round; with
-#: ~220 proven ids the rotation covers the full set in ~5 rounds
-ROTATE_STEP = 45
+#: how many stably-proven ids advance past the window per round. Must
+#: stay AT OR UNDER the stable slots a round realistically leaves free
+#: (50 minus the new+modified priority tiers — r8 ran with 16 priority
+#: ids → 34 slots; a step above the slot count leaves coverage gaps
+#: between consecutive windows). 30 covers ~220 proven ids in ~8
+#: rounds; tests/test_registry.py proves full-cycle coverage.
+ROTATE_STEP = 30
 
 
 def _driver_green_ids() -> frozenset[str]:

@@ -77,11 +77,19 @@ def test_stably_proven_tier_rotates_by_round():
     rot = sa.index(sb[0])
     assert rot == ROTATE_STEP % len(stable)
     # full cycle: every stable id appears in some round's window slice
+    # within one full offset period (offsets repeat with period
+    # n/gcd(step, n) — after that coverage cannot grow)
+    import math
+
     seen: set = set()
-    for rnd in range(1, 2 * len(stable) // ROTATE_STEP + 3):
+    period = len(stable) // math.gcd(ROTATE_STEP, len(stable))
+    for rnd in range(1, period + 2):
         o = _order_ids(ids, oracles, deferred, modified, rnd)
         seen.update(q for q in o[:DRIVER_WINDOW] if q in stable)
-    assert seen == set(stable), "rotation never covers some proven ids"
+    assert seen == set(stable), (
+        "rotation never covers some proven ids — ROTATE_STEP exceeds "
+        "the window slots left by the priority tiers"
+    )
 
 
 def test_priority_tiers_fit_driver_window():
