@@ -211,6 +211,7 @@ NESTED_LOOP_OK = {
     "q_scd2_lookup",
     "q_profile_drift",  # 1-row × 1-row scalar crossJoin of two profiles
     "q_bpe_merge_apply",  # 1-row winning-pair scalar crossJoin
+    "q_mix_temperature",  # 1-row normalizer-scalars crossJoin
 }
 
 
