@@ -150,6 +150,67 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXT-FIT sequence packing, fully value-oracled: documents in
+    arrival order (doc_id ASC) per lang, each appended to the CURRENT
+    bin if it fits in PACK_CAP_TOKENS, else opening a new bin — the
+    packing a streaming pre-tokenizer actually runs, because it never
+    revisits a closed bin (O(1) state, bins emit as soon as they close;
+    FFD — q_pack_sequences — trades that for tighter bins and is
+    certificate-checked instead). Output: (doc_id, lang, n_tokens,
+    bin_idx, offset_in_bin).
+
+    Unlike FFD, next-fit IS SQL-expressible: the bin assignment is a
+    prefix-scan recurrence, so the oracle replays it as a recursive CTE
+    advancing every lang's chain one row per step — a full value oracle
+    where the FFD twin can only certify invariants. The Spark side runs
+    the inherently sequential loop per-lang in applyInPandas (the
+    honest applyInPandas use-case: built-ins cannot express a stateful
+    scan whose state resets on a data-dependent condition); token
+    counts are computed JVM-side, the Python stage sees (doc_id,
+    n_tokens) only. Docs larger than the cap occupy a bin alone.
+
+    Scale: one shuffle on lang; the loop is O(n) with O(1) state.
+    Giant strata sub-shard by hash prefix exactly as q_pack_sequences
+    documents — next-fit quality is shard-invariant."""
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, offs = [], []
+        b = 0
+        end = None  # tokens used in current bin; None = no bin yet
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if end is None:
+                b, off, end = 0, 0, n
+            elif end + n <= PACK_CAP_TOKENS:
+                off = end
+                end += n
+            else:
+                b += 1
+                off = 0
+                end = n
+            bins.append(b)
+            offs.append(off)
+        pdf["bin_idx"] = bins
+        pdf["offset_in_bin"] = offs
+        return pdf[["doc_id", "lang", "n_tokens", "bin_idx", "offset_in_bin"]]
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "n_tokens"
+        ),
+    )
+    return d.groupBy("lang").applyInPandas(
+        _pack,
+        "doc_id long, lang string, n_tokens int, bin_idx int, "
+        "offset_in_bin int",
+    )
+
+
 def q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checked certificate for FFD sequence packing (greedy packing
     has no SQL twin, but its CONTRACT does — the certificate pattern of
@@ -278,11 +339,42 @@ QUERIES = {
     "q_udtf_chunks": q_udtf_chunks,
     "q_pack_sequences": q_pack_sequences,
     "q_pack_invariants": q_pack_invariants,
+    "q_pack_nextfit": q_pack_nextfit,
 }
 
 ORACLES = {
     # packing certificate: doc count + token mass recomputed from raw
     # text; every structural residual pinned at zero
+    # next-fit packing: the bin assignment is a prefix-scan recurrence,
+    # replayed row by row as a recursive CTE advancing every lang's
+    # chain one row per step — a FULL value oracle for a packing op
+    # (FFD's q_pack_invariants can only certify its contract)
+    "q_pack_nextfit": rf"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                        AS INT) AS n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS rn
+            FROM documents),
+        r AS (
+            SELECT doc_id, lang, n_tokens, rn,
+                   0 AS bin_idx, 0 AS offset_in_bin, n_tokens AS bin_end
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.doc_id, t.lang, t.n_tokens, t.rn,
+                   CASE WHEN r.bin_end + t.n_tokens <= {PACK_CAP_TOKENS}
+                        THEN r.bin_idx ELSE r.bin_idx + 1 END,
+                   CASE WHEN r.bin_end + t.n_tokens <= {PACK_CAP_TOKENS}
+                        THEN r.bin_end ELSE 0 END,
+                   CASE WHEN r.bin_end + t.n_tokens <= {PACK_CAP_TOKENS}
+                        THEN r.bin_end + t.n_tokens ELSE t.n_tokens END
+            FROM r JOIN t ON t.lang = r.lang AND t.rn = r.rn + 1)
+        SELECT doc_id, lang, n_tokens,
+               CAST(bin_idx AS INT) AS bin_idx,
+               CAST(offset_in_bin AS INT) AS offset_in_bin
+        FROM r
+    """,
     "q_pack_invariants": r"""
         SELECT 'docs_packed' AS check_name,
                CAST(COUNT(*) AS BIGINT) AS value FROM documents

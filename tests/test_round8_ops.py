@@ -231,3 +231,38 @@ def test_url_downweight_invariants(spark, sf_dir):
             assert r.copies == copies
             assert abs(r.sample_weight - 1.0 / copies) < 1e-6
         assert abs(sum(r.sample_weight for r in g) - 1.0) < 1e-4
+
+
+def test_pack_nextfit_properties(spark, sf_dir):
+    """Next-fit geometry: offsets are the running prefix sums within
+    each bin; no multi-doc bin exceeds the cap; and the defining
+    next-fit property — a doc that OPENED bin b+1 genuinely did not fit
+    in bin b's final fill."""
+    from breweries_case_spark.operators.pandas_ops import (
+        PACK_CAP_TOKENS,
+        q_pack_nextfit,
+    )
+
+    rows = q_pack_nextfit(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        end = None
+        prev_bin = -1
+        for r in rs:
+            if end is None or r.bin_idx != prev_bin:
+                assert r.bin_idx == prev_bin + 1, "bins must be dense"
+                assert r.offset_in_bin == 0
+                if end is not None:
+                    # the doc could not have fit in the previous bin
+                    assert end + r.n_tokens > PACK_CAP_TOKENS
+                end = r.n_tokens
+                prev_bin = r.bin_idx
+            else:
+                assert r.offset_in_bin == end
+                end += r.n_tokens
+                assert end <= PACK_CAP_TOKENS
+        assert prev_bin >= 1, f"{lang}: fixture should need several bins"
