@@ -213,6 +213,15 @@ EXTENDED = [
     # join — the only id that composes component labels back onto a
     # full-corpus projection (q_dedup_clusters aggregates instead)
     "q_split_leakage_safe",
+    # two-phase distributed prefix scan (range exchange + tiny collect +
+    # narrow mapInPandas re-walk) — the only multi-job scan topology in
+    # the registry; benched so the checkpoint + double-pass overhead
+    # stays measured against the one-task-per-lang window it replaces
+    "q_pack_concat",
+    # the UNPRUNED Σdf² inverted-index self-join (containment admits no
+    # size-ratio pruning) — the candidate-volume worst case of the
+    # gram-join family; benched as the skew watchdog for that shape
+    "q_dedup_containment",
 ]
 
 

@@ -204,6 +204,64 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: minimum containment of the smaller doc for a subset-duplicate pair
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram CONTAINMENT pairs — the subset-duplicate detector
+    Jaccard structurally misses: containment = |a∩b| / min(|a|,|b|)
+    (Broder 1997's resemblance/containment split). A 100-gram doc fully
+    embedded in a 10,000-gram doc has J ≈ 0.01 (invisible to every
+    Jaccard tier) but containment 1.0 — the quote-page / boilerplate-
+    plus-article / excerpt-republication shape web corpora are full of.
+
+    Same inverted-index candidate topology as q_dedup_ngram_jaccard
+    (distinct (doc, gram) rows self-joined on (lang, gram), output
+    Σ_gram df², never |docs|²) with one deliberate difference: NO
+    size-ratio pruning residuals — a qualifying pair may have ANY size
+    ratio (that asymmetry is the feature), so the only sound prune is
+    gram sharing itself, which is complete (containment ≥ t > 0 ⇒ at
+    least one shared gram). Skew note as on the Jaccard twin: at
+    100 TB, cap or drop ultra-high-df grams before the self-join —
+    stopword shingles fatten df² buckets and carry no signal. Rounding
+    follows the module's FLOOR(x·1e6 + 0.5) convention on BOTH engines,
+    thresholded on the rounded value."""
+    t = CONTAINMENT_THRESHOLD
+    grams = (
+        _docs_with_gram_rows(spark, sf_dir)
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+        .localCheckpoint()
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.count("*")
+    cont = (
+        F.floor(
+            inter / F.least(F.col("a.sz"), F.col("b.sz")) * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(cont.alias("containment"))
+        .filter(F.col("containment") >= F.lit(t))
+        .select("doc_a", "doc_b", "lang", "containment")
+    )
+
+
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same exact-Jaccard pair set as ``q_dedup_ngram_jaccard``
     (same oracle — two independent Spark plans against one DuckDB
@@ -1286,6 +1344,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_containment": q_dedup_containment,
     "q_dedup_prefix_filter": q_dedup_prefix_filter,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_minhash": q_dedup_minhash,
@@ -1392,6 +1451,29 @@ ORACLES = {
     "q_dedup_ngram_jaccard": _NGRAM_JACCARD_CTES
     + """
         SELECT doc_a, doc_b, lang, jaccard FROM true_pairs
+    """,
+    # containment: same shingle CTE shape, asymmetric denominator
+    # (min set size); FLOOR-rounded then thresholded, like the Spark
+    # side. Docs with < 3 tokens have empty shingle sets and are
+    # excluded on both engines (no gram rows / len = 0 guard).
+    "q_dedup_containment": rf"""
+        WITH sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+                       i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
+            FROM documents)
+        SELECT doc_a, doc_b, lang, containment FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                   FLOOR(len(list_intersect(a.sh, b.sh))
+                         / least(len(a.sh), len(b.sh)) * 1e6 + 0.5) / 1e6
+                       AS containment
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        WHERE containment >= {CONTAINMENT_THRESHOLD}
     """,
     # prefix filtering is LOSSLESS, so the PPJoin-style plan answers to
     # the identical exact-pair oracle as the full inverted index

@@ -211,6 +211,97 @@ def q_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed training-example length for concat-and-cut packing
+PACK_SEQ_LEN = 256
+#: range partitions for the distributed prefix scan (any value works —
+#: the two-phase scan is partition-boundary-invariant by construction)
+PACK_SCAN_PARTS = 8
+
+
+def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut example packing — the GPT-style alternative to
+    bin packing (q_pack_sequences/q_pack_nextfit): per lang, documents
+    are concatenated in arrival order (doc_id ASC) into one token
+    stream that is cut into fixed PACK_SEQ_LEN-token training examples;
+    each doc gets its global token start_offset and the first/last
+    example indices it lands in (example_last > example_first ⇔ the doc
+    is split across an example boundary — the quantity a packing owner
+    monitors, since boundary-split docs lose context).
+
+    The start offset is a per-lang EXCLUSIVE PREFIX SUM over doc_id
+    order — on 100 TB the naive formulation (one window per lang) is
+    the classic scan anti-pattern: every lang funnels through a single
+    task. This operator instead runs the two-phase distributed scan
+    (Blelloch): (1) range-partition by (lang, doc_id) and reduce each
+    partition to per-(partition, lang) token subtotals — a
+    partition-count-sized aggregate collected to the driver; (2) the
+    driver computes each partition's per-lang base offset (an exclusive
+    scan over ≤ parts × langs numbers) and broadcasts it; (3) a NARROW
+    mapInPandas pass re-walks each sorted partition accumulating from
+    its broadcast base. One range exchange total, parallelism = any
+    partition count, and the result is partition-boundary-invariant —
+    whatever boundaries the range sampler picks, offsets are identical
+    (the oracle proves it: a plain per-lang window cumsum in DuckDB).
+    All arithmetic is int64 — exact on both engines."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    parts = (
+        d.repartitionByRange(PACK_SCAN_PARTS, "lang", "doc_id")
+        .sortWithinPartitions("lang", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin partitioning: both phases see one layout
+    )
+    # phase 1: per-(partition, lang) subtotals — parts × langs rows
+    partials = parts.groupBy("pid", "lang").agg(
+        F.sum("n_tokens").alias("subtotal")
+    ).collect()
+    base: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    for r in sorted(partials, key=lambda r: (r["lang"], r["pid"])):
+        base[(r["pid"], r["lang"])] = running.get(r["lang"], 0)
+        running[r["lang"]] = running.get(r["lang"], 0) + int(r["subtotal"])
+    base_b = spark.sparkContext.broadcast(base)
+
+    # phase 2: narrow re-walk of each sorted partition from its base
+    def _scan(batches) -> "pd.DataFrame":
+        run: dict[str, int] = {}
+        for pdf in batches:
+            starts = []
+            for pid, lang, n in zip(
+                pdf["pid"], pdf["lang"], pdf["n_tokens"]
+            ):
+                if lang not in run:
+                    run[lang] = base_b.value.get((int(pid), lang), 0)
+                starts.append(run[lang])
+                run[lang] += int(n)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "n_tokens": pdf["n_tokens"],
+                    "start_offset": pd.Series(starts, dtype="int64"),
+                }
+            )
+            out["example_first"] = out["start_offset"] // PACK_SEQ_LEN
+            out["example_last"] = (
+                out["start_offset"] + out["n_tokens"] - 1
+            ) // PACK_SEQ_LEN
+            yield out
+
+    return parts.mapInPandas(
+        _scan,
+        "doc_id long, lang string, n_tokens long, start_offset long, "
+        "example_first long, example_last long",
+    )
+
+
 def q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checked certificate for FFD sequence packing (greedy packing
     has no SQL twin, but its CONTRACT does — the certificate pattern of
@@ -340,9 +431,33 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_pack_invariants": q_pack_invariants,
     "q_pack_nextfit": q_pack_nextfit,
+    "q_pack_concat": q_pack_concat,
 }
 
 ORACLES = {
+    # concat-and-cut packing: the distributed two-phase prefix scan must
+    # equal the plain per-lang window cumsum — partition-boundary
+    # invariance is exactly what this twin proves (int64 throughout)
+    "q_pack_concat": rf"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents),
+        s AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset
+            FROM t)
+        SELECT doc_id, lang, n_tokens, start_offset,
+               CAST(start_offset // {PACK_SEQ_LEN} AS BIGINT)
+                   AS example_first,
+               CAST((start_offset + n_tokens - 1) // {PACK_SEQ_LEN}
+                    AS BIGINT) AS example_last
+        FROM s
+    """,
     # packing certificate: doc count + token mass recomputed from raw
     # text; every structural residual pinned at zero
     # next-fit packing: the bin assignment is a prefix-scan recurrence,

@@ -1037,11 +1037,83 @@ def q_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: gate bin width (finer than the planning curve's QC_SCALE — the gate
+#: needs bin-level rank resolution, the curve needs readable buckets)
+QG_SCALE = 1000
+#: doc-count percentile dropped from the bottom of the score ranking
+QG_DROP_PCT = 25
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-quantile quality GATE: materialize the filtered corpus
+    that keeps the top (100 − QG_DROP_PCT)% of documents by quality
+    score — the step after the planning curve (q_quality_token_curve
+    answers "where should the cutoff sit?", this operator applies it).
+    The cutoff is doc-count-rank exact at bin granularity: cutoff_bin =
+    the largest score bin whose cumulative doc count still fits the
+    drop budget floor(n · QG_DROP_PCT / 100); every doc in a bin ABOVE
+    the cutoff survives (whole bins live or die together, so the gate
+    is deterministic under ties — no row_number over equal scores).
+
+    Scale shape: the naive exact-quantile gate sorts the corpus
+    globally (or percent_rank()s it — one task at any size). Here the
+    corpus is reduced to a QUANTIZED-SCORE HISTOGRAM via one map-side-
+    combined hash aggregate; the cumulative window and the cutoff max
+    run over the tiny bin summary (value-bounded: ≤ a few thousand
+    rows at ANY corpus size), and the cutoff re-enters the plan as a
+    1-row broadcast — three tiny jobs plus one corpus scan, nothing
+    global. Score arithmetic is IEEE +,×,/ only (no transcendentals),
+    identical operation order on both engines, so binning cannot flip;
+    empty/whitespace-only docs (undefined ratios) are dropped before
+    scoring, same as the curve."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_ws_tokens(F.col("text")))
+    n_chars = F.length(F.col("text"))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(F.col("text"), F.lit(EN_MARKERS))
+    score = (
+        (n_stop / n_tok) * 0.5
+        + (n_punct / n_chars) * -0.25
+        + (n_chars / n_tok) * 0.05
+    )
+    scored = d.filter((n_tok > 0) & (n_chars > 0)).select(
+        "doc_id",
+        "lang",
+        F.floor(score * QG_SCALE).cast("long").alias("quality_bin"),
+        (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("quality_score"),
+    )
+    hist = scored.groupBy("quality_bin").agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy("quality_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "quality_bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    cutoff = cum.filter(
+        F.col("cum")
+        <= F.floor(F.col("total") * F.lit(QG_DROP_PCT) / F.lit(100.0))
+    ).agg(F.max("quality_bin").alias("_cutoff_bin"))
+    return (
+        scored.crossJoin(F.broadcast(cutoff))
+        .filter(
+            F.col("_cutoff_bin").isNull()
+            | (F.col("quality_bin") > F.col("_cutoff_bin"))
+        )
+        .select("doc_id", "lang", "quality_bin", "quality_score")
+    )
+
+
 QUERIES = {
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_bpe_merge_apply": q_bpe_merge_apply,
     "q_bpe_train_k": q_bpe_train_k,
     "q_quality_token_curve": q_quality_token_curve,
+    "q_quality_gate": q_quality_gate,
     "q_source_overlap": q_source_overlap,
     "q_chunk_documents": q_chunk_documents,
     "q_heavy_hitters": q_heavy_hitters,
@@ -1174,6 +1246,52 @@ ORACLES = {
     # threshold curve: identical raw-double score (IEEE +,×,/ only, so
     # bucketing cannot flip between engines); BIGINT-cast every summed
     # column (DuckDB SUM(BIGINT) is HUGEINT → float64 via .df())
+    # quantile gate: identical score expression and operation order as
+    # the Spark side (IEEE +,×,/ only); the cutoff CTE mirrors the
+    # histogram-cumsum-budget derivation, integer math throughout
+    "q_quality_gate": rf"""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   CAST(FLOOR((
+                       len(regexp_extract_all(text,
+                               '\b(the|a|of|is|and|to|in)\b'))
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.5
+                       + len(regexp_extract_all(text, '[^\w\s]'))
+                           / length(text) * -0.25
+                       + length(text)
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.05) * {QG_SCALE}) AS BIGINT)
+                       AS quality_bin,
+                   FLOOR((
+                       len(regexp_extract_all(text,
+                               '\b(the|a|of|is|and|to|in)\b'))
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.5
+                       + len(regexp_extract_all(text, '[^\w\s]'))
+                           / length(text) * -0.25
+                       + length(text)
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.05) * 1e6 + 0.5) / 1e6 AS quality_score
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) > 0
+              AND length(text) > 0),
+        h AS (SELECT quality_bin, COUNT(*) AS c FROM b GROUP BY 1),
+        cw AS (
+            SELECT quality_bin,
+                   SUM(c) OVER (ORDER BY quality_bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(c) OVER () AS total
+            FROM h),
+        cut AS (
+            SELECT MAX(quality_bin) AS cutoff_bin
+            FROM cw
+            WHERE cum <= FLOOR(total * {QG_DROP_PCT} / 100.0))
+        SELECT doc_id, lang, quality_bin, quality_score
+        FROM b, cut
+        WHERE cut.cutoff_bin IS NULL OR quality_bin > cut.cutoff_bin
+    """,
     "q_quality_token_curve": rf"""
         WITH per_doc AS (
             SELECT CAST(FLOOR((

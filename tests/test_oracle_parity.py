@@ -212,6 +212,7 @@ NESTED_LOOP_OK = {
     "q_profile_drift",  # 1-row × 1-row scalar crossJoin of two profiles
     "q_bpe_merge_apply",  # 1-row winning-pair scalar crossJoin
     "q_mix_temperature",  # 1-row normalizer-scalars crossJoin
+    "q_quality_gate",  # 1-row cutoff-bin scalar crossJoin
 }
 
 

@@ -266,3 +266,158 @@ def test_pack_nextfit_properties(spark, sf_dir):
                 end += r.n_tokens
                 assert end <= PACK_CAP_TOKENS
         assert prev_bin >= 1, f"{lang}: fixture should need several bins"
+
+
+def test_pack_concat_matches_python_scan(spark, sf_dir):
+    """The distributed two-phase prefix scan equals a single-threaded
+    Python replay of the same per-lang concat-and-cut, and the fixture
+    genuinely exercises example-boundary splits."""
+    from breweries_case_spark.operators.pandas_ops import (
+        PACK_SEQ_LEN,
+        q_pack_concat,
+    )
+
+    rows = {r.doc_id: r for r in q_pack_concat(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_lang: dict = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, []).append(d)
+    crossers = 0
+    for lang, ds in by_lang.items():
+        off = 0
+        for d in sorted(ds, key=lambda d: d.doc_id):
+            n = len(re.split(r"\s+", d.text.strip().lower()))
+            r = rows[d.doc_id]
+            assert (r.lang, r.n_tokens, r.start_offset) == (lang, n, off)
+            assert r.example_first == off // PACK_SEQ_LEN
+            assert r.example_last == (off + n - 1) // PACK_SEQ_LEN
+            crossers += int(r.example_last > r.example_first)
+            off += n
+    assert len(rows) == len(docs)
+    assert crossers > 0, "fixture must split some docs across examples"
+
+
+def test_pack_concat_partition_invariant(spark, sf_dir, monkeypatch):
+    """Offsets are invariant to the scan's partition count — the
+    correctness core of the two-phase scan (whatever boundaries the
+    range sampler picks, phase-1 bases make every partition resume at
+    the exact global offset)."""
+    from breweries_case_spark.operators import pandas_ops
+
+    base = sorted(
+        tuple(r) for r in pandas_ops.q_pack_concat(spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(pandas_ops, "PACK_SCAN_PARTS", 3)
+    alt = sorted(
+        tuple(r) for r in pandas_ops.q_pack_concat(spark, sf_dir).collect()
+    )
+    assert base == alt
+
+
+def test_quality_gate_budget_tight(spark, sf_dir):
+    """The gate drops AT MOST floor(25% · n) docs, the cutoff is tight
+    (including one more bin would blow the budget), and survival is
+    monotone in the score bin (whole bins live or die together)."""
+    from breweries_case_spark.operators.text import (
+        QG_DROP_PCT,
+        q_quality_gate,
+        q_quality_score,
+    )
+
+    kept = {r.doc_id: r for r in q_quality_gate(spark, sf_dir).collect()}
+    scored = [
+        r
+        for r in q_quality_score(spark, sf_dir).collect()
+        if r.quality_score is not None
+    ]
+    n = len(scored)
+    budget = n * QG_DROP_PCT // 100
+    dropped = [r for r in scored if r.doc_id not in kept]
+    assert len(dropped) <= budget
+    assert len(kept) + len(dropped) == n
+    if dropped:
+        worst_kept = min(kept[r.doc_id].quality_bin for r in scored if r.doc_id in kept)
+        best_dropped_bins = sorted(
+            {k.quality_bin for k in kept.values()}
+        )
+        # monotone: every dropped doc scores in a bin strictly below
+        # every kept doc's bin
+        from breweries_case_spark.operators.text import QG_SCALE
+        import math
+
+        drop_bins = [math.floor(r.quality_score * QG_SCALE) for r in dropped]
+        assert max(drop_bins) < worst_kept
+        # tight: the lowest kept bin would not have fit the drop budget
+        lowest_kept_count = sum(
+            1 for k in kept.values() if k.quality_bin == worst_kept
+        )
+        assert len(dropped) + lowest_kept_count > budget
+
+
+def test_containment_matches_bruteforce(spark, sf_dir):
+    """Exact equality with an all-pairs Python recount at sf0.001 —
+    the inverted-index candidate join loses nothing."""
+    from breweries_case_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        q_dedup_containment,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in q_dedup_containment(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    sh: dict = {}
+    for d in docs:
+        toks = re.split(r"\s+", d.text.strip().lower())
+        sh[d.doc_id] = (d.lang, {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+    want: dict = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        la, sa = sh[a]
+        if not sa:
+            continue
+        for b in ids[i + 1 :]:
+            lb, sb = sh[b]
+            if la != lb or not sb:
+                continue
+            c = (
+                __import__("math").floor(
+                    len(sa & sb) / min(len(sa), len(sb)) * 1e6 + 0.5
+                )
+                / 1e6
+            )
+            if c >= CONTAINMENT_THRESHOLD:
+                want[(a, b)] = c
+    assert got == want
+    assert want, "fixture should contain at least one containment pair"
+
+
+def test_containment_detects_subset_dup_jaccard_misses(spark, tmp_path):
+    """The defining asymmetry: a short doc fully embedded in a long doc
+    has containment 1.0 but Jaccard far below the 0.5 tier threshold —
+    the subset-duplicate class only this operator catches."""
+    from breweries_case_spark.operators.dedup import (
+        q_dedup_containment,
+        q_dedup_ngram_jaccard,
+    )
+
+    small = " ".join(f"tok{i}" for i in range(40))
+    big = small + " " + " ".join(f"pad{i}" for i in range(400))
+    other = " ".join(f"zz{i}" for i in range(40))
+    rows = [
+        (1, small, "en", "s", len(small)),
+        (2, big, "en", "s", len(big)),
+        (3, other, "en", "s", len(other)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in q_dedup_containment(spark, str(tmp_path)).collect()
+    }
+    assert cont == {(1, 2): 1.0}, cont
+    jac = q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert not jac, "the embedded pair must be invisible to the Jaccard tier"
