@@ -1081,7 +1081,8 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.floor(score * QG_SCALE).cast("long").alias("quality_bin"),
         (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("quality_score"),
-    )
+    ).localCheckpoint()  # score once: hist + gate both read the narrow
+    # 4-col projection instead of re-running the regex scan per branch
     hist = scored.groupBy("quality_bin").agg(F.count("*").alias("c"))
     w_cum = Window.orderBy("quality_bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
