@@ -162,9 +162,86 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: epoch cap for the smallest sources (LLaMA-style mixes repeat curated
+#: sources a few epochs, never unboundedly)
+MIX_MAX_EPOCHS = 4.0
+#: fractional-epoch selector resolution: the extra copy is chosen by the
+#: first two md5 hex chars (1/256 ≈ 0.4% quantization — documented)
+_EPOCH_HEX_CHARS = 2
+
+
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-based source upsampling, MATERIALIZED — the LLaMA-style
+    data mix where each source is repeated e_s epochs (Touvron et al.
+    2023 report e.g. Wikipedia 2.45, Books 2.23 epochs; public). Here
+    e_s = min(MIX_MAX_EPOCHS, tokens_largest / tokens_s): the largest
+    source runs one epoch, smaller sources are repeated inversely to
+    size, capped. Every doc is emitted floor(e_s) times, plus ONE extra
+    copy for a deterministic hash-selected (e_s − floor(e_s)) fraction
+    of its source's docs — the standard way fractional epochs are
+    realized without RNG state: the selector is the doc's md5 prefix
+    against a per-source threshold, so the same docs get the extra copy
+    on any cluster layout, any partitioning, any retry (same
+    layout-free discipline as q_sample_hash). Fraction resolution is
+    1/256 (two hex chars) by design.
+
+    Output: one row per EMITTED COPY (doc_id, source, copy_idx,
+    n_copies) — the actual 1→N replication a mix materialization runs,
+    not just the per-source plan.
+
+    Plan: one hash aggregate to per-source token totals (the only
+    corpus exchange), a 1-row broadcast for the largest-source scalar,
+    a |sources|-row broadcast join back onto the corpus, then the 1→N
+    explode(sequence) INSIDE the scan stage — no shuffle on the
+    expanded rows. Output volume is ≤ MIX_MAX_EPOCHS + 1 times the
+    corpus by construction. Float discipline: e_s is one IEEE division
+    of two exact int64 totals, floor/frac are exact double ops, and the
+    hex threshold floor(frac·256) is integer on both engines —
+    bit-identical everywhere (same contract as q_mix_temperature)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per = d.groupBy("source").agg(
+        F.sum(n_tok.cast("long")).alias("toks")
+    )
+    z = per.agg(F.max("toks").alias("mx"))
+    ep = per.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.least(
+            F.lit(MIX_MAX_EPOCHS),
+            F.col("mx").cast("double") / F.col("toks").cast("double"),
+        ).alias("e"),
+    )
+    frac = F.col("e") - F.floor(F.col("e"))
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(frac * F.lit(256.0)).cast("long"))),
+        _EPOCH_HEX_CHARS,
+        "0",
+    )
+    n_copies = (
+        F.floor(F.col("e")).cast("long")
+        + (
+            F.substring(_md5_key(F.col("doc_id")), 1, _EPOCH_HEX_CHARS)
+            < thresh
+        ).cast("long")
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(ep), "source")
+        .withColumn("n_copies", n_copies)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), (F.col("n_copies") - 1).cast("int"))),
+        )
+        .select(
+            "doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx"), "n_copies"
+        )
+    )
+
+
 QUERIES = {
     "q_training_mix": q_training_mix,
     "q_mix_temperature": q_mix_temperature,
+    "q_mix_epochs": q_mix_epochs,
 }
 
 ORACLES = {
@@ -241,5 +318,35 @@ ORACLES = {
                FLOOR(w05 / z05 * 1000000.0 + 0.5) / 1000000.0 AS p_alpha05,
                FLOOR(w025 / z025 * 1000000.0 + 0.5) / 1000000.0 AS p_alpha025
         FROM w CROSS JOIN z
+    """,
+    # epoch mix: identical int64 totals → one IEEE division → exact
+    # floor/frac → integer hex threshold; the generate_series unnest is
+    # the explode(sequence) twin. n_copies >= 1 always (e >= 1).
+    "q_mix_epochs": rf"""
+        WITH per AS (
+            SELECT source,
+                   CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                        AS BIGINT) AS toks
+            FROM documents GROUP BY source),
+        z AS (SELECT MAX(toks) AS mx FROM per),
+        ep AS (
+            SELECT source,
+                   LEAST({MIX_MAX_EPOCHS},
+                         CAST(mx AS DOUBLE) / CAST(toks AS DOUBLE)) AS e
+            FROM per CROSS JOIN z),
+        assigned AS (
+            SELECT d.doc_id, d.source,
+                   CAST(FLOOR(ep.e) AS BIGINT)
+                   + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                      1, {_EPOCH_HEX_CHARS})
+                          < lpad(lower(to_hex(CAST(FLOOR(
+                                (ep.e - FLOOR(ep.e)) * 256.0) AS BIGINT))),
+                                {_EPOCH_HEX_CHARS}, '0')
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM documents d JOIN ep USING (source))
+        SELECT doc_id, source,
+               CAST(i AS BIGINT) AS copy_idx, n_copies
+        FROM assigned,
+             unnest(generate_series(0, n_copies - 1)) AS s(i)
     """,
 }

@@ -213,6 +213,7 @@ NESTED_LOOP_OK = {
     "q_bpe_merge_apply",  # 1-row winning-pair scalar crossJoin
     "q_mix_temperature",  # 1-row normalizer-scalars crossJoin
     "q_quality_gate",  # 1-row cutoff-bin scalar crossJoin
+    "q_mix_epochs",  # 1-row largest-source scalar crossJoin
 }
 
 

@@ -421,3 +421,46 @@ def test_containment_detects_subset_dup_jaccard_misses(spark, tmp_path):
     assert cont == {(1, 2): 1.0}, cont
     jac = q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
     assert not jac, "the embedded pair must be invisible to the Jaccard tier"
+
+
+def test_mix_epochs_invariants(spark, sf_dir):
+    """Epoch mix geometry: copy indices are dense per doc; every doc of
+    a source gets the same base copy count floor(e_s); the largest
+    source runs exactly one epoch; and the fixture exercises a
+    fractional source (some docs of a source carry one more copy than
+    others — the hash-selected extra)."""
+    from breweries_case_spark.operators.training_mix import (
+        MIX_MAX_EPOCHS,
+        q_mix_epochs,
+    )
+
+    rows = q_mix_epochs(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault((r.doc_id, r.source, r.n_copies), []).append(
+            r.copy_idx
+        )
+    copies_by_source: dict = {}
+    for (doc_id, source, n_copies), idxs in by_doc.items():
+        assert sorted(idxs) == list(range(n_copies)), "copy_idx not dense"
+        assert 1 <= n_copies <= MIX_MAX_EPOCHS + 1
+        copies_by_source.setdefault(source, set()).add(n_copies)
+    # per source at most two distinct copy counts (floor(e) and +1)
+    fractional_sources = 0
+    for source, counts in copies_by_source.items():
+        assert len(counts) <= 2, (source, counts)
+        if len(counts) == 2:
+            lo, hi = sorted(counts)
+            assert hi == lo + 1, (source, counts)
+            fractional_sources += 1
+    assert fractional_sources > 0, "fixture should exercise fractional epochs"
+    # the largest source (by tokens) runs exactly one epoch
+    import re as _re
+
+    toks: dict = {}
+    for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        toks[d.source] = toks.get(d.source, 0) + len(
+            _re.split(r"\s+", d.text.strip())
+        )
+    biggest = max(toks, key=lambda s: toks[s])
+    assert copies_by_source[biggest] == {1}
