@@ -120,6 +120,111 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MMR diversified retrieval: candidate pool, output size, trade-off
+MMR_CANDIDATES = 50
+MMR_K = 10
+#: λ and (1−λ) are SEPARATE literals on purpose: Python's 1-0.7 is
+#: 0.30000000000000004, so computing the complement would diverge from
+#: the SQL literal 0.3 — both engines must parse the same two doubles
+MMR_LAMBDA = 0.7
+MMR_ONE_MINUS_LAMBDA = 0.3
+
+
+def _q6_py(x: float) -> float:
+    """Driver-side FLOOR(x·1e6 + 0.5)/1e6 — the module's quantization,
+    bit-identical to the DuckDB expression on the same input double."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Left-to-right cosine — the same accumulation order as _dot's fold
+    and DuckDB's list_dot_product, so all three agree bitwise."""
+    import math
+
+    dot = n_a = n_b = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        n_a += x * x
+        n_b += y * y
+    return dot / (math.sqrt(n_a) * math.sqrt(n_b))
+
+
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance retrieval (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick MMR_K results from the MMR_CANDIDATES
+    most query-relevant vectors, each step maximizing
+    λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the diversified
+    re-rank every RAG/retrieval stack runs so the context window isn't
+    ten paraphrases of one document.
+
+    Split of labor: candidate generation is the DISTRIBUTED part (the
+    exact-cosine TakeOrderedAndProject plan of q_sim_topk, cut at
+    MMR_CANDIDATES — at 100 TB this is the scan-bound stage and the
+    only one that touches the corpus); the greedy re-rank runs
+    driver-side on the collected O(C·d) candidate block (C²·d = 160k
+    mults at C=50 — a query-time constant, same driver-compute budget
+    as q_sim_ivf's Lloyd step; C is a query parameter, never
+    corpus-sized). Determinism: relevance and pairwise sims are
+    FLOOR-quantized to 6 dp BEFORE selection (round-then-select, the
+    module convention), every accumulation is left-to-right (bitwise
+    equal to DuckDB's list_dot_product), score arithmetic uses the two
+    literals λ=0.7 / 0.3 verbatim on both engines, ties break on
+    vec_id — so the unrolled DuckDB greedy (a generated K-step CTE
+    chain, the q_bpe_train_k idiom) reproduces the selection exactly."""
+    qv = _query_vector(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    emb = _embeddings_double(spark, sf_dir)
+    cos = _dot(F.col("v"), qlit) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(_norm_py(qv))
+    )
+    cand_rows = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("r"),
+            "v",
+        )
+        .orderBy(F.col("r").desc(), "vec_id")
+        .limit(MMR_CANDIDATES)
+        .collect()
+    )
+    cand = [(int(row.vec_id), float(row.r), list(row.v)) for row in cand_rows]
+    sims: dict[tuple[int, int], float] = {}
+    for i, (ida, _, va) in enumerate(cand):
+        for idb, _, vb in cand[i + 1 :]:
+            s = _q6_py(_cos_py(va, vb))
+            sims[(ida, idb)] = sims[(idb, ida)] = s
+
+    selected: list[tuple[int, int, float, float]] = []  # rank, id, r, score
+    remaining = {vid: r for vid, r, _ in cand}
+    while remaining and len(selected) < MMR_K:
+        best = None
+        for vid, r in remaining.items():
+            if selected:
+                ms = max(sims[(vid, p[1])] for p in selected)
+                score = MMR_LAMBDA * r - MMR_ONE_MINUS_LAMBDA * ms
+            else:
+                score = MMR_LAMBDA * r
+            # argmax with vec_id ASC tie-break, mirroring the oracle's
+            # ORDER BY score DESC, vec_id LIMIT 1
+            if best is None or score > best[0] or (
+                score == best[0] and vid < best[1]
+            ):
+                best = (score, vid, r)
+        score, vid, r = best
+        selected.append((len(selected) + 1, vid, r, score))
+        del remaining[vid]
+
+    rows = [
+        (rank, vid, r, _q6_py(score)) for rank, vid, r, score in selected
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, vec_id long, relevance double, mmr_score double"
+    )
+
+
 # --- ANN: random-hyperplane LSH --------------------------------------------
 
 
@@ -1111,6 +1216,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_embed_normalize": q_embed_normalize,
     "q_sim_topk": q_sim_topk,
+    "q_sim_mmr": q_sim_mmr,
     "q_sim_ann_recall": q_sim_ann_recall,
     "q_sim_ivf_recall": q_sim_ivf_recall,
     "q_sim_ann_lsh": q_sim_ann_lsh,
@@ -1127,6 +1233,72 @@ QUERIES = {
     "q_embed_pca_invariants": q_embed_pca_invariants,
     "q_hybrid_search": q_hybrid_search,
 }
+
+
+def _mmr_oracle() -> str:
+    """The MMR greedy unrolled as a generated MMR_K-step CTE chain (the
+    q_bpe_train_k idiom): sel_k = sel_{k-1} plus the argmax of
+    λ·r − (1−λ)·max-sim-to-selected over the unpicked candidates, with
+    the identical FLOOR-quantized relevance/sims and (score DESC,
+    vec_id) tie order as the driver-side loop."""
+    lam, oml = MMR_LAMBDA, MMR_ONE_MINUS_LAMBDA
+    # every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # sel_k references sel_{k-1} three times — un-materialized, the
+    # K-step chain inlines the base scan 3^K times (observed as EMFILE
+    # from thousands of parquet re-opens)
+    ctes = [
+        f"""
+        e AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        q AS MATERIALIZED (
+            SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+            FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS MATERIALIZED (
+            SELECT vec_id, v,
+                   FLOOR(list_dot_product(v, q.qv)
+                         / (sqrt(list_dot_product(v, v)) * q.qn)
+                         * 1e6 + 0.5) / 1e6 AS r
+            FROM e, q WHERE vec_id <> {QUERY_VEC_ID}
+            ORDER BY r DESC, vec_id LIMIT {MMR_CANDIDATES}),
+        sims AS MATERIALIZED (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   FLOOR(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v)))
+                         * 1e6 + 0.5) / 1e6 AS s
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        sel1 AS MATERIALIZED (
+            SELECT 1 AS rank, vec_id, r, {lam} * r AS score
+            FROM cand ORDER BY {lam} * r DESC, vec_id LIMIT 1)"""
+    ]
+    prev = "sel1"
+    for k in range(2, MMR_K + 1):
+        ctes.append(
+            f"""
+        pick{k} AS MATERIALIZED (
+            SELECT c.vec_id, c.r,
+                   {lam} * c.r - {oml} * (
+                       SELECT MAX(s.s) FROM sims s
+                       JOIN {prev} p ON s.ia = c.vec_id
+                                    AND s.ib = p.vec_id) AS score
+            FROM cand c
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+            ORDER BY score DESC, c.vec_id LIMIT 1),
+        sel{k} AS MATERIALIZED (
+            SELECT * FROM {prev}
+            UNION ALL
+            SELECT {k}, vec_id, r, score FROM pick{k})"""
+        )
+        prev = f"sel{k}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+        SELECT CAST(rank AS INT) AS rank, vec_id, r AS relevance,
+               FLOOR(score * 1e6 + 0.5) / 1e6 AS mmr_score
+        FROM {prev}"""
+    )
 
 
 def _hybrid_oracle() -> str:
@@ -1157,6 +1329,7 @@ def _hybrid_oracle() -> str:
 
 ORACLES = {
     "q_hybrid_search": _hybrid_oracle(),
+    "q_sim_mmr": _mmr_oracle(),
     "q_embed_quantize": """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

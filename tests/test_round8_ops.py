@@ -464,3 +464,69 @@ def test_mix_epochs_invariants(spark, sf_dir):
         )
     biggest = max(toks, key=lambda s: toks[s])
     assert copies_by_source[biggest] == {1}
+
+
+def test_sim_mmr_invariants(spark, sf_dir):
+    """MMR geometry on the fixture: K distinct picks from the candidate
+    pool, rank 1 is the pure-relevance argmax (ties by vec_id), and the
+    greedy score trajectory is non-increasing (a fixed candidate's
+    score can only fall as the selected set grows, so the running max
+    falls too)."""
+    from breweries_case_spark.operators.similarity import (
+        MMR_K,
+        q_sim_mmr,
+        q_sim_topk,
+    )
+
+    rows = sorted(q_sim_mmr(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, MMR_K + 1))
+    assert len({r.vec_id for r in rows}) == MMR_K
+    top1 = q_sim_topk(spark, sf_dir).collect()[0]
+    assert rows[0].vec_id == top1.vec_id
+    scores = [r.mmr_score for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_sim_mmr_defers_duplicates(spark, tmp_path):
+    """The defining MMR behavior: an exact duplicate of the top hit —
+    which plain top-k ranks second — is pushed down by the diversity
+    penalty (its max-sim-to-selected is 1.0 the moment its twin is
+    picked)."""
+    from breweries_case_spark.operators.similarity import q_sim_mmr
+
+    dim = 64
+
+    def vec(*pairs):
+        v = [0.0] * dim
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = [(0, vec((0, 1.0)), 0)]          # query: e0
+    dup = vec((0, 0.8), (1, 0.6))           # cos to q = 0.8
+    rows.append((1, dup, 0))
+    rows.append((2, list(dup), 0))          # exact duplicate of vec 1
+    for k in range(3, 15):                  # cos to q = 0.6, mutually near-orthogonal
+        rows.append((k, vec((0, 0.6), (k, 0.8)), 0))
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    out = sorted(
+        q_sim_mmr(spark, str(tmp_path)).collect(), key=lambda r: r.rank
+    )
+    assert out[0].vec_id == 1, "rank 1 must be the most relevant (tie->min id)"
+    assert out[1].vec_id != 2, "the exact duplicate must not be rank 2"
+    # the duplicate's penalized score is 0.7*0.8 - 0.3*1.0 = 0.26 vs the
+    # diverse candidates' 0.7*0.6 - 0.3*max(0.48, 0.36) = 0.276: all 12
+    # diverse picks outrank it, so it misses the K=10 output entirely
+    # (plain top-k would have ranked it SECOND)
+    assert all(r.vec_id != 2 for r in out), "duplicate must be crowded out"
