@@ -430,6 +430,72 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: in-batch hard-negative mining batch size (the contrastive-training
+#: batch the negatives are mined within)
+HN_BATCH = 64
+
+
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-BATCH hard-negative mining — the contrastive-training data op
+    (public from DPR, Karpukhin et al. 2020, and the in-batch negative
+    literature): for every anchor vector, the MOST SIMILAR vector with
+    a DIFFERENT label inside the anchor's training batch — the negative
+    that most confuses the model and therefore teaches it most. Batches
+    are the deterministic vec_id // HN_BATCH shards a sequential
+    dataloader would form; anchors whose batch holds no other label are
+    dropped (their loss has no negative term).
+
+    Scale shape: a global "hardest negative anywhere" needs a
+    label-INEQUALITY join — no equi-key, quadratic — which is exactly
+    why production mines within batches (or within ANN buckets — swap
+    the batch key for the LSH bucket of ann_knn_join, same plan): the
+    self-join is an EQUI-join on batch_id with ≤ HN_BATCH² pairs per
+    batch, and the per-anchor argmax is one window over the pair set —
+    pair volume is corpus × HN_BATCH, linear in the corpus at fixed
+    batch size. Ranking uses the unrounded cosine (bit-identical
+    doubles) with neighbor-id tiebreak, like q_sim_knn_join; published
+    cosine is FLOOR-quantized."""
+    from pyspark.sql.window import Window
+
+    emb = _embeddings_double(spark, sf_dir).withColumn(
+        "batch_id", F.floor(F.col("vec_id") / F.lit(HN_BATCH)).cast("long")
+    )
+    emb = emb.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.batch_id") == F.col("b.batch_id"))
+        & (F.col("a.label") != F.col("b.label")),
+    ).select(
+        F.col("a.vec_id").alias("anchor_id"),
+        F.col("a.batch_id").alias("batch_id"),
+        F.col("a.label").alias("anchor_label"),
+        F.col("b.vec_id").alias("negative_id"),
+        F.col("b.label").alias("negative_label"),
+        cos.alias("cos_raw"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_raw").desc(), F.col("negative_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "batch_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            (F.floor(F.col("cos_raw") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "neg_cosine"
+            ),
+        )
+    )
+
+
 def ann_knn_join(emb: DataFrame, k: int = KNN_K) -> DataFrame:
     """Approximate kNN self-join over (vec_id, label, v) — the 100 TB
     path for the all-rows neighbor search: pairs are generated ONLY
@@ -1221,6 +1287,7 @@ QUERIES = {
     "q_sim_ivf_recall": q_sim_ivf_recall,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_knn_join": q_sim_knn_join,
+    "q_sim_hard_negatives": q_sim_hard_negatives,
     "q_sim_knn_join_ann": q_sim_knn_join_ann,
     "q_sim_ivf": q_sim_ivf,
     "q_sim_ivf_trained": q_sim_ivf_trained,
@@ -1330,6 +1397,35 @@ def _hybrid_oracle() -> str:
 ORACLES = {
     "q_hybrid_search": _hybrid_oracle(),
     "q_sim_mmr": _mmr_oracle(),
+    # hard negatives: same unrounded-cosine window-rank contract as the
+    # kNN join, with the batch equi-key and label-inequality pair filter
+    "q_sim_hard_negatives": f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   CAST(vec_id // {HN_BATCH} AS BIGINT) AS batch_id,
+                   CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))
+                       AS norm
+            FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS anchor_id, a.batch_id,
+                   a.label AS anchor_label,
+                   b.vec_id AS negative_id, b.label AS negative_label,
+                   list_dot_product(a.v, b.v) / (a.norm * b.norm)
+                       AS cos_raw,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_dot_product(a.v, b.v)
+                                / (a.norm * b.norm) DESC,
+                                b.vec_id) AS rn
+            FROM e a JOIN e b
+              ON a.batch_id = b.batch_id AND a.label <> b.label)
+        SELECT anchor_id, batch_id, anchor_label, negative_id,
+               negative_label,
+               FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS neg_cosine
+        FROM pairs WHERE rn = 1
+    """,
     "q_embed_quantize": """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

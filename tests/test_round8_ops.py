@@ -530,3 +530,50 @@ def test_sim_mmr_defers_duplicates(spark, tmp_path):
     # diverse picks outrank it, so it misses the K=10 output entirely
     # (plain top-k would have ranked it SECOND)
     assert all(r.vec_id != 2 for r in out), "duplicate must be crowded out"
+
+
+def test_hard_negatives_matches_bruteforce(spark, sf_dir):
+    """Every anchor appears exactly once (iff its batch holds another
+    label) and its mined negative is the true in-batch argmax by an
+    independent numpy recount."""
+    import numpy as np
+
+    from breweries_case_spark.operators.similarity import (
+        HN_BATCH,
+        q_sim_hard_negatives,
+    )
+
+    got = {
+        r.anchor_id: (r.negative_id, r.anchor_label, r.negative_label)
+        for r in q_sim_hard_negatives(spark, sf_dir).collect()
+    }
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    by_batch: dict = {}
+    for vid in vecs:
+        by_batch.setdefault(vid // HN_BATCH, []).append(vid)
+    expected_anchors = 0
+    for batch in by_batch.values():
+        for a in batch:
+            cands = [b for b in batch if labels[b] != labels[a]]
+            if not cands:
+                assert a not in got
+                continue
+            expected_anchors += 1
+            va = vecs[a]
+
+            def cos(b):
+                vb = vecs[b]
+                return float(
+                    va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                )
+
+            best = max(cands, key=lambda b: (cos(b), -b))
+            neg, al, nl = got[a]
+            assert al == labels[a] and nl == labels[neg]
+            assert nl != al
+            # numpy's reduce order can differ in the last ulp; accept the
+            # engine's pick when the scores tie to 1e-12
+            assert neg == best or abs(cos(neg) - cos(best)) < 1e-12
+    assert len(got) == expected_anchors
