@@ -262,6 +262,78 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: document-frequency ceiling for containment candidate blocking: only
+#: grams with df ≤ DF_CAP post candidates (the skew lever both gram-join
+#: docstrings reference — this id makes it real and driver-certified)
+DF_CAP = 2
+
+
+def q_dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked certificate for the HIGH-DF-GRAM CAP — the skew
+    mitigation q_dedup_containment and q_dedup_ngram_jaccard document
+    for 100 TB (frequent grams fatten Σdf² candidate buckets and carry
+    no similarity signal; see
+    `scripts/measure_containment_scaling.py`: the saturated-gram fixture
+    regime grows candidates corpus-QUADRATICALLY). Blocking only on
+    grams with df ≤ DF_CAP breaks exactly those buckets; the price is
+    possible recall loss (a true pair whose shared grams are all
+    frequent posts no candidate). This certificate publishes the
+    trade-off and pins the loss, blocker_recall-style — rows
+    ``(check_name, value)``:
+
+    - ``exact_pairs``: the full unpruned containment pair count,
+      RECOMPUTED by the oracle from raw text (anchors the certificate).
+    - ``capped_missed_true_pairs``: exact pairs with NO df≤cap shared
+      gram — **pinned 0 in the oracle**: on the driver's fixed
+      datasets the cap is currently lossless, so any blocking-recall
+      regression (cap too tight after a data or tokenizer change)
+      turns the driver red instead of silently dropping duplicates.
+    - ``candidate_pairs_full`` / ``candidate_pairs_capped``: distinct
+      sharing pairs with and without the cap — the measured candidate
+      cut (~25% at driver scales, far larger in skewed corpora where
+      it matters; both recomputed by the oracle).
+
+    Scale: the capped candidate build is the production path — df
+    aggregate + semi-join keeps only rare-gram postings, so the
+    self-join's per-bucket cost is capped at DF_CAP² by construction."""
+    grams = _docs_with_gram_rows(spark, sf_dir).localCheckpoint()
+    df_tbl = grams.groupBy("lang", "gram").agg(F.count("*").alias("df"))
+    rare = df_tbl.filter(F.col("df") <= DF_CAP).select("lang", "gram")
+    gr = grams.join(rare, ["lang", "gram"], "left_semi")
+
+    def _pairs(g: DataFrame) -> DataFrame:
+        a, b = g.alias("a"), g.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.gram") == F.col("b.gram"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    cand_full = _pairs(grams).count()
+    cand_capped_df = _pairs(gr).localCheckpoint()
+    cand_capped = cand_capped_df.count()
+    exact = q_dedup_containment(spark, sf_dir).select("doc_a", "doc_b")
+    exact_n = exact.count()
+    missed = exact.join(
+        cand_capped_df, ["doc_a", "doc_b"], "left_anti"
+    ).count()
+    rows = [
+        ("exact_pairs", exact_n),
+        ("capped_missed_true_pairs", missed),
+        ("candidate_pairs_full", cand_full),
+        ("candidate_pairs_capped", cand_capped),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
+
+
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same exact-Jaccard pair set as ``q_dedup_ngram_jaccard``
     (same oracle — two independent Spark plans against one DuckDB
@@ -1345,6 +1417,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_containment": q_dedup_containment,
+    "q_dedup_containment_capped": q_dedup_containment_capped,
     "q_dedup_prefix_filter": q_dedup_prefix_filter,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_minhash": q_dedup_minhash,
@@ -1474,6 +1547,48 @@ ORACLES = {
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """,
+    # df-cap certificate: exact pairs + candidate volumes recomputed
+    # from raw text; the missed-pair count pinned literal 0 (a recall
+    # regression must red the driver, not agree on a nonzero loss)
+    "q_dedup_containment_capped": rf"""
+        WITH sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+                       i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
+            FROM documents),
+        g AS (SELECT doc_id, lang, unnest(sh) AS gram FROM sh),
+        df AS (SELECT lang, gram, COUNT(*) AS df FROM g GROUP BY 1, 2),
+        gr AS (SELECT g.doc_id, g.lang, g.gram
+               FROM g JOIN df USING (lang, gram) WHERE df.df <= {DF_CAP}),
+        exact AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0
+              AND FLOOR(len(list_intersect(a.sh, b.sh))
+                        / least(len(a.sh), len(b.sh)) * 1e6 + 0.5) / 1e6
+                  >= {CONTAINMENT_THRESHOLD}),
+        cand_full AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM g a JOIN g b
+              ON a.lang = b.lang AND a.gram = b.gram
+                 AND a.doc_id < b.doc_id),
+        cand_cap AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM gr a JOIN gr b
+              ON a.lang = b.lang AND a.gram = b.gram
+                 AND a.doc_id < b.doc_id)
+        SELECT 'exact_pairs' AS check_name,
+               CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS value
+        UNION ALL SELECT 'capped_missed_true_pairs', 0
+        UNION ALL SELECT 'candidate_pairs_full',
+            CAST((SELECT COUNT(*) FROM cand_full) AS BIGINT)
+        UNION ALL SELECT 'candidate_pairs_capped',
+            CAST((SELECT COUNT(*) FROM cand_cap) AS BIGINT)
     """,
     # prefix filtering is LOSSLESS, so the PPJoin-style plan answers to
     # the identical exact-pair oracle as the full inverted index

@@ -577,3 +577,21 @@ def test_hard_negatives_matches_bruteforce(spark, sf_dir):
             # engine's pick when the scores tie to 1e-12
             assert neg == best or abs(cos(neg) - cos(best)) < 1e-12
     assert len(got) == expected_anchors
+
+
+def test_containment_cap_certificate(spark, sf_dir):
+    """The df-cap blocking certificate: lossless at driver scale
+    (missed = 0), a real candidate cut (capped < full, both nonzero),
+    and the exact pair count anchors to the unpruned operator."""
+    from breweries_case_spark.operators.dedup import (
+        q_dedup_containment,
+        q_dedup_containment_capped,
+    )
+
+    rows = {
+        r.check_name: r.value
+        for r in q_dedup_containment_capped(spark, sf_dir).collect()
+    }
+    assert rows["capped_missed_true_pairs"] == 0
+    assert 0 < rows["candidate_pairs_capped"] < rows["candidate_pairs_full"]
+    assert rows["exact_pairs"] == q_dedup_containment(spark, sf_dir).count()
