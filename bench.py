@@ -222,6 +222,10 @@ EXTENDED = [
     # size-ratio pruning) — the candidate-volume worst case of the
     # gram-join family; benched as the skew watchdog for that shape
     "q_dedup_containment",
+    # the second-generation end-to-end curation chain (quantile gate →
+    # containment dedup → epoch mix) — benched like q_training_mix so
+    # the composed-stage cost stays measured alongside the unit ids
+    "q_training_mix_v2",
 ]
 
 

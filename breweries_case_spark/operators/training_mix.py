@@ -32,7 +32,13 @@ from breweries_case_spark.operators.sampling import (
     TOKEN_BUDGET_PER_SOURCE,
     _md5_key,
 )
-from breweries_case_spark.operators.text import BENCHMARK_MOD, _ngram_rows
+from breweries_case_spark.operators.dedup import CONTAINMENT_THRESHOLD
+from breweries_case_spark.operators.text import (
+    BENCHMARK_MOD,
+    QG_DROP_PCT,
+    QG_SCALE,
+    _ngram_rows,
+)
 
 #: quality-gate thresholds — language-agnostic (the synthetic corpus is
 #: 5-lingual word soup; stopword-based gates would only fit English)
@@ -238,10 +244,122 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_mix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation composite, chaining the round-8 wave
+    end to end the way q_training_mix chained the exact tier:
+
+        quantile quality gate → containment (subset-dup) dedup →
+        epoch-based source upsampling
+
+    Semantics per stage are THE registered operators' (stage 1 calls
+    q_quality_gate directly; stages 2-3 inline the q_dedup_containment
+    and q_mix_epochs definitions on the surviving subset — the pair
+    threshold, the drop rule, and the epoch formula are the same
+    constants), so a drift in any stage or in a hand-off turns this
+    composite red even while the unit ids stay green. Containment drop
+    rule: for each qualifying pair, drop the doc with the SMALLER gram
+    set (the contained excerpt); equal sizes drop the larger doc_id —
+    deterministic, cascade-safe (a doc dropped via one pair stays
+    dropped regardless of other pairs). Epoch totals are computed over
+    the CLEANED corpus — upsampling weights must reflect what survives
+    curation, not the raw crawl.
+
+    Output: one row per surviving doc (doc_id, lang, source, n_copies).
+
+    Scale: stage 1 is histogram-cheap (see q_quality_gate); stage 2 is
+    the Σdf² gram join RESTRICTED to gate survivors (the composition
+    order is itself the optimization — gate first shrinks the join's
+    input); stage 3 is one aggregate + broadcast join. No stage
+    shuffles the corpus more than once per key."""
+    from breweries_case_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        _docs_with_gram_rows,
+    )
+    from breweries_case_spark.operators.text import q_quality_gate
+
+    d = load_table(spark, sf_dir, "documents")
+
+    # 1. quantile gate — the registered operator itself
+    kept_ids = q_quality_gate(spark, sf_dir).select("doc_id")
+    surv = d.join(kept_ids, "doc_id", "left_semi")
+
+    # 2. containment dedup among survivors
+    grams = (
+        _docs_with_gram_rows(spark, sf_dir)
+        .join(kept_ids, "doc_id", "left_semi")
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+        .localCheckpoint()
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.count("*")
+    cont = (
+        F.floor(
+            inter / F.least(F.col("a.sz"), F.col("b.sz")) * 1e6 + F.lit(0.5)
+        )
+        / 1e6
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(cont.alias("containment"))
+        .filter(F.col("containment") >= F.lit(CONTAINMENT_THRESHOLD))
+    )
+    dropped = pairs.select(
+        F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_a"))
+        .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_b"))
+        .otherwise(F.greatest(F.col("doc_a"), F.col("doc_b")))
+        .alias("doc_id")
+    ).distinct()
+    clean = surv.join(dropped, "doc_id", "left_anti")
+
+    # 3. epoch mix over the CLEANED corpus (q_mix_epochs formula)
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per = clean.groupBy("source").agg(
+        F.sum(n_tok.cast("long")).alias("toks")
+    )
+    z = per.agg(F.max("toks").alias("mx"))
+    ep = per.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.least(
+            F.lit(MIX_MAX_EPOCHS),
+            F.col("mx").cast("double") / F.col("toks").cast("double"),
+        ).alias("e"),
+    )
+    frac = F.col("e") - F.floor(F.col("e"))
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(frac * F.lit(256.0)).cast("long"))),
+        _EPOCH_HEX_CHARS,
+        "0",
+    )
+    n_copies = (
+        F.floor(F.col("e")).cast("long")
+        + (
+            F.substring(_md5_key(F.col("doc_id")), 1, _EPOCH_HEX_CHARS)
+            < thresh
+        ).cast("long")
+    )
+    return (
+        clean.select("doc_id", "lang", "source")
+        .join(F.broadcast(ep), "source")
+        .select("doc_id", "lang", "source", n_copies.alias("n_copies"))
+    )
+
+
 QUERIES = {
     "q_training_mix": q_training_mix,
     "q_mix_temperature": q_mix_temperature,
     "q_mix_epochs": q_mix_epochs,
+    "q_training_mix_v2": q_training_mix_v2,
 }
 
 ORACLES = {
@@ -348,5 +466,93 @@ ORACLES = {
                CAST(i AS BIGINT) AS copy_idx, n_copies
         FROM assigned,
              unnest(generate_series(0, n_copies - 1)) AS s(i)
+    """,
+    # v2 composite: gate CTE = q_quality_gate's oracle, containment
+    # pair CTE = q_dedup_containment's (on gate survivors), epoch CTE =
+    # q_mix_epochs' (on the cleaned corpus) — one chain, so any stage
+    # or hand-off drift reds the composite. MATERIALIZED on every
+    # multiply-referenced CTE (DuckDB inlines plain CTEs).
+    "q_training_mix_v2": rf"""
+        WITH b AS MATERIALIZED (
+            SELECT doc_id, lang, source, text,
+                   CAST(FLOOR((
+                       len(regexp_extract_all(text,
+                               '\b(the|a|of|is|and|to|in)\b'))
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.5
+                       + len(regexp_extract_all(text, '[^\w\s]'))
+                           / length(text) * -0.25
+                       + length(text)
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.05) * {QG_SCALE}) AS BIGINT)
+                       AS quality_bin
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) > 0
+              AND length(text) > 0),
+        h AS (SELECT quality_bin, COUNT(*) AS c FROM b GROUP BY 1),
+        cw AS (
+            SELECT quality_bin,
+                   SUM(c) OVER (ORDER BY quality_bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(c) OVER () AS total
+            FROM h),
+        cut AS (
+            SELECT MAX(quality_bin) AS cutoff_bin
+            FROM cw
+            WHERE cum <= FLOOR(total * {QG_DROP_PCT} / 100.0)),
+        kept AS MATERIALIZED (
+            SELECT doc_id, lang, source, text
+            FROM b, cut
+            WHERE cut.cutoff_bin IS NULL
+               OR quality_bin > cut.cutoff_bin),
+        sh AS MATERIALIZED (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+                       i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
+            FROM kept),
+        pairs AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT a.doc_id AS da, b2.doc_id AS db,
+                       len(a.sh) AS la, len(b2.sh) AS lb,
+                       FLOOR(len(list_intersect(a.sh, b2.sh))
+                             / least(len(a.sh), len(b2.sh)) * 1e6 + 0.5)
+                           / 1e6 AS containment
+                FROM sh a JOIN sh b2
+                  ON a.lang = b2.lang AND a.doc_id < b2.doc_id
+                WHERE len(a.sh) > 0 AND len(b2.sh) > 0)
+            WHERE containment >= {CONTAINMENT_THRESHOLD}),
+        dropped AS MATERIALIZED (
+            SELECT DISTINCT CASE WHEN la < lb THEN da
+                                 WHEN lb < la THEN db
+                                 ELSE greatest(da, db) END AS doc_id
+            FROM pairs),
+        clean AS MATERIALIZED (
+            SELECT k.doc_id, k.lang, k.source, k.text
+            FROM kept k
+            WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)),
+        per AS MATERIALIZED (
+            SELECT source,
+                   CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                        AS BIGINT) AS toks
+            FROM clean GROUP BY source),
+        z AS (SELECT MAX(toks) AS mx FROM per),
+        ep AS MATERIALIZED (
+            SELECT source,
+                   LEAST({MIX_MAX_EPOCHS},
+                         CAST(mx AS DOUBLE) / CAST(toks AS DOUBLE)) AS e
+            FROM per CROSS JOIN z)
+        SELECT c.doc_id, c.lang, c.source,
+               CAST(FLOOR(ep.e) AS BIGINT)
+               + CASE WHEN substr(md5(CAST(c.doc_id AS VARCHAR)),
+                                  1, {_EPOCH_HEX_CHARS})
+                      < lpad(lower(to_hex(CAST(FLOOR(
+                            (ep.e - FLOOR(ep.e)) * 256.0) AS BIGINT))),
+                            {_EPOCH_HEX_CHARS}, '0')
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM clean c JOIN ep USING (source)
     """,
 }

@@ -595,3 +595,49 @@ def test_containment_cap_certificate(spark, sf_dir):
     assert rows["capped_missed_true_pairs"] == 0
     assert 0 < rows["candidate_pairs_capped"] < rows["candidate_pairs_full"]
     assert rows["exact_pairs"] == q_dedup_containment(spark, sf_dir).count()
+
+
+def test_training_mix_v2_stage_consistency(spark, sf_dir):
+    """The v2 composite must agree with its stage operators: output ⊆
+    gate survivors; for every full-corpus containment pair whose BOTH
+    docs survive the gate, the contained (smaller-gram-set) side is
+    absent from the output; copy counts follow the epoch shape (1..5,
+    at most two distinct values per source). The fixture exercises the
+    dedup stage (both-survive pairs exist)."""
+    from breweries_case_spark.operators.dedup import q_dedup_containment
+    from breweries_case_spark.operators.text import q_quality_gate
+    from breweries_case_spark.operators.training_mix import (
+        MIX_MAX_EPOCHS,
+        q_training_mix_v2,
+    )
+
+    out = {r.doc_id: r for r in q_training_mix_v2(spark, sf_dir).collect()}
+    kept = {r.doc_id for r in q_quality_gate(spark, sf_dir).collect()}
+    assert set(out) <= kept
+
+    # gram-set sizes for the smaller-side determination
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    sz = {}
+    for d in docs:
+        toks = re.split(r"\s+", d.text.strip().lower())
+        sz[d.doc_id] = len({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+    both = [
+        (r.doc_a, r.doc_b)
+        for r in q_dedup_containment(spark, sf_dir).collect()
+        if r.doc_a in kept and r.doc_b in kept
+    ]
+    assert both, "fixture should exercise the composite's dedup stage"
+    for a, b in both:
+        if sz[a] < sz[b]:
+            contained = a
+        elif sz[b] < sz[a]:
+            contained = b
+        else:
+            contained = max(a, b)
+        assert contained not in out, (a, b, contained)
+    copies_by_source: dict = {}
+    for r in out.values():
+        assert 1 <= r.n_copies <= MIX_MAX_EPOCHS + 1
+        copies_by_source.setdefault(r.source, set()).add(r.n_copies)
+    for source, counts in copies_by_source.items():
+        assert len(counts) <= 2, (source, counts)
