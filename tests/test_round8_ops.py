@@ -641,3 +641,59 @@ def test_training_mix_v2_stage_consistency(spark, sf_dir):
         copies_by_source.setdefault(r.source, set()).add(r.n_copies)
     for source, counts in copies_by_source.items():
         assert len(counts) <= 2, (source, counts)
+
+
+def test_quality_gate_degenerate_single_bin(spark, tmp_path):
+    """All docs in one score bin: the single bin's cumulative count
+    exceeds any fractional drop budget, so the cutoff is NULL and the
+    gate keeps EVERYTHING — whole-bin semantics can never drop the
+    only bin."""
+    from breweries_case_spark.operators.text import q_quality_gate
+
+    rows = [(i, "same text here now", "en", "s", 18) for i in range(20)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = q_quality_gate(spark, str(tmp_path)).collect()
+    assert len(out) == 20
+    assert len({r.quality_bin for r in out}) == 1
+
+
+def test_mix_epochs_single_source_one_epoch(spark, tmp_path):
+    """A single source IS the largest source: e = 1.0 exactly, zero
+    fractional part, so every doc gets exactly one copy."""
+    from breweries_case_spark.operators.training_mix import q_mix_epochs
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(5 + i % 3)), "en", "only", 30)
+        for i in range(15)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = q_mix_epochs(spark, str(tmp_path)).collect()
+    assert len(out) == 15
+    assert all(r.n_copies == 1 and r.copy_idx == 0 for r in out)
+
+
+def test_pack_concat_single_token_docs(spark, tmp_path):
+    """Minimal docs (one token each): offsets are 0,1,2,... per lang and
+    nothing crosses an example boundary below PACK_SEQ_LEN docs."""
+    from breweries_case_spark.operators.pandas_ops import q_pack_concat
+
+    rows = [(i, f"tok{i}", "en" if i % 2 else "de", "s", 6) for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = sorted(
+        q_pack_concat(spark, str(tmp_path)).collect(),
+        key=lambda r: (r.lang, r.doc_id),
+    )
+    by_lang: dict = {}
+    for r in out:
+        assert r.n_tokens == 1
+        assert r.example_first == r.example_last == r.start_offset // 256
+        exp = by_lang.get(r.lang, 0)
+        assert r.start_offset == exp
+        by_lang[r.lang] = exp + 1
+    assert set(by_lang.values()) == {15}
