@@ -214,6 +214,9 @@ NESTED_LOOP_OK = {
     "q_mix_temperature",  # 1-row normalizer-scalars crossJoin
     "q_quality_gate",  # 1-row cutoff-bin scalar crossJoin
     "q_mix_epochs",  # 1-row largest-source scalar crossJoin
+    # composite inherits q_quality_gate's 1-row cutoff crossJoin and
+    # q_mix_epochs' 1-row largest-source crossJoin
+    "q_training_mix_v2",
 }
 
 
