@@ -86,6 +86,55 @@ def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: debounce interval: an event is kept only if it arrives more than
+#: this long after the previously KEPT event of its user
+DEBOUNCE_US = 120 * 60 * 1_000_000
+
+
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event DEBOUNCE: keep an event iff it arrives more than
+    DEBOUNCE_US after the previously KEPT event — the burst/retry-storm
+    collapse every event pipeline runs before rate metrics (a click
+    storm becomes one click). This is NOT sessionization-with-lag: the
+    state is the last KEPT timestamp, a data-dependent recurrence that
+    no lag/window combination expresses (lag sees the previous ROW,
+    kept or not) — the third recurrence-class operator after
+    q_pack_nextfit and the BPE fold, same treatment: the inherently
+    sequential scan runs per-user in applyInPandas (Arrow-batched,
+    timestamps pre-converted to int64 micros JVM-side), and the oracle
+    replays the identical recurrence as a recursive CTE advancing every
+    user's chain one row per step. Strict `>` boundary, (ts, event_id)
+    total order — deterministic on ties.
+
+    Scale: one shuffle on user_id; the loop is O(events-per-user) with
+    O(1) state. Hot users sub-shard the same way q_pack_sequences
+    documents (debounce within a shard is a lower bound on drops; exact
+    cross-shard stitching needs only each shard's final kept ts)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+
+    def _debounce(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        kept, last = [], None
+        for us in pdf["ts_us"]:
+            us = int(us)
+            if last is None or us - last > DEBOUNCE_US:
+                kept.append(True)
+                last = us
+            else:
+                kept.append(False)
+        return pdf[pd.Series(kept).values][["user_id", "event_id", "ts_us"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        _debounce, "user_id long, event_id long, ts_us long"
+    )
+
+
 # --- true streaming (rows-only) ---------------------------------------------
 
 
@@ -469,6 +518,7 @@ QUERIES = {
     "q_stream_sliding_batch": q_stream_sliding_batch,
     "q_stream_session_batch": q_stream_session_batch,
     "q_sessionize_lag": q_sessionize_lag,
+    "q_events_debounce": q_events_debounce,
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
@@ -539,6 +589,27 @@ ORACLES = {
     + """
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         FROM sess GROUP BY user_id, session_id
+    """,
+    # debounce: the last-KEPT-timestamp recurrence replayed as a
+    # recursive CTE advancing every user's chain one row per step (the
+    # q_pack_nextfit oracle idiom) — strict >, (ts, event_id) order
+    "q_events_debounce": rf"""
+        WITH RECURSIVE t AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events),
+        r AS (
+            SELECT user_id, event_id, ts_us, rn,
+                   TRUE AS kept, ts_us AS last_kept
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.user_id, t.event_id, t.ts_us, t.rn,
+                   t.ts_us - r.last_kept > {DEBOUNCE_US},
+                   CASE WHEN t.ts_us - r.last_kept > {DEBOUNCE_US}
+                        THEN t.ts_us ELSE r.last_kept END
+            FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        SELECT user_id, event_id, ts_us FROM r WHERE kept
     """,
     # The three COMPLETE-mode windowed replays gained oracles in the r4
     # third wave: complete mode never evicts aggregation state, so the

@@ -697,3 +697,54 @@ def test_pack_concat_single_token_docs(spark, tmp_path):
         assert r.start_offset == exp
         by_lang[r.lang] = exp + 1
     assert set(by_lang.values()) == {15}
+
+
+def test_events_debounce_recurrence_not_lag(spark, sf_dir, tmp_path):
+    """Debounce keeps iff gap to the last KEPT event exceeds Δ — a
+    recurrence lag cannot express. Synthetic chain at 0 / 70 / 130 min
+    with Δ=120 min: the 130-min event IS kept (130 > 120 from the kept
+    t=0) though its gap to the previous ROW is only 60 min — a
+    lag-based filter would wrongly drop it. Plus a full Python replay
+    on the fixture."""
+    import datetime as dt
+
+    from breweries_case_spark.operators.streaming_queries import (
+        DEBOUNCE_US,
+        q_events_debounce,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "click", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=70), 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=130), 1, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    kept = sorted(
+        r.event_id for r in q_events_debounce(spark, str(tmp_path)).collect()
+    )
+    assert kept == [0, 2], kept
+
+    # fixture replay
+    got = {
+        (r.user_id, r.event_id) for r in q_events_debounce(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user: dict = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    want = set()
+    for uid, es in by_user.items():
+        es.sort(key=lambda e: (e.ts, e.event_id))
+        last = None
+        for e in es:
+            us = int(e.ts.timestamp() * 1_000_000)
+            if last is None or us - last > DEBOUNCE_US:
+                want.add((uid, e.event_id))
+                last = us
+    assert got == want
+    assert len(got) < len(ev), "fixture should exercise real drops"
