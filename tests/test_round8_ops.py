@@ -748,3 +748,45 @@ def test_events_debounce_recurrence_not_lag(spark, sf_dir, tmp_path):
                 last = us
     assert got == want
     assert len(got) < len(ev), "fixture should exercise real drops"
+
+
+def test_second_wave_plan_shapes(spark, sf_dir):
+    """Pin the scale-critical plan facts of the wave under the
+    deterministic test profile (AQE off, fixed shuffle partitions):
+    the concat-pack scan is exchange-FREE in its final plan (both
+    phases ride the checkpointed range layout), debounce shuffles
+    exactly once (user_id), and the rest stay within their documented
+    exchange budgets with no nested-loop joins anywhere."""
+    from breweries_case_spark.operators.dedup import q_dedup_containment
+    from breweries_case_spark.operators.pandas_ops import q_pack_concat
+    from breweries_case_spark.operators.similarity import (
+        q_sim_hard_negatives,
+    )
+    from breweries_case_spark.operators.streaming_queries import (
+        q_events_debounce,
+    )
+    from breweries_case_spark.operators.text import q_quality_gate
+
+    budgets = {
+        q_pack_concat: 0,
+        q_events_debounce: 1,
+        q_dedup_containment: 2,
+        q_sim_hard_negatives: 2,
+        q_quality_gate: 3,
+    }
+    for fn, budget in budgets.items():
+        df = fn(spark, sf_dir)
+        df.count()
+        plan = _final_plan(df)
+        n_ex = plan.count("Exchange")
+        assert n_ex <= budget, (fn.__name__, n_ex, budget)
+        assert "CartesianProduct" not in plan, fn.__name__
+        # the gate's 1-row cutoff crossJoin plans as a broadcast NL by
+        # design (NESTED_LOOP_OK in the sweep); everything else must
+        # stay nested-loop-free
+        if fn is not q_quality_gate:
+            assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    # the structural headline: zero exchanges in the pack scan
+    df = q_pack_concat(spark, sf_dir)
+    df.count()
+    assert "Exchange" not in _final_plan(df)
