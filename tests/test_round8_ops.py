@@ -337,9 +337,6 @@ def test_quality_gate_budget_tight(spark, sf_dir):
     assert len(kept) + len(dropped) == n
     if dropped:
         worst_kept = min(kept[r.doc_id].quality_bin for r in scored if r.doc_id in kept)
-        best_dropped_bins = sorted(
-            {k.quality_bin for k in kept.values()}
-        )
         # monotone: every dropped doc scores in a bin strictly below
         # every kept doc's bin
         from breweries_case_spark.operators.text import QG_SCALE
