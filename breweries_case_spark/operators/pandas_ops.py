@@ -302,6 +302,49 @@ def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-example MANIFEST — the artifact a dataloader
+    actually consumes after concat-and-cut packing: one row per
+    (example, doc) slice, saying which tokens of which doc fill which
+    part of which fixed-length example. Composes q_pack_concat (per-doc
+    start offsets from the distributed prefix scan), then explodes each
+    doc over its example range [example_first .. example_last]; the
+    slice arithmetic is pure int64 interval overlap —
+    tokens_in_example = min(s+n, (e+1)·L) − max(s, e·L),
+    offset_in_example = max(s, e·L) − e·L. The 1→N expansion runs as
+    explode(sequence(...)) inside the stage that already holds the
+    offsets — no further shuffle; fanout per doc is ≤ n/L + 1 by
+    construction. Invariant the oracle enforces by value equality:
+    per-(lang, example) slices sum to exactly PACK_SEQ_LEN except each
+    lang's final partial example."""
+    packed = q_pack_concat(spark, sf_dir)
+    L = F.lit(PACK_SEQ_LEN)
+    e = F.col("example_id")
+    ex_start = e * L
+    ex_end = (e + 1) * L
+    s = F.col("start_offset")
+    doc_end = s + F.col("n_tokens")
+    return (
+        packed.withColumn(
+            "example_id",
+            F.explode(
+                F.sequence(F.col("example_first"), F.col("example_last"))
+            ),
+        )
+        .select(
+            "lang",
+            "example_id",
+            "doc_id",
+            (F.least(doc_end, ex_end) - F.greatest(s, ex_start)).alias(
+                "tokens_in_example"
+            ),
+            (F.greatest(s, ex_start) - ex_start).alias(
+                "offset_in_example"
+            ),
+        )
+    )
+
+
 def q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checked certificate for FFD sequence packing (greedy packing
     has no SQL twin, but its CONTRACT does — the certificate pattern of
@@ -432,6 +475,7 @@ QUERIES = {
     "q_pack_invariants": q_pack_invariants,
     "q_pack_nextfit": q_pack_nextfit,
     "q_pack_concat": q_pack_concat,
+    "q_pack_manifest": q_pack_manifest,
 }
 
 ORACLES = {
@@ -457,6 +501,33 @@ ORACLES = {
                CAST((start_offset + n_tokens - 1) // {PACK_SEQ_LEN}
                     AS BIGINT) AS example_last
         FROM s
+    """,
+    # example manifest: the concat-scan oracle extended with a
+    # generate_series lateral over each doc's example range and the
+    # same int64 interval-overlap slice arithmetic
+    "q_pack_manifest": rf"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents),
+        s AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS so
+            FROM t)
+        SELECT lang, CAST(e AS BIGINT) AS example_id, doc_id,
+               CAST(least(so + n_tokens, (e + 1) * {PACK_SEQ_LEN})
+                    - greatest(so, e * {PACK_SEQ_LEN}) AS BIGINT)
+                   AS tokens_in_example,
+               CAST(greatest(so, e * {PACK_SEQ_LEN})
+                    - e * {PACK_SEQ_LEN} AS BIGINT) AS offset_in_example
+        FROM s,
+             unnest(generate_series(so // {PACK_SEQ_LEN},
+                                    (so + n_tokens - 1) // {PACK_SEQ_LEN}))
+                 AS g(e)
     """,
     # packing certificate: doc count + token mass recomputed from raw
     # text; every structural residual pinned at zero

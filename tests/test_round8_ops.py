@@ -787,3 +787,35 @@ def test_second_wave_plan_shapes(spark, sf_dir):
     df = q_pack_concat(spark, sf_dir)
     df.count()
     assert "Exchange" not in _final_plan(df)
+
+
+def test_pack_manifest_tiles_examples(spark, sf_dir):
+    """Every example is exactly tiled: within each (lang, example) the
+    doc slices are disjoint, start at offset 0, chain end-to-start, and
+    sum to PACK_SEQ_LEN for all but each lang's final partial example."""
+    from breweries_case_spark.operators.pandas_ops import (
+        PACK_SEQ_LEN,
+        q_pack_manifest,
+    )
+
+    rows = q_pack_manifest(spark, sf_dir).collect()
+    by_ex: dict = {}
+    for r in rows:
+        assert r.tokens_in_example >= 1
+        by_ex.setdefault((r.lang, r.example_id), []).append(r)
+    langs: dict = {}
+    for (lang, ex), rs in by_ex.items():
+        langs.setdefault(lang, set()).add(ex)
+        rs.sort(key=lambda r: r.offset_in_example)
+        pos = 0
+        for r in rs:
+            assert r.offset_in_example == pos, (lang, ex)
+            pos += r.tokens_in_example
+        assert pos <= PACK_SEQ_LEN
+    for lang, exs in langs.items():
+        assert sorted(exs) == list(range(len(exs))), "example ids dense"
+        last = max(exs)
+        for ex in exs:
+            total = sum(r.tokens_in_example for r in by_ex[(lang, ex)])
+            if ex < last:
+                assert total == PACK_SEQ_LEN, (lang, ex, total)
