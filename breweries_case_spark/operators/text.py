@@ -1044,6 +1044,30 @@ QG_SCALE = 1000
 QG_DROP_PCT = 25
 
 
+def gate_scored(d: DataFrame) -> DataFrame:
+    """The gate's scoring projection over a documents frame —
+    (doc_id, lang, quality_bin, quality_score), binning on the RAW
+    (unrounded) score. Factored out of q_quality_gate so tests and
+    composites derive bins from the SAME expression the gate bins on
+    (re-deriving bins from the 6dp-rounded published score can mis-bin
+    a score within ~5e-7 of a bin edge)."""
+    n_tok = F.size(_ws_tokens(F.col("text")))
+    n_chars = F.length(F.col("text"))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(F.col("text"), F.lit(EN_MARKERS))
+    score = (
+        (n_stop / n_tok) * 0.5
+        + (n_punct / n_chars) * -0.25
+        + (n_chars / n_tok) * 0.05
+    )
+    return d.filter((n_tok > 0) & (n_chars > 0)).select(
+        "doc_id",
+        "lang",
+        F.floor(score * QG_SCALE).cast("long").alias("quality_bin"),
+        (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("quality_score"),
+    )
+
+
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-quantile quality GATE: materialize the filtered corpus
     that keeps the top (100 − QG_DROP_PCT)% of documents by quality
@@ -1064,23 +1088,14 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast — three tiny jobs plus one corpus scan, nothing
     global. Score arithmetic is IEEE +,×,/ only (no transcendentals),
     identical operation order on both engines, so binning cannot flip;
-    empty/whitespace-only docs (undefined ratios) are dropped before
-    scoring, same as the curve."""
-    d = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(_ws_tokens(F.col("text")))
-    n_chars = F.length(F.col("text"))
-    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
-    n_stop = F.regexp_count(F.col("text"), F.lit(EN_MARKERS))
-    score = (
-        (n_stop / n_tok) * 0.5
-        + (n_punct / n_chars) * -0.25
-        + (n_chars / n_tok) * 0.05
-    )
-    scored = d.filter((n_tok > 0) & (n_chars > 0)).select(
-        "doc_id",
-        "lang",
-        F.floor(score * QG_SCALE).cast("long").alias("quality_bin"),
-        (F.floor(score * 1e6 + F.lit(0.5)) / 1e6).alias("quality_score"),
+    only truly EMPTY docs (zero chars — undefined ratios) are excluded
+    before scoring, same as the curve. A whitespace-only doc still
+    scores: trim+split of '' yields [''] so n_tok = 1 on BOTH engines
+    (its mean-token-length term is then n_chars/1, an artifact of the
+    whitespace tokenizer — cross-engine parity holds, and the synthetic
+    corpus contains no such doc)."""
+    scored = gate_scored(
+        load_table(spark, sf_dir, "documents")
     ).localCheckpoint()  # score once: hist + gate both read the narrow
     # 4-col projection instead of re-running the regex scan per branch
     hist = scored.groupBy("quality_bin").agg(F.count("*").alias("c"))

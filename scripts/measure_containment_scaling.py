@@ -26,7 +26,7 @@ import time
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from breweries_case_spark.io.reader import load_table, spread
+from breweries_case_spark.io.reader import load_table
 from breweries_case_spark.session import get_session
 
 SF_DIR = "/root/testdata/sf0.1"

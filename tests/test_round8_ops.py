@@ -324,12 +324,20 @@ def test_quality_gate_budget_tight(spark, sf_dir):
         q_quality_score,
     )
 
+    from breweries_case_spark.operators.text import gate_scored
+
     kept = {r.doc_id: r for r in q_quality_gate(spark, sf_dir).collect()}
-    scored = [
-        r
+    # bins come from the SAME Spark expression the gate bins on (raw
+    # score) — re-deriving from the 6dp-rounded published score can
+    # mis-bin a score within ~5e-7 of a bin edge
+    scored = gate_scored(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).collect()
+    assert len(scored) == sum(
+        1
         for r in q_quality_score(spark, sf_dir).collect()
         if r.quality_score is not None
-    ]
+    )
     n = len(scored)
     budget = n * QG_DROP_PCT // 100
     dropped = [r for r in scored if r.doc_id not in kept]
@@ -339,10 +347,7 @@ def test_quality_gate_budget_tight(spark, sf_dir):
         worst_kept = min(kept[r.doc_id].quality_bin for r in scored if r.doc_id in kept)
         # monotone: every dropped doc scores in a bin strictly below
         # every kept doc's bin
-        from breweries_case_spark.operators.text import QG_SCALE
-        import math
-
-        drop_bins = [math.floor(r.quality_score * QG_SCALE) for r in dropped]
+        drop_bins = [r.quality_bin for r in dropped]
         assert max(drop_bins) < worst_kept
         # tight: the lowest kept bin would not have fit the drop budget
         lowest_kept_count = sum(
