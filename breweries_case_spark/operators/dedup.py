@@ -208,40 +208,84 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_THRESHOLD = 0.8
 
 
-def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT 3-gram CONTAINMENT pairs — the subset-duplicate detector
-    Jaccard structurally misses: containment = |a∩b| / min(|a|,|b|)
-    (Broder 1997's resemblance/containment split). A 100-gram doc fully
-    embedded in a 10,000-gram doc has J ≈ 0.01 (invisible to every
-    Jaccard tier) but containment 1.0 — the quote-page / boilerplate-
-    plus-article / excerpt-republication shape web corpora are full of.
+def containment_pairs(grams: DataFrame, capped: bool = True) -> DataFrame:
+    """Shared containment-pair builder over a distinct ``(doc_id, lang,
+    gram)`` inventory — THE implementation behind the whole containment
+    family (q_dedup_containment, q_dedup_containment_blocked, the
+    q_dedup_containment_capped certificate, and q_training_mix_v2
+    stage 2 all call this, so the pair semantics cannot drift apart).
+    containment = |a∩b| / min(|a|,|b|), FLOOR(x·1e6 + 0.5)/1e6 rounded,
+    thresholded at CONTAINMENT_THRESHOLD on the rounded value.
 
-    Same inverted-index candidate topology as q_dedup_ngram_jaccard
-    (distinct (doc, gram) rows self-joined on (lang, gram), output
-    Σ_gram df², never |docs|²) with one deliberate difference: NO
-    size-ratio pruning residuals — a qualifying pair may have ANY size
-    ratio (that asymmetry is the feature), so the only sound prune is
-    gram sharing itself, which is complete (containment ≥ t > 0 ⇒ at
-    least one shared gram). Skew note as on the Jaccard twin: at
-    100 TB, cap or drop ultra-high-df grams before the self-join —
-    stopword shingles fatten df² buckets and carry no signal. Rounding
-    follows the module's FLOOR(x·1e6 + 0.5) convention on BOTH engines,
-    thresholded on the rounded value."""
+    ``capped=True`` (the DEFAULT — the production blocking tier): the
+    candidate join runs only over grams with document frequency
+    ≤ DF_CAP, so every per-gram candidate bucket is capped at DF_CAP²
+    by construction — the Σ_gram df² blow-up a saturated high-df gram
+    causes (measured corpus-QUADRATIC in
+    scripts/measure_containment_scaling.py) cannot happen. Candidates
+    are then VERIFIED by recounting the full intersection against the
+    complete gram inventory (candidate-then-verify, the
+    q_dedup_prefix_filter topology), so published containment values
+    are exact. The only possible loss is a true pair whose shared
+    grams are ALL frequent — pinned 0 on the driver datasets by
+    q_dedup_containment_capped's oracle (``capped_missed_true_pairs``),
+    so a blocking-recall regression reds the driver.
+
+    ``capped=False``: the uncapped inverted-index join — the
+    ground-truth tier (exact-Levenshtein analog): complete by
+    construction (containment ≥ t > 0 ⇒ ≥ 1 shared gram) but
+    corpus-quadratic in saturated-gram regimes; run it to certify the
+    capped tier, not as the 100 TB plan.
+
+    Returns (doc_a, doc_b, lang, sz_a, sz_b, containment)."""
     t = CONTAINMENT_THRESHOLD
-    grams = (
-        _docs_with_gram_rows(spark, sf_dir)
-        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
-        .localCheckpoint()
-    )
-    a, b = grams.alias("a"), grams.alias("b")
+    sized = grams.withColumn(
+        "sz", F.count("*").over(Window.partitionBy("doc_id"))
+    ).localCheckpoint()
     inter = F.count("*")
     cont = (
         F.floor(
-            inter / F.least(F.col("a.sz"), F.col("b.sz")) * 1e6
+            inter / F.least(F.col("sz_a"), F.col("sz_b")) * 1e6
             + F.lit(0.5)
         )
         / 1e6
     )
+    if capped:
+        df_tbl = sized.groupBy("lang", "gram").agg(
+            F.count("*").alias("df")
+        )
+        rare = df_tbl.filter(F.col("df") <= DF_CAP).select("lang", "gram")
+        blocked = sized.join(rare, ["lang", "gram"], "left_semi")
+        a, b = blocked.alias("a"), blocked.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.gram") == F.col("b.gram"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            # two shared rare grams emit the pair twice; dedup before
+            # the verify join or the intersection counts double
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.lang").alias("lang"),
+                F.col("a.sz").alias("sz_a"),
+                F.col("b.sz").alias("sz_b"),
+            )
+            .agg(F.lit(1).alias("_one"))
+            .drop("_one")
+        )
+        ga = sized.select(F.col("doc_id").alias("doc_a"), "gram")
+        gb = sized.select(F.col("doc_id").alias("doc_b"), "gram")
+        return (
+            cand.join(ga, "doc_a")
+            .join(gb, ["doc_b", "gram"])
+            .groupBy("doc_a", "doc_b", "lang", "sz_a", "sz_b")
+            .agg(cont.alias("containment"))
+            .filter(F.col("containment") >= F.lit(t))
+        )
+    a, b = sized.alias("a"), sized.alias("b")
     return (
         a.join(
             b,
@@ -256,10 +300,62 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.sz").alias("sz_a"),
             F.col("b.sz").alias("sz_b"),
         )
-        .agg(cont.alias("containment"))
+        .agg(
+            (
+                F.floor(
+                    F.count("*")
+                    / F.least(F.col("a.sz"), F.col("b.sz"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("containment")
+        )
         .filter(F.col("containment") >= F.lit(t))
-        .select("doc_a", "doc_b", "lang", "containment")
     )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram CONTAINMENT pairs — the subset-duplicate detector
+    Jaccard structurally misses: containment = |a∩b| / min(|a|,|b|)
+    (Broder 1997's resemblance/containment split). A 100-gram doc fully
+    embedded in a 10,000-gram doc has J ≈ 0.01 (invisible to every
+    Jaccard tier) but containment 1.0 — the quote-page / boilerplate-
+    plus-article / excerpt-republication shape web corpora are full of.
+
+    GROUND-TRUTH TIER (the exact-Levenshtein analog): the uncapped
+    inverted-index join is complete by construction but its candidate
+    volume is Σ_gram df² — measured corpus-QUADRATIC in saturated-gram
+    regimes (scripts/measure_containment_scaling.py: 4.11× pairs for
+    2× docs), so on a 100 TB corpus one high-df boilerplate gram makes
+    a C(df,2) bucket that never finishes. The production default is
+    ``q_dedup_containment_blocked`` — same pair set (recall pinned 0 by
+    q_dedup_containment_capped), df-capped candidate buckets — exactly
+    as q_dedup_levenshtein defers to its _bounded twin. Keep this form
+    for certifying the blocked tier on samples."""
+    return containment_pairs(
+        _docs_with_gram_rows(spark, sf_dir), capped=False
+    ).select("doc_a", "doc_b", "lang", "containment")
+
+
+def q_dedup_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment family's PRODUCTION DEFAULT: df≤DF_CAP-capped
+    candidate blocking + full-inventory verify (see
+    ``containment_pairs``; the q_dedup_prefix_filter candidate-then-
+    verify topology). Oracled by the SAME exact-pair SQL as
+    q_dedup_containment — the cap is lossless on the driver datasets
+    (q_dedup_containment_capped pins ``capped_missed_true_pairs`` = 0),
+    so the driver value-checks both that the blocked plan finds every
+    true pair and that its verified containment values are exact.
+
+    Scale: every candidate bucket is ≤ DF_CAP² rows by construction —
+    the Σ_gram df² quadratic of the ground-truth tier cannot occur; the
+    price is one df aggregate + a semi-join + the verify join, all
+    equi-joins on (lang, gram) / (doc, gram). This is the plan you run
+    at 100×."""
+    return containment_pairs(
+        _docs_with_gram_rows(spark, sf_dir), capped=True
+    ).select("doc_a", "doc_b", "lang", "containment")
 
 
 #: document-frequency ceiling for containment candidate blocking: only
@@ -269,10 +365,11 @@ DF_CAP = 2
 
 
 def q_dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checked certificate for the HIGH-DF-GRAM CAP — the skew
-    mitigation q_dedup_containment and q_dedup_ngram_jaccard document
-    for 100 TB (frequent grams fatten Σdf² candidate buckets and carry
-    no similarity signal; see
+    """Driver-checked certificate for the HIGH-DF-GRAM CAP — the
+    blocking tier ``q_dedup_containment_blocked`` and q_training_mix_v2
+    stage 2 run BY DEFAULT (and the skew mitigation
+    q_dedup_ngram_jaccard documents for 100 TB: frequent grams fatten
+    Σdf² candidate buckets and carry no similarity signal; see
     `scripts/measure_containment_scaling.py`: the saturated-gram fixture
     regime grows candidates corpus-QUADRATICALLY). Blocking only on
     grams with df ≤ DF_CAP breaks exactly those buckets; the price is
@@ -1417,6 +1514,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_containment": q_dedup_containment,
+    "q_dedup_containment_blocked": q_dedup_containment_blocked,
     "q_dedup_containment_capped": q_dedup_containment_capped,
     "q_dedup_prefix_filter": q_dedup_prefix_filter,
     "q_dedup_simhash": q_dedup_simhash,
@@ -1431,6 +1529,29 @@ QUERIES = {
     "q_dedup_filtered_corpus": q_dedup_filtered_corpus,
     "q_dedup_incremental": q_dedup_incremental,
 }
+
+# exact containment ground truth — shared verbatim by the uncapped
+# ground-truth id and the df-capped blocked default (lossless cap,
+# pinned by q_dedup_containment_capped)
+_CONTAINMENT_EXACT_SQL = rf"""
+        WITH sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+                       i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
+            FROM documents)
+        SELECT doc_a, doc_b, lang, containment FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                   FLOOR(len(list_intersect(a.sh, b.sh))
+                         / least(len(a.sh), len(b.sh)) * 1e6 + 0.5) / 1e6
+                       AS containment
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """
 
 # both component algorithms must reach the same recursive-CTE fixpoint;
 # the filtered-corpus oracle reuses the identical CTE chain
@@ -1529,25 +1650,12 @@ ORACLES = {
     # (min set size); FLOOR-rounded then thresholded, like the Spark
     # side. Docs with < 3 tokens have empty shingle sets and are
     # excluded on both engines (no gram rows / len = 0 guard).
-    "q_dedup_containment": rf"""
-        WITH sh AS (
-            SELECT doc_id, lang,
-                   list_distinct(list_transform(
-                       generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
-                       i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
-                            string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
-                            string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
-            FROM documents)
-        SELECT doc_a, doc_b, lang, containment FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-                   FLOOR(len(list_intersect(a.sh, b.sh))
-                         / least(len(a.sh), len(b.sh)) * 1e6 + 0.5) / 1e6
-                       AS containment
-            FROM sh a JOIN sh b
-              ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE len(a.sh) > 0 AND len(b.sh) > 0)
-        WHERE containment >= {CONTAINMENT_THRESHOLD}
-    """,
+    "q_dedup_containment": _CONTAINMENT_EXACT_SQL,
+    # the blocked (df-capped + verify) default must reproduce the exact
+    # ground-truth pair set — the cap is lossless on the driver data
+    # (q_dedup_containment_capped pins capped_missed_true_pairs = 0), so
+    # the SAME exact SQL oracles both plans
+    "q_dedup_containment_blocked": _CONTAINMENT_EXACT_SQL,
     # df-cap certificate: exact pairs + candidate volumes recomputed
     # from raw text; the missed-pair count pinned literal 0 (a recall
     # regression must red the driver, not agree on a nonzero loss)

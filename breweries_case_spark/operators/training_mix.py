@@ -32,7 +32,10 @@ from breweries_case_spark.operators.sampling import (
     TOKEN_BUDGET_PER_SOURCE,
     _md5_key,
 )
-from breweries_case_spark.operators.dedup import CONTAINMENT_THRESHOLD
+from breweries_case_spark.operators.dedup import (
+    CONTAINMENT_THRESHOLD,
+    containment_pairs,
+)
 from breweries_case_spark.operators.text import (
     BENCHMARK_MOD,
     QG_DROP_PCT,
@@ -176,6 +179,46 @@ MIX_MAX_EPOCHS = 4.0
 _EPOCH_HEX_CHARS = 2
 
 
+def epoch_table(corpus: DataFrame) -> DataFrame:
+    """Per-source epoch plan over a corpus frame with (source, text):
+    e_s = min(MIX_MAX_EPOCHS, tokens_largest / tokens_s). Shared by
+    q_mix_epochs and q_training_mix_v2 stage 3 so the epoch formula
+    cannot drift between the unit operator and the composite. One hash
+    aggregate (the only corpus exchange) + a 1-row broadcast scalar."""
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per = corpus.groupBy("source").agg(
+        F.sum(n_tok.cast("long")).alias("toks")
+    )
+    z = per.agg(F.max("toks").alias("mx"))
+    return per.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.least(
+            F.lit(MIX_MAX_EPOCHS),
+            F.col("mx").cast("double") / F.col("toks").cast("double"),
+        ).alias("e"),
+    )
+
+
+def n_copies_expr():
+    """Copy-count column over (doc_id, e): floor(e) epochs plus ONE
+    extra copy for the md5-prefix-selected (e − floor(e)) fraction —
+    the fractional-epoch selector shared by q_mix_epochs and
+    q_training_mix_v2 (1/256 resolution, layout-free determinism)."""
+    frac = F.col("e") - F.floor(F.col("e"))
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(frac * F.lit(256.0)).cast("long"))),
+        _EPOCH_HEX_CHARS,
+        "0",
+    )
+    return (
+        F.floor(F.col("e")).cast("long")
+        + (
+            F.substring(_md5_key(F.col("doc_id")), 1, _EPOCH_HEX_CHARS)
+            < thresh
+        ).cast("long")
+    )
+
+
 def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-based source upsampling, MATERIALIZED — the LLaMA-style
     data mix where each source is repeated e_s epochs (Touvron et al.
@@ -205,35 +248,11 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex threshold floor(frac·256) is integer on both engines —
     bit-identical everywhere (same contract as q_mix_temperature)."""
     d = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    per = d.groupBy("source").agg(
-        F.sum(n_tok.cast("long")).alias("toks")
-    )
-    z = per.agg(F.max("toks").alias("mx"))
-    ep = per.crossJoin(F.broadcast(z)).select(
-        "source",
-        F.least(
-            F.lit(MIX_MAX_EPOCHS),
-            F.col("mx").cast("double") / F.col("toks").cast("double"),
-        ).alias("e"),
-    )
-    frac = F.col("e") - F.floor(F.col("e"))
-    thresh = F.lpad(
-        F.lower(F.hex(F.floor(frac * F.lit(256.0)).cast("long"))),
-        _EPOCH_HEX_CHARS,
-        "0",
-    )
-    n_copies = (
-        F.floor(F.col("e")).cast("long")
-        + (
-            F.substring(_md5_key(F.col("doc_id")), 1, _EPOCH_HEX_CHARS)
-            < thresh
-        ).cast("long")
-    )
+    ep = epoch_table(d)
     return (
         d.select("doc_id", "source")
         .join(F.broadcast(ep), "source")
-        .withColumn("n_copies", n_copies)
+        .withColumn("n_copies", n_copies_expr())
         .withColumn(
             "copy_idx",
             F.explode(F.sequence(F.lit(0), (F.col("n_copies") - 1).cast("int"))),
@@ -251,14 +270,16 @@ def q_training_mix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile quality gate → containment (subset-dup) dedup →
         epoch-based source upsampling
 
-    Semantics per stage are THE registered operators' (stage 1 calls
-    q_quality_gate directly; stages 2-3 inline the q_dedup_containment
-    and q_mix_epochs definitions on the surviving subset — the pair
-    threshold, the drop rule, and the epoch formula are the same
-    constants), so a drift in any stage or in a hand-off turns this
-    composite red even while the unit ids stay green. Containment drop
-    rule: for each qualifying pair, drop the doc with the SMALLER gram
-    set (the contained excerpt); equal sizes drop the larger doc_id —
+    Semantics per stage are THE registered operators' — stage 1 calls
+    q_quality_gate directly; stage 2 calls the SHARED
+    ``containment_pairs`` builder (the q_dedup_containment_blocked
+    implementation) on the surviving subset; stage 3 applies the shared
+    ``epoch_table`` / ``n_copies_expr`` helpers q_mix_epochs itself
+    runs — so a change to any unit operator flows into the composite by
+    construction, and a hand-off drift turns this composite red even
+    while the unit ids stay green. Containment drop rule: for each
+    qualifying pair, drop the doc with the SMALLER gram set (the
+    contained excerpt); equal sizes drop the larger doc_id —
     deterministic, cascade-safe (a doc dropped via one pair stays
     dropped regardless of other pairs). Epoch totals are computed over
     the CLEANED corpus — upsampling weights must reflect what survives
@@ -266,15 +287,18 @@ def q_training_mix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per surviving doc (doc_id, lang, source, n_copies).
 
-    Scale: stage 1 is histogram-cheap (see q_quality_gate); stage 2 is
-    the Σdf² gram join RESTRICTED to gate survivors (the composition
-    order is itself the optimization — gate first shrinks the join's
-    input); stage 3 is one aggregate + broadcast join. No stage
-    shuffles the corpus more than once per key."""
-    from breweries_case_spark.operators.dedup import (
-        CONTAINMENT_THRESHOLD,
-        _docs_with_gram_rows,
-    )
+    Scale: stage 1 is histogram-cheap (see q_quality_gate); stage 2
+    runs the df-CAPPED candidate join + full-inventory verify (the
+    containment family's production default — every candidate bucket
+    ≤ DF_CAP² by construction, closing the Σdf² quadratic the r8
+    verdict flagged; recall pinned 0 by q_dedup_containment_capped's
+    oracle, and this composite's own oracle recomputes the EXACT pair
+    set, so a lossy cap reds the driver here too) RESTRICTED to gate
+    survivors (the composition order is itself an optimization — gate
+    first shrinks the join's input; measured −36% candidates for −25%
+    docs, SURVEY §6); stage 3 is one aggregate + broadcast join. No
+    stage shuffles the corpus more than once per key."""
+    from breweries_case_spark.operators.dedup import _docs_with_gram_rows
     from breweries_case_spark.operators.text import q_quality_gate
 
     d = load_table(spark, sf_dir, "documents")
@@ -283,37 +307,12 @@ def q_training_mix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_ids = q_quality_gate(spark, sf_dir).select("doc_id")
     surv = d.join(kept_ids, "doc_id", "left_semi")
 
-    # 2. containment dedup among survivors
-    grams = (
-        _docs_with_gram_rows(spark, sf_dir)
-        .join(kept_ids, "doc_id", "left_semi")
-        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
-        .localCheckpoint()
+    # 2. containment dedup among survivors — the shared df-capped
+    # builder (q_dedup_containment_blocked's plan) on the gated inventory
+    grams = _docs_with_gram_rows(spark, sf_dir).join(
+        kept_ids, "doc_id", "left_semi"
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = F.count("*")
-    cont = (
-        F.floor(
-            inter / F.least(F.col("a.sz"), F.col("b.sz")) * 1e6 + F.lit(0.5)
-        )
-        / 1e6
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        .agg(cont.alias("containment"))
-        .filter(F.col("containment") >= F.lit(CONTAINMENT_THRESHOLD))
-    )
+    pairs = containment_pairs(grams, capped=True)
     dropped = pairs.select(
         F.when(F.col("sz_a") < F.col("sz_b"), F.col("doc_a"))
         .when(F.col("sz_b") < F.col("sz_a"), F.col("doc_b"))
@@ -322,36 +321,13 @@ def q_training_mix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     clean = surv.join(dropped, "doc_id", "left_anti")
 
-    # 3. epoch mix over the CLEANED corpus (q_mix_epochs formula)
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    per = clean.groupBy("source").agg(
-        F.sum(n_tok.cast("long")).alias("toks")
-    )
-    z = per.agg(F.max("toks").alias("mx"))
-    ep = per.crossJoin(F.broadcast(z)).select(
-        "source",
-        F.least(
-            F.lit(MIX_MAX_EPOCHS),
-            F.col("mx").cast("double") / F.col("toks").cast("double"),
-        ).alias("e"),
-    )
-    frac = F.col("e") - F.floor(F.col("e"))
-    thresh = F.lpad(
-        F.lower(F.hex(F.floor(frac * F.lit(256.0)).cast("long"))),
-        _EPOCH_HEX_CHARS,
-        "0",
-    )
-    n_copies = (
-        F.floor(F.col("e")).cast("long")
-        + (
-            F.substring(_md5_key(F.col("doc_id")), 1, _EPOCH_HEX_CHARS)
-            < thresh
-        ).cast("long")
-    )
+    # 3. epoch mix over the CLEANED corpus — the shared q_mix_epochs
+    # helpers
+    ep = epoch_table(clean)
     return (
         clean.select("doc_id", "lang", "source")
         .join(F.broadcast(ep), "source")
-        .select("doc_id", "lang", "source", n_copies.alias("n_copies"))
+        .select("doc_id", "lang", "source", n_copies_expr().alias("n_copies"))
     )
 
 

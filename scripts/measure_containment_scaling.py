@@ -15,6 +15,14 @@ measure duplication, a different axis). Measured growth ≈ docs² is the
 expected saturated-regime signature, and exactly what the documented
 high-df-gram cap exists to break.
 
+Round 9 adds the CAPPED twin: the same half-vs-full growth for the
+df≤DF_CAP-blocked candidate join (``containment_pairs(capped=True)``'s
+candidate stage — the q_dedup_containment_blocked / q_training_mix_v2
+default). In the saturated regime every gram's df grows with the
+corpus, so the df-cap eventually excludes saturated grams entirely and
+capped candidate growth must be SUB-quadratic (bounded by DF_CAP²·
+|rare grams|) while the uncapped twin stays ≈ docs².
+
 Usage: PYTHONPATH=. python scripts/measure_containment_scaling.py
 """
 
@@ -56,6 +64,35 @@ def candidates(spark, half: bool):
     )
 
 
+def capped_candidates(spark, half: bool):
+    """The blocked tier's candidate stage: df≤DF_CAP semi-join, then the
+    rare-gram self-join (distinct pairs — what feeds the verify join)."""
+    from breweries_case_spark.operators.dedup import DF_CAP
+
+    g = _grams(spark, half)
+    rare = (
+        g.groupBy("lang", "gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("lang", "gram")
+    )
+    gr = g.join(rare, ["lang", "gram"], "left_semi")
+    a, b = gr.alias("a"), gr.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def main():
     spark = get_session(
         app_name="containment_scaling_probe",
@@ -67,6 +104,9 @@ def main():
             _grams(spark, half).select("doc_id").distinct().count()
         )
         out[f"{tag}_candidate_pairs"] = candidates(spark, half).count()
+        out[f"{tag}_capped_candidate_pairs"] = capped_candidates(
+            spark, half
+        ).count()
         walls = []
         for _ in range(ROUNDS):
             from breweries_case_spark.operators.dedup import (
@@ -108,6 +148,11 @@ def main():
         out[f"{tag}_wall_s"] = round(min(walls), 3)
     out["pair_growth"] = round(
         out["full_candidate_pairs"] / out["half_candidate_pairs"], 2
+    )
+    out["capped_pair_growth"] = round(
+        out["full_capped_candidate_pairs"]
+        / max(out["half_capped_candidate_pairs"], 1),
+        2,
     )
     out["docs_growth"] = round(out["full_docs"] / out["half_docs"], 2)
     print(json.dumps(out))

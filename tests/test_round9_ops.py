@@ -1,0 +1,198 @@
+"""Round-9 operator tests: the df-capped containment default
+(q_dedup_containment_blocked + the shared containment_pairs builder),
+the v2 composite's switch to it, and the shared epoch helpers."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _media_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_containment_blocked_matches_exact(spark, sf_dir):
+    """The production (df-capped + verify) plan publishes EXACTLY the
+    ground-truth pair set with exact containment values — the cap is
+    lossless on the fixture corpora and the verify stage recounts the
+    full intersection."""
+    from breweries_case_spark.operators.dedup import (
+        q_dedup_containment,
+        q_dedup_containment_blocked,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b): (r.lang, r.containment)
+        for r in q_dedup_containment(spark, sf_dir).collect()
+    }
+    blocked = {
+        (r.doc_a, r.doc_b): (r.lang, r.containment)
+        for r in q_dedup_containment_blocked(spark, sf_dir).collect()
+    }
+    assert exact == blocked
+    assert exact, "fixture should contain at least one containment pair"
+
+
+def test_capped_builder_skips_saturated_gram_buckets(spark):
+    """On a crafted corpus where one gram is shared by EVERY doc (the
+    saturated-bucket scale-killer) and two docs additionally share rare
+    grams: the capped builder still finds the true pair with an exact
+    verified containment, and its candidate stage never materializes
+    the C(n,2) saturated bucket (checked by counting candidates of the
+    capped vs uncapped builders directly)."""
+    from pyspark.sql import functions as F
+
+    from breweries_case_spark.operators.dedup import (
+        DF_CAP,
+        containment_pairs,
+    )
+
+    # 8 docs all share gram "x y z"; docs 0 and 1 also share 4 rare
+    # grams each (their inventories: the shared gram + 4 identical rare
+    # grams -> containment 1.0); docs 2..7 have disjoint rare grams.
+    rows = []
+    for d in range(8):
+        rows.append((d, "en", "x y z"))
+        if d in (0, 1):
+            for i in range(4):
+                rows.append((d, "en", f"dup gram {i}"))
+        else:
+            for i in range(4):
+                rows.append((d, "en", f"solo{d} gram {i}"))
+    grams = spark.createDataFrame(
+        rows, "doc_id long, lang string, gram string"
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(grams, capped=True).collect()
+    }
+    # containment = |{x y z, dup*4}| inter / min(5,5) = 5/5 = 1.0
+    assert got == {(0, 1): 1.0}
+
+    # the saturated gram posts NO capped candidates: candidate volume is
+    # only the rare-gram pairs (docs 0-1 share 4 rare grams -> 1 distinct
+    # pair), while the uncapped join's "x y z" bucket alone is C(8,2)=28
+    assert DF_CAP < 8
+    uncapped_bucket = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.gram") == "x y z")
+        .count()
+    )
+    assert uncapped_bucket == 28
+    rare = (
+        grams.groupBy("lang", "gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("lang", "gram")
+    )
+    capped_cands = (
+        grams.join(rare, ["lang", "gram"], "left_semi")
+        .alias("a")
+        .join(
+            grams.join(rare, ["lang", "gram"], "left_semi").alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert capped_cands == 1
+
+
+def test_capped_builder_can_miss_all_frequent_pair(spark):
+    """The documented trade-off, demonstrated: a true pair whose shared
+    grams are ALL above DF_CAP posts no candidate under the cap (this
+    is exactly what q_dedup_containment_capped's pinned-0 oracle
+    watches for on the driver corpora) while the ground-truth tier
+    still finds it."""
+    from breweries_case_spark.operators.dedup import containment_pairs
+
+    # one gram shared by 4 docs (df=4 > DF_CAP=2); docs 0,1 consist of
+    # ONLY that gram -> true containment 1.0 but no rare shared gram
+    rows = [(d, "en", "x y z") for d in range(4)]
+    for d in (2, 3):
+        for i in range(3):
+            rows.append((d, "en", f"solo{d} gram {i}"))
+    grams = spark.createDataFrame(
+        rows, "doc_id long, lang string, gram string"
+    )
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(grams, capped=False).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(grams, capped=True).collect()
+    }
+    assert (0, 1) in exact
+    assert (0, 1) not in capped
+    assert capped <= exact
+
+
+def test_v2_composite_drops_match_blocked_pairs(spark, sf_dir):
+    """q_training_mix_v2's stage-2 drops are exactly the smaller-doc
+    side of the shared capped builder's pairs over gate survivors —
+    the composite really runs the registered default, not a fork."""
+    from pyspark.sql import functions as F
+
+    from breweries_case_spark.operators.dedup import (
+        _docs_with_gram_rows,
+        containment_pairs,
+    )
+    from breweries_case_spark.operators.text import q_quality_gate
+    from breweries_case_spark.operators.training_mix import (
+        q_training_mix_v2,
+    )
+
+    kept_ids = q_quality_gate(spark, sf_dir).select("doc_id")
+    grams = _docs_with_gram_rows(spark, sf_dir).join(
+        kept_ids, "doc_id", "left_semi"
+    )
+    pairs = containment_pairs(grams, capped=True).collect()
+    expect_dropped = set()
+    for r in pairs:
+        if r.sz_a < r.sz_b:
+            expect_dropped.add(r.doc_a)
+        elif r.sz_b < r.sz_a:
+            expect_dropped.add(r.doc_b)
+        else:
+            expect_dropped.add(max(r.doc_a, r.doc_b))
+    gate_kept = {r.doc_id for r in kept_ids.collect()}
+    out_ids = {r.doc_id for r in q_training_mix_v2(spark, sf_dir).collect()}
+    assert out_ids == gate_kept - expect_dropped
+
+
+def test_epoch_helpers_shared_with_unit_op(spark, sf_dir):
+    """q_mix_epochs' published (doc, n_copies) equals recomputing with
+    the factored epoch_table + n_copies_expr helpers — the helpers ARE
+    the operator."""
+    from pyspark.sql import functions as F
+
+    from breweries_case_spark.operators.training_mix import (
+        epoch_table,
+        n_copies_expr,
+        q_mix_epochs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ep = epoch_table(d)
+    recomputed = {
+        (r.doc_id, r.n_copies)
+        for r in d.select("doc_id", "source")
+        .join(F.broadcast(ep), "source")
+        .select("doc_id", n_copies_expr().alias("n_copies"))
+        .collect()
+    }
+    published = {
+        (r.doc_id, r.n_copies) for r in q_mix_epochs(spark, sf_dir).collect()
+    }
+    assert published == recomputed
