@@ -380,6 +380,138 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL — the production form of Lee et al.
+    2022's "Deduplicating Training Data Makes Language Models Better"
+    (ExactSubstr): where q_dup_span_fraction only SCORES duplication,
+    this operator EXCISES it — every token covered by a cross-doc-
+    duplicated DUP_SPAN_N-gram is removed, and the output is the
+    per-doc KEPT SPANS (gaps-and-islands over the removed intervals)
+    with the surviving text rebuilt, i.e. what actually feeds the
+    tokenizer. One row per kept island: (doc_id, kept_start, kept_end,
+    kept_tokens, kept_text), token positions 1-based inclusive.
+
+    Semantics: a span starting at p (covering tokens p..p+N−1) is
+    duplicated iff its N-gram occurs under another doc_id (corpus
+    total > own-doc occurrences — same rule as q_dup_span_fraction, no
+    distinct-count, no join-back). Removed intervals are merged when
+    they overlap OR touch (adjacent removals form one contiguous
+    excision); kept islands are the complement within [1, n_tok], so a
+    doc with no duplicated span survives whole, and a doc that is
+    entirely boilerplate vanishes. Docs shorter than N tokens emit no
+    spans and survive whole — per the paper, too short to match.
+
+    Plan: one scan builds the token array; span rows (pos, md5(gram))
+    explode inside the scan stage; TWO analytic windows on the SAME
+    span rows mark duplication (partition h / partition (doc,h) —
+    corpus-keyed like q_dup_span_fraction's gram window); the interval
+    merge is the classic prev-running-max gaps-and-islands — two
+    doc-keyed windows + one (doc, grp) aggregate over the (small)
+    duplicated-start subset; the complement is a lag window + a tail
+    aggregate + an anti-join for untouched docs; one final doc-keyed
+    join rebuilds the kept text from the token array. Every shuffle
+    key is doc_id or the gram hash; nothing is all-pairs, and the
+    interval rows the merge windows see are ≤ the duplicated-span
+    count, a small fraction of the token stream. The oracle runs the
+    identical gaps-and-islands as a DuckDB CTE chain sharing no code."""
+    n = DUP_SPAN_N
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    base = d.select("doc_id", arr.alias("t")).withColumn(
+        "n", F.size("t").cast("long")
+    ).localCheckpoint()  # token arrays feed spans AND the text rebuild
+
+    # span rows: 1-based start pos, md5 of the space-joined n-gram
+    span = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), (F.col("n") - F.lit(n - 1)).cast("int")),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))).alias(
+                    "h"
+                ),
+            ),
+        )
+    )
+    sp = (
+        base.filter(F.col("n") >= n)
+        .select("doc_id", span.alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    dup_starts = (
+        sp.withColumn("tot", F.count("*").over(Window.partitionBy("h")))
+        .withColumn(
+            "occ", F.count("*").over(Window.partitionBy("doc_id", "h"))
+        )
+        .filter(F.col("tot") > F.col("occ"))
+        .select("doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("e"))
+    )
+
+    # merge overlapping/adjacent removed intervals (gaps-and-islands)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        F.when(
+            prev_max.isNull() | (F.col("pos") > prev_max + 1), 1
+        ).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rm = (
+        dup_starts.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("rm_start"), F.max("e").alias("rm_end"))
+        .localCheckpoint()  # read by gaps, tails AND the anti-join
+    )
+
+    # complement: gaps before each removed region, the tail after the
+    # last one, and whole-doc islands for untouched docs
+    wr = Window.partitionBy("doc_id").orderBy("rm_start")
+    gaps = rm.select(
+        "doc_id",
+        F.coalesce(
+            F.lag("rm_end").over(wr) + 1, F.lit(1).cast("long")
+        ).alias("kept_start"),
+        (F.col("rm_start") - 1).alias("kept_end"),
+    )
+    tails = (
+        rm.groupBy("doc_id")
+        .agg((F.max("rm_end") + 1).alias("kept_start"))
+        .join(base.select("doc_id", F.col("n").alias("kept_end")), "doc_id")
+    )
+    whole = (
+        base.filter(F.col("n") >= 1)
+        .join(rm.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(1).cast("long").alias("kept_start"),
+            F.col("n").alias("kept_end"),
+        )
+    )
+    islands = (
+        gaps.unionByName(tails.select("doc_id", "kept_start", "kept_end"))
+        .unionByName(whole)
+        .filter(F.col("kept_end") >= F.col("kept_start"))
+    )
+    return islands.join(base, "doc_id").select(
+        "doc_id",
+        "kept_start",
+        "kept_end",
+        (F.col("kept_end") - F.col("kept_start") + 1).alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("t"),
+                F.col("kept_start").cast("int"),
+                (F.col("kept_end") - F.col("kept_start") + 1).cast("int"),
+            ),
+        ).alias("kept_text"),
+    )
+
+
 #: content-defined chunking: a token closes a chunk when its hash ≡ 0
 #: (mod CDC_MOD) → expected chunk length CDC_MOD tokens, boundaries set
 #: by CONTENT, so an insertion only reshapes its own chunk
@@ -896,6 +1028,72 @@ def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("round")
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end BPE ENCODE: train the BPE_TRAIN_ROUNDS-merge
+    table (q_bpe_train_k's count→merge loop verbatim) and then PUBLISH
+    THE FINAL TOKEN STREAMS — one row per surviving token
+    (doc_id, pos, tok), 1-based positions — i.e. what a tokenizer
+    actually hands the training pipeline, not just the per-round
+    trajectory. Merged tokens carry their space-joined surface form
+    ("the brewery"), so the merge lineage is readable and the oracle
+    can compare strings exactly.
+
+    Plan: identical to q_bpe_train_k round for round (pair expansion
+    inside the scan stage, ONE vocabulary-bounded exchange per round
+    for the pair-count aggregate, top-1 via TakeOrderedAndProject,
+    1-row broadcast winner, JVM higher-order greedy fold,
+    localCheckpoint between rounds so round k+1 scans the merged
+    stream instead of recomputing k folds) plus one final posexplode —
+    which runs INSIDE the last checkpoint's scan stage, no extra
+    exchange. Per-merge cost stays scan-bound: the token stream
+    SHRINKS every round and the exchange is pair-vocabulary-bounded
+    (scripts/measure_bpe_train_rounds.py; SURVEY §6).
+
+    Oracle: the identical loop unrolled as the q_bpe_train_k CTE chain
+    (_bpe_round_ctes — the gaps-and-islands closed form of the greedy
+    fold), selecting the FINAL stream instead of the per-round rows;
+    the two computations share no code path, so agreement certifies
+    every merge round AND the final stream assembly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    cur = d.select("doc_id", toks.alias("t"))
+    for _ in range(BPE_TRAIN_ROUNDS):
+        ln = F.greatest(F.size("t") - 1, F.lit(0))
+        pairs = F.arrays_zip(
+            F.slice(F.col("t"), 1, ln).alias("l"),
+            F.slice(F.col("t"), 2, ln).alias("r"),
+        )
+        top1 = (
+            cur.select(F.explode(pairs).alias("p"))
+            .groupBy(
+                F.col("p.l").alias("left_tok"),
+                F.col("p.r").alias("right_tok"),
+            )
+            .agg(F.count("*").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
+            .limit(1)
+            .select("left_tok", "right_tok")
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top1))
+            .select(
+                "doc_id",
+                bpe_merge_fold(
+                    F.col("t"), F.col("left_tok"), F.col("right_tok")
+                ).alias("t"),
+            )
+            .localCheckpoint()
+        )
+    return cur.select(
+        "doc_id", F.posexplode(F.col("t")).alias("pos0", "tok")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+    )
+
+
 #: cross-source overlap shingle width (string n-grams — readable and
 #: oracle-checkable; the hashed-shingle variant lives in dedup.py)
 OVERLAP_N = 5
@@ -1128,6 +1326,7 @@ QUERIES = {
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_bpe_merge_apply": q_bpe_merge_apply,
     "q_bpe_train_k": q_bpe_train_k,
+    "q_bpe_encode": q_bpe_encode,
     "q_quality_token_curve": q_quality_token_curve,
     "q_quality_gate": q_quality_gate,
     "q_source_overlap": q_source_overlap,
@@ -1145,6 +1344,7 @@ QUERIES = {
     "q_ngram_lm_score": q_ngram_lm_score,
     "q_doc_ngram_topk": q_doc_ngram_topk,
     "q_dup_span_fraction": q_dup_span_fraction,
+    "q_dup_span_removal": q_dup_span_removal,
     "q_text_bm25": q_text_bm25,
     "q_dedup_cdc_chunks": q_dedup_cdc_chunks,
 }
@@ -1643,6 +1843,76 @@ ORACLES = {
         FROM g JOIN nd USING (h)
         GROUP BY g.doc_id
     """,
+    # ExactSubstr removal: identical duplication rule as the fraction
+    # oracle (corpus total > own-doc occurrences, via two window counts),
+    # then the gaps-and-islands CTE chain — prev-running-max merges
+    # overlapping/touching removed intervals, complement = lag-gaps +
+    # per-doc tail + untouched whole docs; kept text rebuilt by list
+    # slicing so the excision itself is value-checked
+    "q_dup_span_removal": rf"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS t
+            FROM documents),
+        nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tk),
+        sp AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(t[i:i+{DUP_SPAN_N - 1}], ' ')) AS h
+            FROM tk, unnest(generate_series(1, len(t) - {DUP_SPAN_N - 1}))
+                     AS s(i)
+            WHERE len(t) >= {DUP_SPAN_N}),
+        marked AS (
+            SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY h)
+                       > COUNT(*) OVER (PARTITION BY doc_id, h) AS dup
+            FROM sp),
+        rmstart AS (
+            SELECT doc_id, pos, pos + {DUP_SPAN_N - 1} AS e
+            FROM marked WHERE dup),
+        pm AS (
+            SELECT doc_id, pos, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+            FROM rmstart),
+        grp AS (
+            SELECT doc_id, pos, e,
+                   SUM(CASE WHEN prev_max IS NULL OR pos > prev_max + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS grp
+            FROM pm),
+        rm AS (
+            SELECT doc_id, grp, MIN(pos) AS rm_start, MAX(e) AS rm_end
+            FROM grp GROUP BY 1, 2),
+        gaps AS (
+            SELECT doc_id,
+                   COALESCE(lag(rm_end) OVER (PARTITION BY doc_id
+                                              ORDER BY rm_start) + 1,
+                            1) AS kept_start,
+                   rm_start - 1 AS kept_end
+            FROM rm),
+        tails AS (
+            SELECT rm.doc_id, MAX(rm_end) + 1 AS kept_start,
+                   MAX(nn.n) AS kept_end
+            FROM rm JOIN nn USING (doc_id) GROUP BY rm.doc_id),
+        whole AS (
+            SELECT doc_id, CAST(1 AS BIGINT) AS kept_start, n AS kept_end
+            FROM nn
+            WHERE n >= 1
+              AND doc_id NOT IN (SELECT DISTINCT doc_id FROM rm)),
+        islands AS (
+            SELECT * FROM gaps WHERE kept_end >= kept_start
+            UNION ALL SELECT * FROM tails WHERE kept_end >= kept_start
+            UNION ALL SELECT * FROM whole)
+        SELECT i.doc_id, i.kept_start, i.kept_end,
+               i.kept_end - i.kept_start + 1 AS kept_tokens,
+               array_to_string(tk.t[i.kept_start:i.kept_end], ' ')
+                   AS kept_text
+        FROM islands i JOIN tk USING (doc_id)
+    """,
 }
 
 
@@ -1719,4 +1989,27 @@ ORACLES["q_bpe_train_k"] = (
         f"SELECT * FROM row_{i}" for i in range(1, BPE_TRAIN_ROUNDS + 1)
     )
     + "\n        ORDER BY round\n    "
+)
+
+# full encode: the same unrolled round CTEs, but publish the FINAL
+# stream (the merged token sequence after all rounds) instead of the
+# per-round trajectory rows. ROW_NUMBER re-packs positions per round,
+# so stream_{k+1}.pos is already the 1-based final position.
+ORACLES["q_bpe_encode"] = (
+    r"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS t
+            FROM documents),
+        stream_1 AS (
+            SELECT doc_id, p.pos, p.tok
+            FROM tk, LATERAL (SELECT unnest(tk.t) AS tok,
+                                     generate_subscripts(tk.t, 1) AS pos) p),"""
+    + ",".join(_bpe_round_ctes(i) for i in range(1, BPE_TRAIN_ROUNDS + 1))
+    + f"""
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+        FROM stream_{BPE_TRAIN_ROUNDS + 1}
+    """
 )

@@ -196,3 +196,116 @@ def test_epoch_helpers_shared_with_unit_op(spark, sf_dir):
         (r.doc_id, r.n_copies) for r in q_mix_epochs(spark, sf_dir).collect()
     }
     assert published == recomputed
+
+
+def test_dup_span_removal_crafted(spark, tmp_path):
+    """End-to-end excision semantics on a crafted corpus: two docs share
+    an 8-token boilerplate run mid-document -> both lose exactly the
+    covered tokens and keep head/tail islands; a doc shorter than the
+    span width survives whole; a doc that IS the boilerplate vanishes."""
+    from breweries_case_spark.operators.text import (
+        DUP_SPAN_N,
+        q_dup_span_removal,
+    )
+
+    assert DUP_SPAN_N == 8
+    boiler = " ".join(f"b{i}" for i in range(8))
+    d1 = " ".join(f"a{i}" for i in range(5)) + " " + boiler + " " + " ".join(
+        f"c{i}" for i in range(4)
+    )  # tokens 1-5 kept, 6-13 removed, 14-17 kept
+    d2 = boiler + " " + " ".join(f"z{i}" for i in range(6))
+    # d2: tokens 1-8 removed, 9-14 kept
+    d3 = "one two three"  # < 8 tokens: survives whole
+    d4 = boiler  # exactly the duplicated 8-gram: vanishes entirely
+    rows = [
+        (1, d1, "en", "s", len(d1)),
+        (2, d2, "en", "s", len(d2)),
+        (3, d3, "en", "s", len(d3)),
+        (4, d4, "en", "s", len(d4)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        (r.doc_id, r.kept_start, r.kept_end): (r.kept_tokens, r.kept_text)
+        for r in q_dup_span_removal(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        (1, 1, 5): (5, "a0 a1 a2 a3 a4"),
+        (1, 14, 17): (4, "c0 c1 c2 c3"),
+        (2, 9, 14): (6, "z0 z1 z2 z3 z4 z5"),
+        (3, 1, 3): (3, "one two three"),
+    }, out
+
+
+def test_dup_span_removal_merges_touching_intervals(spark, tmp_path):
+    """Two duplicated spans that OVERLAP (shifted by one) must excise
+    one contiguous region, not leave a phantom 1-token island between
+    per-span intervals."""
+    from breweries_case_spark.operators.text import q_dup_span_removal
+
+    # docs 1 and 2 share a 9-token run -> two overlapping 8-gram spans
+    run = " ".join(f"r{i}" for i in range(9))
+    d1 = "head1x " + run + " tail1x"
+    d2 = "head2y " + run + " tail2y"
+    rows = [
+        (1, d1, "en", "s", len(d1)),
+        (2, d2, "en", "s", len(d2)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        (r.doc_id, r.kept_start, r.kept_end): r.kept_text
+        for r in q_dup_span_removal(spark, str(tmp_path)).collect()
+    }
+    # 11 tokens per doc: 1 kept, 2-10 removed as ONE region, 11 kept
+    assert out == {
+        (1, 1, 1): "head1x",
+        (1, 11, 11): "tail1x",
+        (2, 1, 1): "head2y",
+        (2, 11, 11): "tail2y",
+    }, out
+
+
+def test_bpe_encode_consistent_with_train_k(spark, sf_dir):
+    """The encode's final stream must (a) total exactly the last
+    training round's published n_tokens_after_total, and (b) losslessly
+    reconstruct the normalized source text when its space-joined merged
+    tokens are flattened back out — BPE merging never alters content,
+    only grouping."""
+    import re
+
+    from breweries_case_spark.operators.text import (
+        BPE_TRAIN_ROUNDS,
+        q_bpe_encode,
+        q_bpe_train_k,
+    )
+
+    enc = q_bpe_encode(spark, sf_dir).collect()
+    rounds = {r.round: r for r in q_bpe_train_k(spark, sf_dir).collect()}
+    assert len(enc) == rounds[BPE_TRAIN_ROUNDS].n_tokens_after_total
+
+    by_doc: dict = {}
+    for r in enc:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.tok))
+    docs = {
+        d.doc_id: [
+            t
+            for t in re.split(r"\s+", d.text.strip().lower())
+            if t != ""
+        ]
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for doc_id, toks in by_doc.items():
+        toks.sort()
+        # positions are 1..k dense
+        assert [p for p, _ in toks] == list(range(1, len(toks) + 1))
+        flat = " ".join(t for _, t in toks).split(" ")
+        assert flat == docs[doc_id], doc_id
+        # at least one multi-token merge must have been applied somewhere
+    assert any(" " in t for _, ts in by_doc.items() for _, t in ts)
