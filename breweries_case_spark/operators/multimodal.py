@@ -665,6 +665,181 @@ def q_multimodal_real_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "check_name string, value long")
 
 
+#: near-dup hamming ceiling for the 64-bit aHash; with _HASH_BANDS=4
+#: 16-bit bands the banded blocker is LOSSLESS by pigeonhole
+#: (≤ 3 differing bits cannot touch all 4 bands)
+IMG_HAMMING_MAX = 3
+_HASH_BANDS = 4
+
+
+def image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual fingerprints of the REAL image payloads: parse each
+    8×8 24-bit BMP (``synth_media_table``'s image modality) and compute
+
+    - **aHash** (average hash, public: the classic pHash-family
+      baseline): bit k (k = y·8 + x, parse_bmp's row-major top-down
+      order) is set iff 64·gray3(k) > Σ gray3 (strict — integer math,
+      no division), gray3 = r+g+b. Published as two 32-bit halves
+      (``ahash_hi`` bits 32-63, ``ahash_lo`` bits 0-31) so both engines
+      stay comfortably inside signed int64.
+    - **dHash** (difference hash): bit j = y·7 + x is set iff
+      gray3(x+1, y) > gray3(x, y) — the horizontal-gradient sign grid,
+      56 bits.
+
+    Pure integer byte math over genuinely decoded bytes (Arrow-batched
+    mapInPandas, the multimodal plumbing is real) — and the payload
+    pixels are closed-form in doc_id, so DuckDB recomputes both hashes
+    bit-for-bit from first principles: a full value oracle over a
+    binary-decode pipeline."""
+    media = synth_media_table(spark, sf_dir).filter(
+        F.col("modality") == "image"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los, ds = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, px = parse_bmp(bytes(content))
+                gray = [r + g + b for (r, g, b) in px]
+                total = sum(gray)
+                n = w * h
+                hi = lo = 0
+                for k in range(n):
+                    if gray[k] * n > total:
+                        if k >= 32:
+                            hi |= 1 << (k - 32)
+                        else:
+                            lo |= 1 << k
+                dh = 0
+                for y in range(h):
+                    for x in range(w - 1):
+                        if gray[y * w + x + 1] > gray[y * w + x]:
+                            dh |= 1 << (y * (w - 1) + x)
+                ids.append(mid)
+                his.append(hi)
+                los.append(lo)
+                ds.append(dh)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "ahash_hi": pd.Series(his, dtype="int64"),
+                    "ahash_lo": pd.Series(los, dtype="int64"),
+                    "dhash": pd.Series(ds, dtype="int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("ahash_hi", T.LongType(), False),
+            T.StructField("ahash_lo", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+    return media.mapInPandas(run, schema)
+
+
+def q_multimodal_image_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``image_hashes`` — see its docstring. The
+    oracle regenerates every pixel from the synth closed form
+    (r = (x·31+s)%256, g = (y·57+s)%256, b = (x·y+s)%256, s = doc_id)
+    and packs the same bits, so the BMP encoder, the stdlib decoder,
+    the Arrow plumbing, and the hash math are all value-checked."""
+    return image_hashes(spark, sf_dir)
+
+
+def q_dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs — the dedup family
+    extended to the multimodal surface: pairs of image payloads whose
+    aHashes differ in ≤ IMG_HAMMING_MAX bits, found with the banded
+    LSH blocker the SimHash text tier uses (never all-pairs): each
+    64-bit aHash splits into _HASH_BANDS=4 16-bit bands; candidates
+    share at least one exact band (equi-join on (band_idx, band_val));
+    verify recomputes the true hamming distance with XOR + bit_count
+    (JVM codegen). LOSSLESS by pigeonhole: ≤ 3 differing bits cannot
+    touch all 4 bands, so every qualifying pair shares an intact band
+    — same guarantee shape as the prefix-filter lemma, and the oracle
+    is the ground-truth ALL-PAIRS formulation over closed-form-
+    recomputed hashes, so any blocker recall loss reds the driver.
+
+    Scale: band table is 4 rows per image; candidate buckets are
+    per-(band_idx, value) — a 16-bit band value keys ≤ corpus/65536
+    expected rows; verify is one equi-join + two bit_count ops per
+    candidate. At the driver sfs the synthetic pixel patterns only
+    collide for doc_id ≡ doc_id' (mod 256) (hamming 0 pairs appear at
+    sf0.1: 768-periodic image cliques); crafted-BMP unit tests pin the
+    1-3-bit and beyond-threshold behavior."""
+    return image_near_pairs(image_hashes(spark, sf_dir))
+
+
+def image_near_pairs(hashes: DataFrame) -> DataFrame:
+    """Banded-blocker + XOR-verify core of ``q_dedup_image_near`` over a
+    (media_id, ahash_hi, ahash_lo) frame — factored so unit tests can
+    pin the pigeonhole guarantee on crafted bit patterns."""
+    h = hashes.localCheckpoint()
+    bands = h.select(
+        "media_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    F.shiftright("ahash_hi", 16).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    (F.col("ahash_hi").bitwiseAND(F.lit(65535))).alias(
+                        "band_val"
+                    ),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_idx"),
+                    F.shiftright("ahash_lo", 16).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band_idx"),
+                    (F.col("ahash_lo").bitwiseAND(F.lit(65535))).alias(
+                        "band_val"
+                    ),
+                ),
+            )
+        ).alias("b"),
+    ).select(
+        "media_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.col("a.ahash_hi").alias("hi_a"),
+            F.col("a.ahash_lo").alias("lo_a"),
+            F.col("b.ahash_hi").alias("hi_b"),
+            F.col("b.ahash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= IMG_HAMMING_MAX)
+        .select("media_id_a", "media_id_b", "hamming")
+    )
+
+
 QUERIES = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_real_invariants": q_multimodal_real_invariants,
@@ -674,7 +849,45 @@ QUERIES = {
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_resize_real": q_multimodal_resize_real,
     "q_multimodal_frames_real": q_multimodal_frames_real,
+    "q_multimodal_image_hash": q_multimodal_image_hash,
+    "q_dedup_image_near": q_dedup_image_near,
 }
+
+# closed-form pixel regeneration for the synth 8×8 BMPs (image docs are
+# doc_id % 3 = 0; pixel (x, y) = ((x·31+s)%256, (y·57+s)%256,
+# (x·y+s)%256), s = doc_id; k = y·8+x row-major top-down, matching
+# parse_bmp) → the same aHash/dHash bit packing the Spark side computes
+# from the DECODED bytes. SUM is CAST back to BIGINT (DuckDB widens to
+# HUGEINT); dHash bit j = y·7+x = k − k//8.
+_IMAGE_HASH_CTES = """
+        WITH img AS (
+            SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+            SELECT doc_id, k,
+                   ((k % 8) * 31 + doc_id) % 256
+                   + ((k // 8) * 57 + doc_id) % 256
+                   + ((k % 8) * (k // 8) + doc_id) % 256 AS gray3
+            FROM img, unnest(generate_series(0, 63)) AS s(k)),
+        tot AS (
+            SELECT doc_id, SUM(gray3) AS total FROM px GROUP BY doc_id),
+        ah AS (
+            SELECT p.doc_id AS media_id,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS ahash_hi,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS ahash_lo
+            FROM px p JOIN tot USING (doc_id) GROUP BY p.doc_id),
+        dh AS (
+            SELECT a.doc_id AS media_id,
+                   CAST(SUM(CASE WHEN b.gray3 > a.gray3
+                                 THEN (CAST(1 AS BIGINT) << (a.k - a.k // 8))
+                                 ELSE 0 END) AS BIGINT) AS dhash
+            FROM px a JOIN px b
+              ON a.doc_id = b.doc_id AND b.k = a.k + 1 AND a.k % 8 < 7
+            GROUP BY a.doc_id)
+"""
 
 ORACLES = {
     "q_multimodal_meta": """
@@ -804,3 +1017,28 @@ ORACLES = {
         UNION ALL SELECT 'frame_size_violations', 0
     """,
 }
+
+ORACLES["q_multimodal_image_hash"] = (
+    _IMAGE_HASH_CTES
+    + """
+        SELECT media_id, ahash_hi, ahash_lo, dhash
+        FROM ah JOIN dh USING (media_id)
+    """
+)
+
+# ground-truth ALL-PAIRS formulation over the closed-form hashes — the
+# Spark side's banded blocker must reproduce it exactly (lossless by
+# pigeonhole: <= IMG_HAMMING_MAX differing bits cannot touch all 4
+# bands), so blocker recall loss reds the driver
+ORACLES["q_dedup_image_near"] = (
+    _IMAGE_HASH_CTES
+    + f"""
+        SELECT media_id_a, media_id_b, hamming FROM (
+            SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+                   CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+                        + bit_count(xor(a.ahash_lo, b.ahash_lo))
+                        AS BIGINT) AS hamming
+            FROM ah a JOIN ah b ON a.media_id < b.media_id)
+        WHERE hamming <= {IMG_HAMMING_MAX}
+    """
+)

@@ -309,3 +309,80 @@ def test_bpe_encode_consistent_with_train_k(spark, sf_dir):
         assert flat == docs[doc_id], doc_id
         # at least one multi-token merge must have been applied somewhere
     assert any(" " in t for _, ts in by_doc.items() for _, t in ts)
+
+
+def test_image_hashes_match_hand_computation(spark, sf_dir):
+    """aHash/dHash recomputed in plain Python from the re-synthesized
+    BMP bytes (parse_bmp + integer math, no Spark) must equal the
+    operator's published hashes — pins the bit-index conventions the
+    oracle also encodes."""
+    from breweries_case_spark.operators.multimodal import (
+        image_hashes,
+        make_bmp,
+        parse_bmp,
+    )
+
+    got = {
+        r.media_id: (r.ahash_hi, r.ahash_lo, r.dhash)
+        for r in image_hashes(spark, sf_dir).collect()
+    }
+    assert got
+    for mid in list(got)[:10]:
+        content = make_bmp(
+            8, 8,
+            lambda x, y, s=mid: (
+                (x * 31 + s) % 256,
+                (y * 57 + s) % 256,
+                (x * y + s) % 256,
+            ),
+        )
+        w, h, px = parse_bmp(content)
+        gray = [r + g + b for (r, g, b) in px]
+        total = sum(gray)
+        hi = lo = dh = 0
+        for k in range(64):
+            if gray[k] * 64 > total:
+                if k >= 32:
+                    hi |= 1 << (k - 32)
+                else:
+                    lo |= 1 << k
+        for y in range(8):
+            for x in range(7):
+                if gray[y * 8 + x + 1] > gray[y * 8 + x]:
+                    dh |= 1 << (y * 7 + x)
+        assert got[mid] == (hi, lo, dh), mid
+
+
+def test_image_near_pairs_pigeonhole(spark):
+    """Crafted hash patterns: hamming 1-3 pairs are found regardless of
+    WHICH bits differ (pigeonhole over the 4 bands), hamming 4 across
+    all four bands is rejected by the verify even though band collisions
+    may occur elsewhere, and identical hashes pair at distance 0."""
+    from breweries_case_spark.operators.multimodal import (
+        IMG_HAMMING_MAX,
+        image_near_pairs,
+    )
+
+    assert IMG_HAMMING_MAX == 3
+    base_hi, base_lo = 0x12345678, 0x0ABCDEF5
+    rows = [
+        (0, base_hi, base_lo),            # reference
+        (1, base_hi, base_lo),            # identical -> hamming 0
+        (2, base_hi ^ 1 << 31, base_lo),  # 1 bit, band 0 (hi high half)
+        (3, base_hi, base_lo ^ 0b111),    # 3 bits, all in band 3
+        (4, base_hi ^ (1 << 20) ^ 1, base_lo ^ (1 << 20)),  # 3 spread
+        (5, base_hi ^ (1 << 20) ^ 1, base_lo ^ (1 << 20) ^ 1),  # 4 bits
+    ]
+    h = spark.createDataFrame(
+        rows, "media_id long, ahash_hi long, ahash_lo long"
+    )
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in image_near_pairs(h).collect()
+    }
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] == 1
+    assert got[(0, 3)] == 3
+    assert got[(0, 4)] == 3
+    assert (0, 5) not in got  # hamming 4: blocked or verify-rejected
+    assert got[(4, 5)] == 1  # the 4-flip doc still pairs with its kin
