@@ -221,11 +221,29 @@ EXTENDED = [
     # the UNPRUNED Σdf² inverted-index self-join (containment admits no
     # size-ratio pruning) — the candidate-volume worst case of the
     # gram-join family; benched as the skew watchdog for that shape
+    # (since r9 the GROUND-TRUTH tier — the blocked form below is the
+    # production default)
     "q_dedup_containment",
+    # r9: the df-capped + full-inventory-verify production default —
+    # benched NEXT TO the uncapped watchdog so the cap's candidate cut
+    # and verify-join overhead stay measured as a pair
+    "q_dedup_containment_blocked",
     # the second-generation end-to-end curation chain (quantile gate →
     # containment dedup → epoch mix) — benched like q_training_mix so
     # the composed-stage cost stays measured alongside the unit ids
+    # (stage 2 runs the capped builder since r9)
     "q_training_mix_v2",
+    # r9: ExactSubstr span REMOVAL — the only id composing gram-window
+    # duplication marking with an interval-merge gaps-and-islands window
+    # chain + complement union + doc-keyed text rebuild join
+    "q_dup_span_removal",
+    # r9: banded aHash blocker + XOR/bit_count verify over REAL decoded
+    # BMP payloads — the multimodal near-dup join (96.5k verified pairs
+    # at sf0.1). q_multimodal_image_hash alone reuses the benched
+    # q_multimodal_decode mapInPandas shape and stays out; q_bpe_encode
+    # adds only a final posexplode to the benched q_bpe_train_k loop and
+    # stays out
+    "q_dedup_image_near",
 ]
 
 
