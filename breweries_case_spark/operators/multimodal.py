@@ -672,6 +672,24 @@ IMG_HAMMING_MAX = 3
 _HASH_BANDS = 4
 
 
+def _bmp_ahash(content: bytes) -> tuple[int, int]:
+    """64-bit aHash of a decoded BMP as (hi32, lo32) ints — bit
+    k = y·w + x set iff n·gray3(k) > Σ gray3 (strict, integer-only).
+    Shared by the image and video-frame fingerprint tiers."""
+    w, h, px = parse_bmp(content)
+    gray = [r + g + b for (r, g, b) in px]
+    total = sum(gray)
+    n = w * h
+    hi = lo = 0
+    for k in range(n):
+        if gray[k] * n > total:
+            if k >= 32:
+                hi |= 1 << (k - 32)
+            else:
+                lo |= 1 << k
+    return hi, lo
+
+
 def image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual fingerprints of the REAL image payloads: parse each
     8×8 24-bit BMP (``synth_media_table``'s image modality) and compute
@@ -699,17 +717,9 @@ def image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, his, los, ds = [], [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                hi, lo = _bmp_ahash(bytes(content))
                 w, h, px = parse_bmp(bytes(content))
                 gray = [r + g + b for (r, g, b) in px]
-                total = sum(gray)
-                n = w * h
-                hi = lo = 0
-                for k in range(n):
-                    if gray[k] * n > total:
-                        if k >= 32:
-                            hi |= 1 << (k - 32)
-                        else:
-                            lo |= 1 << k
                 dh = 0
                 for y in range(h):
                     for x in range(w - 1):
@@ -769,37 +779,61 @@ def q_dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide for doc_id ≡ doc_id' (mod 256) (hamming 0 pairs appear at
     sf0.1: 768-periodic image cliques); crafted-BMP unit tests pin the
     1-3-bit and beyond-threshold behavior."""
-    return image_near_pairs(image_hashes(spark, sf_dir))
+    h = image_hashes(spark, sf_dir)
+    return hamming_near_pairs(
+        h.select(
+            "media_id",
+            F.col("ahash_hi").alias("hash_hi"),
+            F.col("ahash_lo").alias("hash_lo"),
+        )
+    )
 
 
+# keep the name round-9 tests were written against
 def image_near_pairs(hashes: DataFrame) -> DataFrame:
-    """Banded-blocker + XOR-verify core of ``q_dedup_image_near`` over a
-    (media_id, ahash_hi, ahash_lo) frame — factored so unit tests can
-    pin the pigeonhole guarantee on crafted bit patterns."""
+    """Back-compat shim over ``hamming_near_pairs`` for
+    (media_id, ahash_hi, ahash_lo) frames."""
+    return hamming_near_pairs(
+        hashes.select(
+            "media_id",
+            F.col("ahash_hi").alias("hash_hi"),
+            F.col("ahash_lo").alias("hash_lo"),
+        )
+    )
+
+
+def hamming_near_pairs(hashes: DataFrame) -> DataFrame:
+    """Banded-blocker + XOR-verify near-dup core over ANY 64-bit
+    perceptual hash published as (media_id, hash_hi, hash_lo) — shared
+    by the image (aHash) and audio (delta-sign) tiers, factored so unit
+    tests can pin the pigeonhole guarantee on crafted bit patterns.
+    4×16-bit bands → equi-join candidates → exact hamming verify
+    (XOR + bit_count, JVM codegen) at ≤ IMG_HAMMING_MAX; lossless by
+    pigeonhole."""
     h = hashes.localCheckpoint()
     bands = h.select(
         "media_id",
-        "ahash_hi",
-        "ahash_lo",
+        "hash_hi",
+        "hash_lo",
         F.explode(
             F.array(
                 F.struct(
                     F.lit(0).alias("band_idx"),
-                    F.shiftright("ahash_hi", 16).alias("band_val"),
+                    F.shiftright("hash_hi", 16).alias("band_val"),
                 ),
                 F.struct(
                     F.lit(1).alias("band_idx"),
-                    (F.col("ahash_hi").bitwiseAND(F.lit(65535))).alias(
+                    (F.col("hash_hi").bitwiseAND(F.lit(65535))).alias(
                         "band_val"
                     ),
                 ),
                 F.struct(
                     F.lit(2).alias("band_idx"),
-                    F.shiftright("ahash_lo", 16).alias("band_val"),
+                    F.shiftright("hash_lo", 16).alias("band_val"),
                 ),
                 F.struct(
                     F.lit(3).alias("band_idx"),
-                    (F.col("ahash_lo").bitwiseAND(F.lit(65535))).alias(
+                    (F.col("hash_lo").bitwiseAND(F.lit(65535))).alias(
                         "band_val"
                     ),
                 ),
@@ -807,8 +841,8 @@ def image_near_pairs(hashes: DataFrame) -> DataFrame:
         ).alias("b"),
     ).select(
         "media_id",
-        "ahash_hi",
-        "ahash_lo",
+        "hash_hi",
+        "hash_lo",
         F.col("b.band_idx").alias("band_idx"),
         F.col("b.band_val").alias("band_val"),
     )
@@ -823,10 +857,10 @@ def image_near_pairs(hashes: DataFrame) -> DataFrame:
         .select(
             F.col("a.media_id").alias("media_id_a"),
             F.col("b.media_id").alias("media_id_b"),
-            F.col("a.ahash_hi").alias("hi_a"),
-            F.col("a.ahash_lo").alias("lo_a"),
-            F.col("b.ahash_hi").alias("hi_b"),
-            F.col("b.ahash_lo").alias("lo_b"),
+            F.col("a.hash_hi").alias("hi_a"),
+            F.col("a.hash_lo").alias("lo_a"),
+            F.col("b.hash_hi").alias("hi_b"),
+            F.col("b.hash_lo").alias("lo_b"),
         )
         .distinct()
     )
@@ -837,6 +871,154 @@ def image_near_pairs(hashes: DataFrame) -> DataFrame:
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= IMG_HAMMING_MAX)
         .select("media_id_a", "media_id_b", "hamming")
+    )
+
+
+def audio_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual fingerprint of the REAL audio payloads: parse each
+    PCM16 WAV (``synth_media_table``'s audio modality) and compute the
+    64-bit DELTA-SIGN hash — bit k set iff sample k+1 > sample k
+    (k = 0..63; bits past the stream length stay 0) — the classic
+    spectral/temporal-gradient-sign shape audio fingerprinting uses
+    (Haitsma & Kalker 2002's sign-of-difference idea, reduced to the
+    time domain so it stays pure stdlib). Published as two 32-bit
+    halves (``dhash_hi`` bits 32-63, ``dhash_lo`` bits 0-31).
+
+    The synthesized sawtooth makes the oracle closed-form: sample i =
+    (i % period)·1200 − period·600 with period = doc_id % 50 + 2 and
+    n = min(n_chars, 400) samples, so s[k+1] > s[k] ⟺ (k+1) % period
+    ≠ 0 — DuckDB recomputes every bit from first principles while the
+    Spark side genuinely decodes the RIFF/WAV bytes."""
+    media = synth_media_table(spark, sf_dir).filter(
+        F.col("modality") == "audio"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _rate, samples = parse_wav(bytes(content))
+                hi = lo = 0
+                for k in range(min(64, len(samples) - 1)):
+                    if samples[k + 1] > samples[k]:
+                        if k >= 32:
+                            hi |= 1 << (k - 32)
+                        else:
+                            lo |= 1 << k
+                ids.append(mid)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "dhash_hi": pd.Series(his, dtype="int64"),
+                    "dhash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash_hi", T.LongType(), False),
+            T.StructField("dhash_lo", T.LongType(), False),
+        ]
+    )
+    return media.mapInPandas(run, schema)
+
+
+def q_multimodal_audio_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``audio_hashes`` — see its docstring."""
+    return audio_hashes(spark, sf_dir)
+
+
+def q_dedup_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs — delta-sign hashes within hamming
+    ≤ IMG_HAMMING_MAX via the SAME banded blocker + XOR verify core as
+    the image tier (``hamming_near_pairs``), so the multimodal dedup
+    family shares one candidate topology. Same-period sawtooths of full
+    length hash identically (hamming 0); close periods differ only at
+    their wrap positions (true hamming-1..3 near-dups — e.g. periods 40
+    vs 45 differ at exactly the two wrap bits). Oracle = ground-truth
+    all-pairs over the closed-form bits, so blocker recall loss reds
+    the driver."""
+    h = audio_hashes(spark, sf_dir)
+    return hamming_near_pairs(
+        h.select(
+            "media_id",
+            F.col("dhash_hi").alias("hash_hi"),
+            F.col("dhash_lo").alias("hash_lo"),
+        )
+    )
+
+
+#: minimum shared distinct frame fingerprints for a video near-dup pair
+VIDEO_SHARED_MIN = 2
+
+
+def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO pairs via shared frame fingerprints — the
+    set-overlap formulation video dedup actually uses (fingerprint
+    every keyframe, pair videos sharing enough of them): each IVF
+    container is REALLY demuxed (stdlib parser), every frame's BMP gets
+    the shared 64-bit aHash (``_bmp_ahash`` — the image tier's exact
+    kernel), per-video fingerprints are DISTINCTed, and videos pair on
+    ≥ VIDEO_SHARED_MIN shared distinct fingerprints via an equi-join on
+    the (hi, lo) hash — the inverted-index candidate topology of the
+    text dedup family (Σ_hash df², never |videos|²), with the hash as
+    the posting key. Output (media_id_a, media_id_b, shared_frames).
+
+    Scale: fingerprints are 4 rows per video riding the demux scan;
+    the join keys on a 64-bit fingerprint, so bucket fatness is the
+    TRUE duplication rate (a boilerplate intro frame shared by
+    thousands of videos fattens its df² bucket — at 100 TB cap high-df
+    fingerprints exactly like the containment family's DF_CAP tier).
+    Oracle recomputes every frame hash closed-form (frame pixels are
+    (x·31+s+pts)%256 / (y·57+s)%256 / (x·y+s+pts)%256) and re-joins —
+    demux, decode, hash and join all value-checked."""
+    media = synth_media_table(spark, sf_dir).filter(
+        F.col("modality") == "video"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _w, _h, frames = parse_ivf(bytes(content))
+                for _pts, payload in frames:
+                    hi, lo = _bmp_ahash(payload)
+                    ids.append(mid)
+                    his.append(hi)
+                    los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "hash_hi": pd.Series(his, dtype="int64"),
+                    "hash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("hash_hi", T.LongType(), False),
+            T.StructField("hash_lo", T.LongType(), False),
+        ]
+    )
+    fp = media.mapInPandas(run, schema).distinct().localCheckpoint()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hash_hi") == F.col("b.hash_hi"))
+            & (F.col("a.hash_lo") == F.col("b.hash_lo"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+        )
+        .agg(F.count("*").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= VIDEO_SHARED_MIN)
     )
 
 
@@ -851,6 +1033,9 @@ QUERIES = {
     "q_multimodal_frames_real": q_multimodal_frames_real,
     "q_multimodal_image_hash": q_multimodal_image_hash,
     "q_dedup_image_near": q_dedup_image_near,
+    "q_multimodal_audio_hash": q_multimodal_audio_hash,
+    "q_dedup_audio_near": q_dedup_audio_near,
+    "q_dedup_video_frames": q_dedup_video_frames,
 }
 
 # closed-form pixel regeneration for the synth 8×8 BMPs (image docs are
@@ -1042,3 +1227,84 @@ ORACLES["q_dedup_image_near"] = (
         WHERE hamming <= {IMG_HAMMING_MAX}
     """
 )
+
+# audio delta-sign bits closed-form: sample i = (i % period)·1200 −
+# period·600, period = doc_id % 50 + 2, n = min(n_chars, 400) samples →
+# bit k set iff k+1 <= n−1 AND (k+1) % period ≠ 0 (the sawtooth rises
+# everywhere except its wrap)
+_AUDIO_HASH_CTES = """
+        WITH aud AS (
+            SELECT doc_id, doc_id % 50 + 2 AS period,
+                   LEAST(n_chars, 400) AS n
+            FROM documents WHERE doc_id % 3 = 1),
+        bits AS (
+            SELECT doc_id, k,
+                   CASE WHEN k + 1 <= n - 1 AND (k + 1) % period <> 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM aud, unnest(generate_series(0, 63)) AS s(k)),
+        dh AS (
+            SELECT doc_id AS media_id,
+                   CAST(SUM(CASE WHEN bit = 1 AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS dhash_hi,
+                   CAST(SUM(CASE WHEN bit = 1 AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS dhash_lo
+            FROM bits GROUP BY doc_id)
+"""
+
+ORACLES["q_multimodal_audio_hash"] = (
+    _AUDIO_HASH_CTES
+    + """
+        SELECT media_id, dhash_hi, dhash_lo FROM dh
+    """
+)
+
+ORACLES["q_dedup_audio_near"] = (
+    _AUDIO_HASH_CTES
+    + f"""
+        SELECT media_id_a, media_id_b, hamming FROM (
+            SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+                   CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+                        + bit_count(xor(a.dhash_lo, b.dhash_lo))
+                        AS BIGINT) AS hamming
+            FROM dh a JOIN dh b ON a.media_id < b.media_id)
+        WHERE hamming <= {IMG_HAMMING_MAX}
+    """
+)
+
+# video frame hashes closed-form: frame at pts f has pixel channels
+# r = (x·31+s+f)%256, g = (y·57+s)%256, b = (x·y+s+f)%256 — the image
+# CTE with the PTS offset on r and b
+ORACLES["q_dedup_video_frames"] = f"""
+        WITH vid AS (
+            SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        fpx AS (
+            SELECT doc_id, f, k,
+                   ((k % 8) * 31 + doc_id + f) % 256
+                   + ((k // 8) * 57 + doc_id) % 256
+                   + ((k % 8) * (k // 8) + doc_id + f) % 256 AS gray3
+            FROM vid,
+                 unnest([0, 250, 500, 750]) AS ff(f),
+                 unnest(generate_series(0, 63)) AS s(k)),
+        ftot AS (
+            SELECT doc_id, f, SUM(gray3) AS total
+            FROM fpx GROUP BY 1, 2),
+        fh AS (
+            SELECT p.doc_id, p.f,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM fpx p JOIN ftot USING (doc_id, f) GROUP BY 1, 2),
+        fd AS (SELECT DISTINCT doc_id, hi, lo FROM fh)
+        SELECT media_id_a, media_id_b, shared_frames FROM (
+            SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+                   COUNT(*) AS shared_frames
+            FROM fd a JOIN fd b
+              ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        WHERE shared_frames >= {VIDEO_SHARED_MIN}
+    """

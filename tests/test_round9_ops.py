@@ -386,3 +386,97 @@ def test_image_near_pairs_pigeonhole(spark):
     assert got[(0, 4)] == 3
     assert (0, 5) not in got  # hamming 4: blocked or verify-rejected
     assert got[(4, 5)] == 1  # the 4-flip doc still pairs with its kin
+
+
+def test_audio_hash_closed_form_and_near_pairs(spark, sf_dir):
+    """Delta-sign bits recomputed from the closed form (bit k set iff
+    k+1 <= n-1 and (k+1) % period != 0) must equal the operator's
+    WAV-decoded hashes; and two full-length sawtooths with periods 40
+    and 45 must differ at exactly their two wrap bits (hamming 2 — a
+    true near-dup the banded blocker finds)."""
+    from breweries_case_spark.operators.multimodal import (
+        audio_hashes,
+        hamming_near_pairs,
+    )
+
+    got = {
+        r.media_id: (r.dhash_hi, r.dhash_lo)
+        for r in audio_hashes(spark, sf_dir).collect()
+    }
+    assert got
+    import pyspark.sql.functions as F  # noqa: F401
+
+    docs = {
+        d.doc_id: d.n_chars
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for mid, (hi, lo) in got.items():
+        period = mid % 50 + 2
+        n = min(docs[mid], 400)
+        ehi = elo = 0
+        for k in range(64):
+            if k + 1 <= n - 1 and (k + 1) % period != 0:
+                if k >= 32:
+                    ehi |= 1 << (k - 32)
+                else:
+                    elo |= 1 << k
+        assert (hi, lo) == (ehi, elo), mid
+
+    def sign_hash(period):
+        hi = lo = 0
+        for k in range(64):
+            if (k + 1) % period != 0:
+                if k >= 32:
+                    hi |= 1 << (k - 32)
+                else:
+                    lo |= 1 << k
+        return hi, lo
+
+    h40, h45 = sign_hash(40), sign_hash(45)
+    rows = [(1, *h40), (2, *h45)]
+    pairs = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in hamming_near_pairs(
+            spark.createDataFrame(
+                rows, "media_id long, hash_hi long, hash_lo long"
+            )
+        ).collect()
+    }
+    assert pairs == {(1, 2): 2}
+
+
+def test_video_frames_share_kernel_with_image_hash(spark, sf_dir):
+    """Frame-0 of video doc s must hash identically to what the IMAGE
+    kernel computes for the same pixel pattern (the +pts offset is 0 at
+    frame 0) — the two tiers really share _bmp_ahash; and every video
+    contributes at most 4 distinct fingerprints."""
+    from breweries_case_spark.operators.multimodal import (
+        _bmp_ahash,
+        make_bmp,
+        q_dedup_video_frames,
+        synth_media_table,
+    )
+
+    media = (
+        synth_media_table(spark, sf_dir)
+        .filter("modality = 'video'")
+        .limit(3)
+        .collect()
+    )
+    for r in media:
+        s = r.media_id
+        frame0 = make_bmp(
+            8, 8,
+            lambda x, y, s=s: (
+                (x * 31 + s) % 256,
+                (y * 57 + s) % 256,
+                (x * y + s) % 256,
+            ),
+        )
+        from breweries_case_spark.operators.multimodal import parse_ivf
+
+        _w, _h, frames = parse_ivf(bytes(r.content))
+        assert frames[0][1] == frame0
+        assert _bmp_ahash(frames[0][1]) == _bmp_ahash(frame0)
+    out = q_dedup_video_frames(spark, sf_dir)
+    assert out.filter("media_id_a >= media_id_b").count() == 0
