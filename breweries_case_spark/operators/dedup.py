@@ -1302,6 +1302,45 @@ def q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup at NEAR-DUP-CLUSTER granularity — the
+    downweight-instead-of-drop policy (public: SoftDedup, He et al.
+    2024; RefinedWeb/Gopher discuss the same drop-vs-discount choice)
+    applied to the engine's own cluster resolution: every doc KEEPS its
+    row, weighted by the inverse of its near-dup cluster size, so a
+    cluster's total effective contribution is bounded at 1 while the
+    natural distribution inside the cluster is preserved. Completes the
+    weighting family: q_url_downweight discounts by crawl-frequency
+    (URL key), this id by CONTENT similarity (exact-Jaccard clusters —
+    the same components q_dedup_clusters keeps one doc of). Singletons
+    get weight 1. Output (doc_id, cluster_id, cluster_size,
+    sample_weight).
+
+    Plan: the q_dedup_clusters pair source + min-label components, then
+    ONE cluster-keyed window for sizes (no join back). Float
+    discipline: 1/size is one IEEE division of exact operands + 6-dp
+    FLOOR quantization (the q_mix_temperature contract). Oracle: the
+    same recursive-CTE fixpoint as q_dedup_clusters with a window over
+    members — cluster membership, sizes, and weights all value-checked."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comps = connected_components(
+        pairs, docs.select(F.col("doc_id").alias("node"))
+    )
+    w = Window.partitionBy("label")
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    ).withColumn(
+        "sample_weight",
+        q6(F.lit(1.0) / F.col("cluster_size").cast("double")),
+    )
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_dedup_clusters with components resolved by the alternating-star
     algorithm (``connected_components_star``) instead of label
@@ -1524,6 +1563,7 @@ QUERIES = {
     "q_dedup_levenshtein": q_dedup_levenshtein,
     "q_dedup_levenshtein_bounded": q_dedup_levenshtein_bounded,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_soft_weights": q_dedup_soft_weights,
     "q_dedup_clusters_star": q_dedup_clusters_star,
     "q_dedup_clusters_bounded": q_dedup_clusters_bounded,
     "q_dedup_filtered_corpus": q_dedup_filtered_corpus,
@@ -1610,6 +1650,20 @@ _FILTERED_CORPUS_ORACLE = (
         FROM documents d
         JOIN (SELECT max(CASE WHEN rk = 1 THEN doc_id END) AS doc_id
               FROM members GROUP BY cluster_id) k USING (doc_id)
+    """
+)
+
+# soft weights: the SAME fixpoint, one window over members — membership,
+# sizes and 1/size weights all value-checked against the Spark CC
+_SOFT_WEIGHTS_ORACLE = (
+    _CLUSTERS_CTES
+    + r"""
+        SELECT doc_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size,
+               FLOOR(1.0 / COUNT(*) OVER (PARTITION BY cluster_id)
+                     * 1000000.0 + 0.5) / 1000000.0 AS sample_weight
+        FROM members
     """
 )
 
@@ -1751,6 +1805,7 @@ ORACLES = {
         WHERE lev <= 20
     """,
     "q_dedup_clusters": _CLUSTERS_ORACLE,
+    "q_dedup_soft_weights": _SOFT_WEIGHTS_ORACLE,
     "q_dedup_clusters_star": _CLUSTERS_ORACLE,
     # the bounded composition must reach the SAME fixpoint as the exact
     # pair source — blocker recall is the property under test

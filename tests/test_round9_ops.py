@@ -480,3 +480,37 @@ def test_video_frames_share_kernel_with_image_hash(spark, sf_dir):
         assert _bmp_ahash(frames[0][1]) == _bmp_ahash(frame0)
     out = q_dedup_video_frames(spark, sf_dir)
     assert out.filter("media_id_a >= media_id_b").count() == 0
+
+
+def test_soft_weights_invariants(spark, sf_dir):
+    """Every doc appears exactly once; each cluster's weights sum to
+    exactly 1 (up to the 6-dp quantization x size); singleton weight is
+    1.0; cluster sizes agree with q_dedup_clusters."""
+    from breweries_case_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_dedup_soft_weights,
+    )
+
+    rows = q_dedup_soft_weights(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    sizes = {}
+    for r in rows:
+        sizes.setdefault(r.cluster_id, []).append(r)
+    for cid, members in sizes.items():
+        size = members[0].cluster_size
+        assert len(members) == size
+        assert all(m.cluster_size == size for m in members)
+        for m in members:
+            import math
+
+            assert m.sample_weight == math.floor(1.0 / size * 1e6 + 0.5) / 1e6
+        if size == 1:
+            assert members[0].sample_weight == 1.0
+    expected = {
+        r.cluster_id: r.cluster_size
+        for r in q_dedup_clusters(spark, sf_dir).collect()
+    }
+    assert {c: len(m) for c, m in sizes.items()} == expected
+    assert any(s > 1 for s in expected.values()), "fixture needs clusters"
