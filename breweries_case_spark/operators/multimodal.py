@@ -789,19 +789,6 @@ def q_dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# keep the name round-9 tests were written against
-def image_near_pairs(hashes: DataFrame) -> DataFrame:
-    """Back-compat shim over ``hamming_near_pairs`` for
-    (media_id, ahash_hi, ahash_lo) frames."""
-    return hamming_near_pairs(
-        hashes.select(
-            "media_id",
-            F.col("ahash_hi").alias("hash_hi"),
-            F.col("ahash_lo").alias("hash_lo"),
-        )
-    )
-
-
 def hamming_near_pairs(hashes: DataFrame) -> DataFrame:
     """Banded-blocker + XOR-verify near-dup core over ANY 64-bit
     perceptual hash published as (media_id, hash_hi, hash_lo) — shared

@@ -360,7 +360,7 @@ def test_image_near_pairs_pigeonhole(spark):
     may occur elsewhere, and identical hashes pair at distance 0."""
     from breweries_case_spark.operators.multimodal import (
         IMG_HAMMING_MAX,
-        image_near_pairs,
+        hamming_near_pairs,
     )
 
     assert IMG_HAMMING_MAX == 3
@@ -374,11 +374,11 @@ def test_image_near_pairs_pigeonhole(spark):
         (5, base_hi ^ (1 << 20) ^ 1, base_lo ^ (1 << 20) ^ 1),  # 4 bits
     ]
     h = spark.createDataFrame(
-        rows, "media_id long, ahash_hi long, ahash_lo long"
+        rows, "media_id long, hash_hi long, hash_lo long"
     )
     got = {
         (r.media_id_a, r.media_id_b): r.hamming
-        for r in image_near_pairs(h).collect()
+        for r in hamming_near_pairs(h).collect()
     }
     assert got[(0, 1)] == 0
     assert got[(0, 2)] == 1
