@@ -447,7 +447,24 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "occ", F.count("*").over(Window.partitionBy("doc_id", "h"))
         )
         .filter(F.col("tot") > F.col("occ"))
-        .select("doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("e"))
+        .select("doc_id", "pos")
+    )
+    return _excise_spans(base, dup_starts, n)
+
+
+def _excise_spans(
+    base: DataFrame, starts: DataFrame, span_n: int
+) -> DataFrame:
+    """Shared span-EXCISION core (q_dup_span_removal /
+    q_decontaminate_spans): given per-doc token arrays ``base``
+    (doc_id, t, n) and flagged span starts ``starts`` (doc_id, pos;
+    1-based, each covering tokens pos..pos+span_n−1), merge
+    overlapping/touching removed intervals (prev-running-max
+    gaps-and-islands), complement within [1, n], and rebuild each kept
+    island's text by array slice. Docs in ``base`` with no flagged
+    span survive whole; docs fully covered vanish."""
+    removed = starts.select(
+        "doc_id", "pos", (F.col("pos") + F.lit(span_n - 1)).alias("e")
     )
 
     # merge overlapping/adjacent removed intervals (gaps-and-islands)
@@ -461,7 +478,7 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0)
     ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     rm = (
-        dup_starts.withColumn("grp", grp)
+        removed.withColumn("grp", grp)
         .groupBy("doc_id", "grp")
         .agg(F.min("pos").alias("rm_start"), F.max("e").alias("rm_end"))
         .localCheckpoint()  # read by gaps, tails AND the anti-join
@@ -510,6 +527,61 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("kept_text"),
     )
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination — the surgical variant of
+    q_decontaminate: instead of DROPPING every training doc that shares
+    a normalized 3-gram with the benchmark set, EXCISE only the
+    overlapping spans and keep the rest of the document (the
+    eval-overlap masking production pipelines prefer when contamination
+    is a quote inside an otherwise-clean doc — dropping whole docs
+    over-removes, Lee et al./open-LM decontamination reports both
+    modes). Benchmark stand-in: doc_id ≡ 0 mod BENCHMARK_MOD, as in
+    q_decontaminate; benchmark docs themselves are excluded from the
+    output. Output = per-doc kept islands with rebuilt text
+    (q_dup_span_removal's schema, via the shared ``_excise_spans``
+    core).
+
+    Plan: the benchmark gram set is DISTINCT + broadcast (KB-scale
+    against a 100 TB corpus — the q_decontaminate shape); contaminated
+    span starts come from ONE broadcast LEFT SEMI on the positioned
+    gram stream (no window needed — membership, not frequency); the
+    excision is the shared interval-merge/complement window chain on
+    the (small) contaminated subset. Oracle: bench-gram CTE + the same
+    gaps-and-islands chain, sharing no code."""
+    n = 3
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    base = (
+        d.filter(~is_bench)
+        .select("doc_id", arr.alias("t"))
+        .withColumn("n", F.size("t").cast("long"))
+        .localCheckpoint()
+    )
+    span = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), (F.col("n") - F.lit(n - 1)).cast("int")),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.concat_ws(" ", F.slice(F.col("t"), i, n)).alias("g"),
+            ),
+        )
+    )
+    sp = (
+        base.filter(F.col("n") >= n)
+        .select("doc_id", span.alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    bench_grams = _ngram_rows(d.filter(is_bench), n).select("g").distinct()
+    starts = sp.join(F.broadcast(bench_grams), "g", "left_semi").select(
+        "doc_id", "pos"
+    )
+    return _excise_spans(base, starts, n)
 
 
 #: content-defined chunking: a token closes a chunk when its hash ≡ 0
@@ -1182,6 +1254,59 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QC_SCALE = 50
 
 
+#: curriculum stages (quality quartiles; stage 0 = cleanest, fed first)
+CURRICULUM_STAGES = 4
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum DATA ORDERING (Bengio et al. 2009 curriculum
+    learning, public; quality-staged pretraining orders the cleanest
+    data first): assign every scored doc a quality-quartile STAGE
+    (stage 0 = top quartile) and a deterministic intra-stage shuffle
+    key — the (stage, order_key) sort the dataloader consumes. No
+    dense global rank is published ON PURPOSE: a corpus-wide
+    row_number is one task at any size, while (stage, md5) is already
+    a total order the storage layer can range-partition on.
+
+    Stage assignment is quantile-exact at BIN granularity via the
+    q_quality_gate topology: one map-side-combined histogram, a
+    cumulative window over the tiny bin summary (quality DESC so
+    stage 0 is the best bins), stage(bin) = LEAST(S−1,
+    FLOOR((cum−1)·S / total)) — whole bins share a stage, so the
+    assignment is deterministic under score ties; the bin→stage table
+    re-enters as a value-bounded broadcast join. All stage math is
+    integer-derived (one exact double division), bit-identical
+    cross-engine; order_key is md5(doc_id) — the layout-free shuffle
+    discipline of q_sample_hash."""
+    scored = gate_scored(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint()
+    hist = scored.groupBy("quality_bin").agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy(F.col("quality_bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stages = hist.select(
+        "quality_bin",
+        F.least(
+            F.lit(CURRICULUM_STAGES - 1),
+            F.floor(
+                (F.sum("c").over(w_cum) - 1)
+                * CURRICULUM_STAGES
+                / F.sum("c").over(w_all)
+            ),
+        ).cast("long").alias("stage"),
+    )
+    return scored.join(F.broadcast(stages), "quality_bin").select(
+        "doc_id",
+        "quality_bin",
+        "stage",
+        F.md5(F.col("doc_id").cast("string")).alias("order_key"),
+    )
+
+
 def q_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-threshold planning curve: per quality-score bucket, the
     doc count, token sum, and the fraction of ALL corpus tokens
@@ -1329,6 +1454,7 @@ QUERIES = {
     "q_bpe_encode": q_bpe_encode,
     "q_quality_token_curve": q_quality_token_curve,
     "q_quality_gate": q_quality_gate,
+    "q_curriculum_order": q_curriculum_order,
     "q_source_overlap": q_source_overlap,
     "q_chunk_documents": q_chunk_documents,
     "q_heavy_hitters": q_heavy_hitters,
@@ -1345,6 +1471,7 @@ QUERIES = {
     "q_doc_ngram_topk": q_doc_ngram_topk,
     "q_dup_span_fraction": q_dup_span_fraction,
     "q_dup_span_removal": q_dup_span_removal,
+    "q_decontaminate_spans": q_decontaminate_spans,
     "q_text_bm25": q_text_bm25,
     "q_dedup_cdc_chunks": q_dedup_cdc_chunks,
 }
@@ -1507,6 +1634,40 @@ ORACLES = {
         SELECT doc_id, lang, quality_bin, quality_score
         FROM b, cut
         WHERE cut.cutoff_bin IS NULL OR quality_bin > cut.cutoff_bin
+    """,
+    # curriculum staging: the gate's scoring CTE + a DESC cumulative
+    # window over the bin histogram; stage math is LEAST/FLOOR over an
+    # exact division — bit-identical cross-engine
+    "q_curriculum_order": rf"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(FLOOR((
+                       len(regexp_extract_all(text,
+                               '\b(the|a|of|is|and|to|in)\b'))
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.5
+                       + len(regexp_extract_all(text, '[^\w\s]'))
+                           / length(text) * -0.25
+                       + length(text)
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.05) * {QG_SCALE}) AS BIGINT)
+                       AS quality_bin
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) > 0
+              AND length(text) > 0),
+        h AS (SELECT quality_bin, COUNT(*) AS c FROM b GROUP BY 1),
+        st AS (
+            SELECT quality_bin,
+                   CAST(LEAST({CURRICULUM_STAGES - 1},
+                              FLOOR((SUM(c) OVER (ORDER BY quality_bin DESC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - 1)
+                                    * {CURRICULUM_STAGES}
+                                    / SUM(c) OVER ())) AS BIGINT) AS stage
+            FROM h)
+        SELECT b.doc_id, b.quality_bin, st.stage,
+               md5(CAST(b.doc_id AS VARCHAR)) AS order_key
+        FROM b JOIN st USING (quality_bin)
     """,
     "q_quality_token_curve": rf"""
         WITH per_doc AS (
@@ -1843,34 +2004,15 @@ ORACLES = {
         FROM g JOIN nd USING (h)
         GROUP BY g.doc_id
     """,
-    # ExactSubstr removal: identical duplication rule as the fraction
-    # oracle (corpus total > own-doc occurrences, via two window counts),
-    # then the gaps-and-islands CTE chain — prev-running-max merges
-    # overlapping/touching removed intervals, complement = lag-gaps +
-    # per-doc tail + untouched whole docs; kept text rebuilt by list
-    # slicing so the excision itself is value-checked
-    "q_dup_span_removal": rf"""
-        WITH tk AS (
-            SELECT doc_id,
-                   list_filter(
-                       string_split_regex(lower(trim(text)), '\s+'),
-                       x -> x <> '') AS t
-            FROM documents),
-        nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tk),
-        sp AS (
-            SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                   md5(array_to_string(t[i:i+{DUP_SPAN_N - 1}], ' ')) AS h
-            FROM tk, unnest(generate_series(1, len(t) - {DUP_SPAN_N - 1}))
-                     AS s(i)
-            WHERE len(t) >= {DUP_SPAN_N}),
-        marked AS (
-            SELECT doc_id, pos,
-                   COUNT(*) OVER (PARTITION BY h)
-                       > COUNT(*) OVER (PARTITION BY doc_id, h) AS dup
-            FROM sp),
-        rmstart AS (
-            SELECT doc_id, pos, pos + {DUP_SPAN_N - 1} AS e
-            FROM marked WHERE dup),
+}
+
+# shared gaps-and-islands excision suffix (q_dup_span_removal /
+# q_decontaminate_spans): reads CTEs ``tk`` (doc_id, t — the op's doc
+# population), ``nn`` (doc_id, n) and ``rmstart`` (doc_id, pos, e) —
+# prev-running-max merges overlapping/touching removed intervals,
+# complement = lag-gaps + per-doc tail + untouched whole docs; kept
+# text rebuilt by list slicing so the excision itself is value-checked
+_EXCISION_SQL_SUFFIX = r""",
         pm AS (
             SELECT doc_id, pos, e,
                    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
@@ -1912,8 +2054,66 @@ ORACLES = {
                array_to_string(tk.t[i.kept_start:i.kept_end], ' ')
                    AS kept_text
         FROM islands i JOIN tk USING (doc_id)
-    """,
-}
+    """
+
+# ExactSubstr removal: identical duplication rule as the fraction
+# oracle (corpus total > own-doc occurrences, via two window counts),
+# then the shared excision chain
+ORACLES["q_dup_span_removal"] = (
+    rf"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS t
+            FROM documents),
+        nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tk),
+        sp AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(t[i:i+{DUP_SPAN_N - 1}], ' ')) AS h
+            FROM tk, unnest(generate_series(1, len(t) - {DUP_SPAN_N - 1}))
+                     AS s(i)
+            WHERE len(t) >= {DUP_SPAN_N}),
+        marked AS (
+            SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY h)
+                       > COUNT(*) OVER (PARTITION BY doc_id, h) AS dup
+            FROM sp),
+        rmstart AS (
+            SELECT doc_id, pos, pos + {DUP_SPAN_N - 1} AS e
+            FROM marked WHERE dup)"""
+    + _EXCISION_SQL_SUFFIX
+)
+
+# span decontamination: bench grams via the UNFILTERED split (the
+# _ngram_rows tokenization the doc-level oracle also uses), span grams
+# over the filtered token arrays, membership (no windows), then the
+# shared excision chain over non-benchmark docs only
+ORACLES["q_decontaminate_spans"] = (
+    rf"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS t
+            FROM documents WHERE doc_id % {BENCHMARK_MOD} <> 0),
+        nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tk),
+        btk AS (
+            SELECT string_split_regex(lower(trim(text)), '\s+') AS bt
+            FROM documents WHERE doc_id % {BENCHMARK_MOD} = 0),
+        bg AS (
+            SELECT DISTINCT bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2] AS g
+            FROM btk, unnest(generate_series(1, len(bt) - 2)) AS s(i)),
+        sp AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(t[i:i+2], ' ') AS g
+            FROM tk, unnest(generate_series(1, len(t) - 2)) AS s(i)
+            WHERE len(t) >= 3),
+        rmstart AS (
+            SELECT doc_id, pos, pos + 2 AS e
+            FROM sp WHERE g IN (SELECT g FROM bg))"""
+    + _EXCISION_SQL_SUFFIX
+)
 
 
 def _bpe_round_ctes(i: int) -> str:

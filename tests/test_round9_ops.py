@@ -514,3 +514,80 @@ def test_soft_weights_invariants(spark, sf_dir):
     }
     assert {c: len(m) for c, m in sizes.items()} == expected
     assert any(s > 1 for s in expected.values()), "fixture needs clusters"
+
+
+def test_decontaminate_spans_crafted(spark, tmp_path):
+    """A benchmark 3-gram inside a training doc is excised (head/tail
+    kept); an overlap-free doc survives whole; benchmark docs are
+    excluded from the output entirely."""
+    from breweries_case_spark.operators.text import (
+        BENCHMARK_MOD,
+        q_decontaminate_spans,
+    )
+
+    bench = "alpha beta gamma delta"  # doc 0: benchmark (0 % 97 == 0)
+    # training doc 1 embeds the bench 3-gram "beta gamma delta" at
+    # tokens 4-6 (and "alpha beta gamma" at 3-5): covered 3-7 merged
+    d1 = "t0 t1 " + bench + " t2 t3"
+    d2 = "clean doc with no overlap at all"
+    rows = [
+        (0, bench, "en", "s", len(bench)),
+        (1, d1, "en", "s", len(d1)),
+        (2, d2, "en", "s", len(d2)),
+    ]
+    assert BENCHMARK_MOD == 97
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        (r.doc_id, r.kept_start, r.kept_end): r.kept_text
+        for r in q_decontaminate_spans(spark, str(tmp_path)).collect()
+    }
+    # d1 tokens: t0 t1 alpha beta gamma delta t2 t3 (1-8); bench grams
+    # start at 3 and 4 -> covered 3-6, merged -> kept 1-2 and 7-8
+    assert out == {
+        (1, 1, 2): "t0 t1",
+        (1, 7, 8): "t2 t3",
+        (2, 1, 7): "clean doc with no overlap at all",
+    }, out
+
+
+def test_curriculum_order_invariants(spark, sf_dir):
+    """Stages are monotone in quality (higher bin -> lower-or-equal
+    stage), cover every scored doc exactly once, and each stage holds
+    at most a bin-granular quarter boundary overshoot; order_key is the
+    doc's md5."""
+    import hashlib
+
+    from breweries_case_spark.operators.text import (
+        CURRICULUM_STAGES,
+        gate_scored,
+        q_curriculum_order,
+    )
+
+    rows = q_curriculum_order(spark, sf_dir).collect()
+    n_scored = gate_scored(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).count()
+    assert len(rows) == n_scored
+    assert len({r.doc_id for r in rows}) == n_scored
+    assert {r.stage for r in rows} <= set(range(CURRICULUM_STAGES))
+    # monotone: sort by bin desc -> stages must be non-decreasing
+    by_bin = sorted(rows, key=lambda r: -r.quality_bin)
+    stages_seq = [r.stage for r in by_bin]
+    assert stages_seq == sorted(stages_seq)
+    # whole bins share a stage
+    bin_stage = {}
+    for r in rows:
+        assert bin_stage.setdefault(r.quality_bin, r.stage) == r.stage
+        assert r.order_key == hashlib.md5(str(r.doc_id).encode()).hexdigest()
+    # stage sizes: cumulative count through each stage s is >= the exact
+    # quarter boundary (bins only overshoot forward)
+    from collections import Counter
+
+    sizes = Counter(r.stage for r in rows)
+    cum = 0
+    for s in range(CURRICULUM_STAGES - 1):
+        cum += sizes.get(s, 0)
+        assert cum * CURRICULUM_STAGES >= n_scored * (s + 1) - n_scored
