@@ -591,3 +591,39 @@ def test_curriculum_order_invariants(spark, sf_dir):
     for s in range(CURRICULUM_STAGES - 1):
         cum += sizes.get(s, 0)
         assert cum * CURRICULUM_STAGES >= n_scored * (s + 1) - n_scored
+
+
+def test_round9_plan_shapes(spark, sf_dir):
+    """Pin the wave's scale-critical plan facts under the deterministic
+    test profile (AQE off, fixed shuffle partitions): the perceptual
+    hash builders and the BPE encode are exchange-FREE in their final
+    plans (fingerprints ride the mapInPandas scan; the encode's
+    posexplode rides the last checkpoint layout); every near-dup join
+    costs exactly its blocker + verify exchanges; the span excisions
+    stay within three exchanges; the capped containment default pays
+    its documented df-agg + semi + candidate + verify budget; and
+    nothing anywhere plans a cartesian or nested-loop join."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    budgets = {
+        "q_multimodal_image_hash": 0,
+        "q_multimodal_audio_hash": 0,
+        "q_bpe_encode": 0,
+        "q_dedup_image_near": 2,
+        "q_dedup_audio_near": 2,
+        "q_dedup_video_frames": 2,
+        "q_dedup_soft_weights": 2,
+        "q_dup_span_removal": 3,
+        "q_decontaminate_spans": 3,
+        "q_curriculum_order": 3,
+        "q_dedup_containment_blocked": 7,
+    }
+    for qid, budget in budgets.items():
+        df = qs[qid](spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_ex = plan.count("Exchange")
+        assert n_ex <= budget, (qid, n_ex, budget)
+        assert "CartesianProduct" not in plan, qid
+        assert "BroadcastNestedLoopJoin" not in plan, qid
