@@ -927,7 +927,15 @@ def q_dedup_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     their wrap positions (true hamming-1..3 near-dups — e.g. periods 40
     vs 45 differ at exactly the two wrap bits). Oracle = ground-truth
     all-pairs over the closed-form bits, so blocker recall loss reds
-    the driver."""
+    the driver.
+
+    Density note: the synthetic sawtooth population is deliberately
+    near-dup-DENSE (450k true pairs among 1,667 docs at sf0.1 — 2.2 s
+    wall), so candidate volume here tracks OUTPUT size, which no
+    correct algorithm can beat; on a natural corpus the 16-bit bands
+    thin candidates toward the true-pair rate, and a pathological
+    constant-hash population takes the containment family's DF_CAP
+    treatment (cap band df before the self-join)."""
     h = audio_hashes(spark, sf_dir)
     return hamming_near_pairs(
         h.select(
