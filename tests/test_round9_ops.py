@@ -4,12 +4,6 @@ the v2 composite's switch to it, and the shared epoch helpers."""
 
 from __future__ import annotations
 
-import pytest
-
-
-def _media_rows(df):
-    return sorted(tuple(r) for r in df.collect())
-
 
 def test_containment_blocked_matches_exact(spark, sf_dir):
     """The production (df-capped + verify) plan publishes EXACTLY the
