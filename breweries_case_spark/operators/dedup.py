@@ -1341,6 +1341,47 @@ def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE duplication report — the data-quality dashboard number
+    a curation team watches per ingest feed: for each source, total
+    docs, near-duplicate docs (cluster members that are NOT their
+    cluster's quality keeper — q_dedup_clusters' longest-doc/min-id
+    keeper rule), and the dup rate. A source whose rate spikes is
+    re-crawling or mirroring content and gets its budget cut (the
+    q_sample_source_cap lever); this id produces the evidence.
+
+    Plan: the cluster components (pair source + CC), ONE cluster-keyed
+    rank window for the keeper flag, one source-keyed aggregate —
+    |sources| output rows. Rate follows the module float discipline
+    (one IEEE division + 6-dp FLOOR). Oracle: the q_dedup_clusters
+    recursive fixpoint + the same members ranking, re-aggregated by
+    source."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source"
+    )
+    comps = connected_components(
+        pairs, docs.select(F.col("doc_id").alias("node"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    member = comps.join(
+        docs, comps["node"] == docs["doc_id"]
+    ).select("doc_id", "n_chars", "source", "label")
+    flagged = member.withColumn("is_dup", (rk > 1).cast("long"))
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").alias("dup_docs"),
+        q6(F.sum("is_dup") / F.count("*")).alias("dup_rate"),
+    )
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_dedup_clusters with components resolved by the alternating-star
     algorithm (``connected_components_star``) instead of label
@@ -1564,6 +1605,7 @@ QUERIES = {
     "q_dedup_levenshtein_bounded": q_dedup_levenshtein_bounded,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_soft_weights": q_dedup_soft_weights,
+    "q_dedup_rate_by_source": q_dedup_rate_by_source,
     "q_dedup_clusters_star": q_dedup_clusters_star,
     "q_dedup_clusters_bounded": q_dedup_clusters_bounded,
     "q_dedup_filtered_corpus": q_dedup_filtered_corpus,
@@ -1650,6 +1692,22 @@ _FILTERED_CORPUS_ORACLE = (
         FROM documents d
         JOIN (SELECT max(CASE WHEN rk = 1 THEN doc_id END) AS doc_id
               FROM members GROUP BY cluster_id) k USING (doc_id)
+    """
+)
+
+# per-source dup rate: the SAME fixpoint + the members keeper ranking,
+# re-aggregated by source
+_DUP_RATE_ORACLE = (
+    _CLUSTERS_CTES
+    + r"""
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN m.rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_docs,
+               FLOOR(SUM(CASE WHEN m.rk > 1 THEN 1 ELSE 0 END)
+                     / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+        FROM members m JOIN documents d USING (doc_id)
+        GROUP BY d.source
     """
 )
 
@@ -1806,6 +1864,7 @@ ORACLES = {
     """,
     "q_dedup_clusters": _CLUSTERS_ORACLE,
     "q_dedup_soft_weights": _SOFT_WEIGHTS_ORACLE,
+    "q_dedup_rate_by_source": _DUP_RATE_ORACLE,
     "q_dedup_clusters_star": _CLUSTERS_ORACLE,
     # the bounded composition must reach the SAME fixpoint as the exact
     # pair source — blocker recall is the property under test

@@ -529,6 +529,67 @@ def _excise_spans(
     )
 
 
+#: intra-doc repetition span width (3 — the driver corpora repeat
+#: 3-grams within docs but not 8-grams, and Gopher-style repetition
+#: filters operate on small n)
+REP_SPAN_N = 3
+
+
+def q_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-doc repetition removal — the third member of the excision
+    family (cross-doc: q_dup_span_removal; benchmark:
+    q_decontaminate_spans): for every REP_SPAN_N-gram that repeats
+    WITHIN a document, keep its FIRST occurrence and excise every later
+    one — the surgical form of the Gopher/MassiveText duplicate-n-gram
+    repetition filters (Rae et al. 2021 §A1.1 score documents;
+    production cleanup cuts the repeated spans). Output =
+    q_dup_span_removal's kept-island schema via the shared
+    ``_excise_spans`` core. Overlapping self-repeats ("a a a a") excise
+    from the second span start onward — tokens covered by any
+    later-occurrence span are removed even where they overlap the first
+    occurrence; deterministic on both engines.
+
+    Plan: positioned gram rows inside the scan stage; ONE doc-keyed
+    analytic window (min pos per (doc, gram) — partitions are
+    doc-bounded, never corpus-keyed: this op needs no cross-doc state
+    at all, so at 100 TB it is embarrassingly parallel by document);
+    the excision chain runs on the (small) repeated-start subset."""
+    n = REP_SPAN_N
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    base = (
+        d.select("doc_id", arr.alias("t"))
+        .withColumn("n", F.size("t").cast("long"))
+        .localCheckpoint()
+    )
+    span = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), (F.col("n") - F.lit(n - 1)).cast("int")),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))).alias(
+                    "h"
+                ),
+            ),
+        )
+    )
+    sp = (
+        base.filter(F.col("n") >= n)
+        .select("doc_id", span.alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    first = F.min("pos").over(Window.partitionBy("doc_id", "h"))
+    starts = (
+        sp.withColumn("first_pos", first)
+        .filter(F.col("pos") > F.col("first_pos"))
+        .select("doc_id", "pos")
+    )
+    return _excise_spans(base, starts, n)
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPAN-LEVEL benchmark decontamination — the surgical variant of
     q_decontaminate: instead of DROPPING every training doc that shares
@@ -1472,6 +1533,7 @@ QUERIES = {
     "q_dup_span_fraction": q_dup_span_fraction,
     "q_dup_span_removal": q_dup_span_removal,
     "q_decontaminate_spans": q_decontaminate_spans,
+    "q_repetition_removal": q_repetition_removal,
     "q_text_bm25": q_text_bm25,
     "q_dedup_cdc_chunks": q_dedup_cdc_chunks,
 }
@@ -2082,6 +2144,33 @@ ORACLES["q_dup_span_removal"] = (
         rmstart AS (
             SELECT doc_id, pos, pos + {DUP_SPAN_N - 1} AS e
             FROM marked WHERE dup)"""
+    + _EXCISION_SQL_SUFFIX
+)
+
+# intra-doc repetition removal: keep each repeated gram's FIRST
+# occurrence (MIN window per (doc, gram)), excise the rest, then the
+# shared excision chain
+ORACLES["q_repetition_removal"] = (
+    rf"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS t
+            FROM documents),
+        nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tk),
+        sp AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   md5(array_to_string(t[i:i+{REP_SPAN_N - 1}], ' ')) AS h
+            FROM tk, unnest(generate_series(1, len(t) - {REP_SPAN_N - 1}))
+                     AS s(i)
+            WHERE len(t) >= {REP_SPAN_N}),
+        rmstart AS (
+            SELECT doc_id, pos, pos + {REP_SPAN_N - 1} AS e FROM (
+                SELECT doc_id, pos,
+                       MIN(pos) OVER (PARTITION BY doc_id, h) AS first_pos
+                FROM sp)
+            WHERE pos > first_pos)"""
     + _EXCISION_SQL_SUFFIX
 )
 

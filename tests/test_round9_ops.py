@@ -621,3 +621,61 @@ def test_round9_plan_shapes(spark, sf_dir):
         assert n_ex <= budget, (qid, n_ex, budget)
         assert "CartesianProduct" not in plan, qid
         assert "BroadcastNestedLoopJoin" not in plan, qid
+
+
+def test_repetition_removal_crafted(spark, tmp_path):
+    """A doc repeating a 3-gram keeps the FIRST occurrence and loses
+    the later one; a repetition-free doc survives whole; overlapping
+    self-repeats excise from the second span start onward."""
+    from breweries_case_spark.operators.text import (
+        REP_SPAN_N,
+        q_repetition_removal,
+    )
+
+    assert REP_SPAN_N == 3
+    # doc 1: "x y z" at tokens 1-3 and again at 6-8; 4,5 and 9 unique
+    d1 = "x y z a b x y z c"
+    d2 = "all tokens here are unique ones"
+    d3 = "r r r r r"  # grams at 1,2,3 identical: keep 1, excise 2-5
+    rows = [
+        (1, d1, "en", "s", len(d1)),
+        (2, d2, "en", "s", len(d2)),
+        (3, d3, "en", "s", len(d3)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        (r.doc_id, r.kept_start, r.kept_end): r.kept_text
+        for r in q_repetition_removal(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        (1, 1, 5): "x y z a b",
+        (1, 9, 9): "c",
+        (2, 1, 6): "all tokens here are unique ones",
+        (3, 1, 1): "r",
+    }, out
+
+
+def test_dedup_rate_by_source_consistent_with_clusters(spark, sf_dir):
+    """dup_docs per source must equal the count of non-keeper cluster
+    members in that source (recomputed from q_dedup_clusters), and
+    n_docs must total the corpus."""
+    from breweries_case_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_dedup_rate_by_source,
+    )
+
+    rates = {r.source: r for r in q_dedup_rate_by_source(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    src = {d.doc_id: d.source for d in docs}
+    dup_by_source: dict = {}
+    for c in q_dedup_clusters(spark, sf_dir).collect():
+        for mid in map(int, c.members_csv.split(",")):
+            if mid != c.keeper_doc_id:
+                dup_by_source[src[mid]] = dup_by_source.get(src[mid], 0) + 1
+    assert sum(r.n_docs for r in rates.values()) == len(docs)
+    for s, r in rates.items():
+        assert r.dup_docs == dup_by_source.get(s, 0), s
+    assert any(r.dup_docs > 0 for r in rates.values())
