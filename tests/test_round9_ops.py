@@ -610,6 +610,8 @@ def test_round9_plan_shapes(spark, sf_dir):
         "q_dedup_soft_weights": 2,
         "q_dup_span_removal": 3,
         "q_decontaminate_spans": 3,
+        "q_repetition_removal": 3,
+        "q_dedup_rate_by_source": 4,
         "q_curriculum_order": 3,
         "q_dedup_containment_blocked": 7,
     }
