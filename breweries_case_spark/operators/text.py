@@ -1315,6 +1315,126 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QC_SCALE = 50
 
 
+#: vocabulary-coverage curve sample points (the fixture's whitespace
+#: vocabulary is a few hundred types; production uses 1k/32k/128k)
+VOCAB_COVERAGE_KS = (10, 50, 200)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE CURVE — the tokenizer-sizing plot: for each
+    candidate vocab size k, the fraction of corpus token OCCURRENCES
+    covered by the k most frequent types (the complement of the OOV
+    rate a k-type vocabulary would incur). Teams read this curve to
+    pick vocab size before training the tokenizer; the BPE loop
+    (q_bpe_train_k) then builds the actual vocab. Total ordering
+    (count DESC, token ASC) makes every k-boundary deterministic.
+
+    Plan: ONE map-side-combined token-count aggregate (the corpus's
+    only exchange — output is |vocab| rows); the rank window and the
+    per-k sums run on the vocab-bounded count table (at 100 TB that
+    table is a few million rows — window-safe); ks expand via a
+    broadcast-range crossJoin of a 3-row literal array. Coverage
+    follows the module float discipline (one IEEE division + 6-dp
+    FLOOR)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+    ).alias("tok")
+    counts = (
+        d.select(toks)
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+            ),
+        )
+        .localCheckpoint()  # vocab-bounded: window + 3 aggregates read it
+    )
+    ks = spark.range(0, len(VOCAB_COVERAGE_KS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in VOCAB_COVERAGE_KS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("vocab_size")
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        counts.crossJoin(F.broadcast(ks))
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(
+                F.when(F.col("rnk") <= F.col("vocab_size"), F.col("cnt"))
+                .otherwise(F.lit(0))
+            ).alias("covered_occurrences"),
+            F.sum("cnt").alias("total_occurrences"),
+        )
+        .select(
+            "vocab_size",
+            "covered_occurrences",
+            "total_occurrences",
+            q6(
+                F.col("covered_occurrences")
+                / F.col("total_occurrences").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+def q_quality_gate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE quantile quality gate — the multilingual-fairness
+    form of q_quality_gate: the bottom QG_DROP_PCT% is computed within
+    EACH language, so a low-resource language whose scores sit below
+    the global distribution is not disproportionately culled (the
+    standard multilingual-curation correction; the global gate's single
+    cutoff removes whole languages when score distributions differ).
+    Same histogram-quantile topology, lang-partitioned: the bin summary
+    is (lang × bins)-bounded, the cumulative window partitions by lang
+    (value-bounded partitions — never corpus-keyed), and the per-lang
+    cutoff re-enters as a broadcast join on lang. Whole bins live or
+    die together within their language; a language whose doc count
+    floors the drop budget to 0 keeps every doc."""
+    scored = gate_scored(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint()
+    hist = scored.groupBy("lang", "quality_bin").agg(
+        F.count("*").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("quality_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "lang",
+        "quality_bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    cutoff = (
+        cum.filter(
+            F.col("cum")
+            <= F.floor(F.col("total") * F.lit(QG_DROP_PCT) / F.lit(100.0))
+        )
+        .groupBy("lang")
+        .agg(F.max("quality_bin").alias("_cutoff_bin"))
+    )
+    return (
+        scored.join(F.broadcast(cutoff), "lang", "left")
+        .filter(
+            F.col("_cutoff_bin").isNull()
+            | (F.col("quality_bin") > F.col("_cutoff_bin"))
+        )
+        .select("doc_id", "lang", "quality_bin", "quality_score")
+    )
+
+
 #: curriculum stages (quality quartiles; stage 0 = cleanest, fed first)
 CURRICULUM_STAGES = 4
 
@@ -1515,6 +1635,8 @@ QUERIES = {
     "q_bpe_encode": q_bpe_encode,
     "q_quality_token_curve": q_quality_token_curve,
     "q_quality_gate": q_quality_gate,
+    "q_quality_gate_by_lang": q_quality_gate_by_lang,
+    "q_vocab_coverage": q_vocab_coverage,
     "q_curriculum_order": q_curriculum_order,
     "q_source_overlap": q_source_overlap,
     "q_chunk_documents": q_chunk_documents,
@@ -1696,6 +1818,80 @@ ORACLES = {
         SELECT doc_id, lang, quality_bin, quality_score
         FROM b, cut
         WHERE cut.cutoff_bin IS NULL OR quality_bin > cut.cutoff_bin
+    """,
+    # vocab coverage: one token-count CTE, rank by the same total order,
+    # per-k conditional sums over the vocab-bounded table
+    "q_vocab_coverage": rf"""
+        WITH tok AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents),
+        cnts AS (
+            SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        ranked AS (
+            SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+            FROM cnts),
+        ks AS (
+            SELECT unnest([{", ".join(str(k) for k in VOCAB_COVERAGE_KS)}])
+                       AS vocab_size)
+        SELECT CAST(vocab_size AS INT) AS vocab_size,
+               CAST(SUM(CASE WHEN rnk <= vocab_size THEN cnt ELSE 0 END)
+                    AS BIGINT) AS covered_occurrences,
+               CAST(SUM(cnt) AS BIGINT) AS total_occurrences,
+               FLOOR(SUM(CASE WHEN rnk <= vocab_size THEN cnt ELSE 0 END)
+                     / CAST(SUM(cnt) AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 AS coverage
+        FROM ranked CROSS JOIN ks
+        GROUP BY vocab_size
+    """,
+    # per-lang gate: the gate CTEs with lang-partitioned cum/total and a
+    # per-lang cutoff joined back on lang (LEFT so cutoff-less langs keep
+    # everything)
+    "q_quality_gate_by_lang": rf"""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   CAST(FLOOR((
+                       len(regexp_extract_all(text,
+                               '\b(the|a|of|is|and|to|in)\b'))
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.5
+                       + len(regexp_extract_all(text, '[^\w\s]'))
+                           / length(text) * -0.25
+                       + length(text)
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.05) * {QG_SCALE}) AS BIGINT)
+                       AS quality_bin,
+                   FLOOR((
+                       len(regexp_extract_all(text,
+                               '\b(the|a|of|is|and|to|in)\b'))
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.5
+                       + len(regexp_extract_all(text, '[^\w\s]'))
+                           / length(text) * -0.25
+                       + length(text)
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.05) * 1e6 + 0.5) / 1e6 AS quality_score
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) > 0
+              AND length(text) > 0),
+        h AS (SELECT lang, quality_bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        cw AS (
+            SELECT lang, quality_bin,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY quality_bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(c) OVER (PARTITION BY lang) AS total
+            FROM h),
+        cut AS (
+            SELECT lang, MAX(quality_bin) AS cutoff_bin
+            FROM cw
+            WHERE cum <= FLOOR(total * {QG_DROP_PCT} / 100.0)
+            GROUP BY lang)
+        SELECT b.doc_id, b.lang, b.quality_bin, b.quality_score
+        FROM b LEFT JOIN cut USING (lang)
+        WHERE cut.cutoff_bin IS NULL OR b.quality_bin > cut.cutoff_bin
     """,
     # curriculum staging: the gate's scoring CTE + a DESC cumulative
     # window over the bin histogram; stage math is LEAST/FLOOR over an

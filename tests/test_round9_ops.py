@@ -681,3 +681,62 @@ def test_dedup_rate_by_source_consistent_with_clusters(spark, sf_dir):
     for s, r in rates.items():
         assert r.dup_docs == dup_by_source.get(s, 0), s
     assert any(r.dup_docs > 0 for r in rates.values())
+
+
+def test_gate_by_lang_fairness(spark, sf_dir):
+    """The per-lang gate drops at most floor(25% . n_lang) within EVERY
+    language (the global gate holds the budget only corpus-wide), and
+    survival is monotone within each language."""
+    from breweries_case_spark.operators.text import (
+        QG_DROP_PCT,
+        gate_scored,
+        q_quality_gate_by_lang,
+    )
+
+    kept = {
+        r.doc_id: r for r in q_quality_gate_by_lang(spark, sf_dir).collect()
+    }
+    scored = gate_scored(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).collect()
+    by_lang: dict = {}
+    for r in scored:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert kept
+    for lang, rows in by_lang.items():
+        n = len(rows)
+        dropped = [r for r in rows if r.doc_id not in kept]
+        assert len(dropped) <= n * QG_DROP_PCT // 100, lang
+        if dropped:
+            worst_kept = min(
+                r.quality_bin for r in rows if r.doc_id in kept
+            )
+            assert max(r.quality_bin for r in dropped) < worst_kept, lang
+
+
+def test_vocab_coverage_monotone_and_exact(spark, sf_dir):
+    """Coverage is non-decreasing in k, bounded by 1, and the k=200
+    point matches a pure-Python recount of the top-200 type mass."""
+    import re
+    from collections import Counter
+
+    from breweries_case_spark.operators.text import (
+        VOCAB_COVERAGE_KS,
+        q_vocab_coverage,
+    )
+
+    rows = {
+        r.vocab_size: r for r in q_vocab_coverage(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(VOCAB_COVERAGE_KS)
+    covs = [rows[k].coverage for k in sorted(rows)]
+    assert covs == sorted(covs)
+    assert all(0 < c <= 1 for c in covs)
+    cnt: Counter = Counter()
+    for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        cnt.update(t for t in re.split(r"\s+", d.text.strip().lower()) if t)
+    total = sum(cnt.values())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    covered = sum(c for _, c in top)
+    r = rows[200]
+    assert (r.covered_occurrences, r.total_occurrences) == (covered, total)
