@@ -740,3 +740,122 @@ def test_vocab_coverage_monotone_and_exact(spark, sf_dir):
     covered = sum(c for _, c in top)
     r = rows[200]
     assert (r.covered_occurrences, r.total_occurrences) == (covered, total)
+
+
+def _bruteforce_islands(docs, span_n, removed_starts):
+    """Reference excision: union covered positions, emit maximal kept
+    runs per doc (1-based)."""
+    out = {}
+    for doc_id, toks in docs.items():
+        n = len(toks)
+        if n < 1:
+            continue
+        covered = set()
+        for p in removed_starts.get(doc_id, ()):
+            covered.update(range(p, p + span_n))
+        islands = []
+        start = None
+        for pos in range(1, n + 1):
+            if pos not in covered:
+                if start is None:
+                    start = pos
+            elif start is not None:
+                islands.append((start, pos - 1))
+                start = None
+        if start is not None:
+            islands.append((start, n))
+        for s, e in islands:
+            out[(doc_id, s, e)] = " ".join(toks[s - 1 : e])
+    return out
+
+
+def test_dup_span_removal_matches_bruteforce_random(spark, tmp_path):
+    """Seeded random corpus over a tiny vocabulary (forcing cross-doc
+    8-gram collisions): the operator must equal a pure-Python
+    reference implementing the same tot>occ rule + interval union."""
+    import random
+
+    from breweries_case_spark.operators.text import (
+        DUP_SPAN_N,
+        q_dup_span_removal,
+    )
+
+    rng = random.Random(9)
+    vocab = ["a", "b", "c"]
+    docs = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        for i in range(40)
+    }
+    rows = [
+        (i, " ".join(t), "en", "s", len(" ".join(t))) for i, t in docs.items()
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    # reference dup rule: corpus occurrences > own-doc occurrences
+    from collections import Counter
+
+    occ: dict = {}
+    tot: Counter = Counter()
+    for i, t in docs.items():
+        for p in range(1, len(t) - DUP_SPAN_N + 2):
+            g = tuple(t[p - 1 : p - 1 + DUP_SPAN_N])
+            occ[(i, g)] = occ.get((i, g), 0) + 1
+            tot[g] += 1
+    starts: dict = {}
+    for i, t in docs.items():
+        for p in range(1, len(t) - DUP_SPAN_N + 2):
+            g = tuple(t[p - 1 : p - 1 + DUP_SPAN_N])
+            if tot[g] > occ[(i, g)]:
+                starts.setdefault(i, []).append(p)
+    want = _bruteforce_islands(docs, DUP_SPAN_N, starts)
+    got = {
+        (r.doc_id, r.kept_start, r.kept_end): r.kept_text
+        for r in q_dup_span_removal(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert any(v for v in starts.values()), "fixture must exercise removal"
+
+
+def test_repetition_removal_matches_bruteforce_random(spark, tmp_path):
+    """Same seeded-random cross-check for the intra-doc rule (later
+    occurrences of a repeated 3-gram are excised)."""
+    import random
+
+    from breweries_case_spark.operators.text import (
+        REP_SPAN_N,
+        q_repetition_removal,
+    )
+
+    rng = random.Random(17)
+    vocab = ["x", "y", "z", "w"]
+    docs = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        for i in range(30)
+    }
+    rows = [
+        (i, " ".join(t), "en", "s", len(" ".join(t))) for i, t in docs.items()
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    starts: dict = {}
+    for i, t in docs.items():
+        first: dict = {}
+        for p in range(1, len(t) - REP_SPAN_N + 2):
+            g = tuple(t[p - 1 : p - 1 + REP_SPAN_N])
+            if g in first:
+                starts.setdefault(i, []).append(p)
+            else:
+                first[g] = p
+    want = _bruteforce_islands(docs, REP_SPAN_N, starts)
+    got = {
+        (r.doc_id, r.kept_start, r.kept_end): r.kept_text
+        for r in q_repetition_removal(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert any(v for v in starts.values()), "fixture must exercise removal"
