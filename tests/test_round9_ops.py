@@ -614,7 +614,12 @@ def test_round9_plan_shapes(spark, sf_dir):
         "q_dedup_rate_by_source": 4,
         "q_curriculum_order": 3,
         "q_dedup_containment_blocked": 7,
+        "q_quality_gate_by_lang": 3,
+        # one corpus exchange; its 3-row ks broadcast crossJoin plans as
+        # a broadcast NL by design (the q_quality_gate cutoff pattern)
+        "q_vocab_coverage": 1,
     }
+    NESTED_LOOP_OK = {"q_vocab_coverage"}
     for qid, budget in budgets.items():
         df = qs[qid](spark, sf_dir)
         df.count()
@@ -622,7 +627,8 @@ def test_round9_plan_shapes(spark, sf_dir):
         n_ex = plan.count("Exchange")
         assert n_ex <= budget, (qid, n_ex, budget)
         assert "CartesianProduct" not in plan, qid
-        assert "BroadcastNestedLoopJoin" not in plan, qid
+        if qid not in NESTED_LOOP_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, qid
 
 
 def test_repetition_removal_crafted(spark, tmp_path):
