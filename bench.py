@@ -244,6 +244,14 @@ EXTENDED = [
     # adds only a final posexplode to the benched q_bpe_train_k loop and
     # stays out
     "q_dedup_image_near",
+    # the other late-r9 ids reuse already-benched plan shapes and stay
+    # out for leanness: q_repetition_removal/q_decontaminate_spans (the
+    # benched excision chain), q_dedup_rate_by_source (clusters + one
+    # window), q_quality_gate_by_lang (the benched gate topology,
+    # lang-partitioned), q_vocab_coverage / q_curriculum_order /
+    # q_dedup_soft_weights (count-rank / gate-histogram / clusters
+    # reuses), and the audio/video hash tiers (the benched image
+    # mapInPandas + banded-join shapes)
 ]
 
 
