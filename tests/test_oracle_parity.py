@@ -205,6 +205,9 @@ NESTED_LOOP_OK = {
     "q_join_skew_split",  # 1-row mean-load scalar crossJoin
     "q_text_bm25",  # 1-row (N, avgdl) scalar crossJoin
     "q_skew_profile",  # 1-row (n_keys, total) scalar crossJoin
+    # 3-row vocab-size literal crossJoin onto the vocab-bounded count
+    # table (the q_quality_gate cutoff pattern, one size bigger)
+    "q_vocab_coverage",
     "q_hybrid_search",  # BM25's scalars + a 1-row max-bm25 crossJoin
     # deliberate |customers| × SCD2_PROBE_POINTS(6) probe grid — the
     # broadcast side is a handful of dates, output-sized by definition
