@@ -865,3 +865,33 @@ def test_repetition_removal_matches_bruteforce_random(spark, tmp_path):
     }
     assert got == want
     assert any(v for v in starts.values()), "fixture must exercise removal"
+
+
+def test_round9_layout_invariance(spark, sf_dir):
+    """The wave's outputs are identical under a different shuffle
+    partitioning — the layout-free determinism the 100 TB design
+    claims (md5 keys, integer bin math, no rand(), no
+    partition-dependent tie-breaks)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    ids = [
+        "q_dup_span_removal",
+        "q_repetition_removal",
+        "q_dedup_image_near",
+        "q_dedup_soft_weights",
+        "q_curriculum_order",
+        "q_vocab_coverage",
+    ]
+    base = {
+        qid: sorted(tuple(r) for r in qs[qid](spark, sf_dir).collect())
+        for qid in ids
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for qid in ids:
+            alt = sorted(tuple(r) for r in qs[qid](spark, sf_dir).collect())
+            assert alt == base[qid], qid
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
