@@ -208,7 +208,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_THRESHOLD = 0.8
 
 
-def containment_pairs(grams: DataFrame, capped: bool = True) -> DataFrame:
+def containment_pairs(
+    grams: DataFrame, capped: bool = True, df_cap: int | None = None
+) -> DataFrame:
     """Shared containment-pair builder over a distinct ``(doc_id, lang,
     gram)`` inventory — THE implementation behind the whole containment
     family (q_dedup_containment, q_dedup_containment_blocked, the
@@ -219,17 +221,23 @@ def containment_pairs(grams: DataFrame, capped: bool = True) -> DataFrame:
 
     ``capped=True`` (the DEFAULT — the production blocking tier): the
     candidate join runs only over grams with document frequency
-    ≤ DF_CAP, so every per-gram candidate bucket is capped at DF_CAP²
-    by construction — the Σ_gram df² blow-up a saturated high-df gram
-    causes (measured corpus-QUADRATIC in
+    ≤ ``df_cap`` (default DF_CAP), so every per-gram candidate bucket
+    is capped at df_cap² by construction — the Σ_gram df² blow-up a
+    saturated high-df gram causes (measured corpus-QUADRATIC in
     scripts/measure_containment_scaling.py) cannot happen. Candidates
     are then VERIFIED by recounting the full intersection against the
     complete gram inventory (candidate-then-verify, the
     q_dedup_prefix_filter topology), so published containment values
-    are exact. The only possible loss is a true pair whose shared
-    grams are ALL frequent — pinned 0 on the driver datasets by
-    q_dedup_containment_capped's oracle (``capped_missed_true_pairs``),
-    so a blocking-recall regression reds the driver.
+    are exact. The cap is NOT recall-free in general: a true pair
+    whose shared grams ALL have df > df_cap posts no candidate — at
+    corpus scale that regime is real (a dup cluster of k near-identical
+    docs pushes every shared gram to df ≥ k), which is why the default
+    sits well above typical cluster sizes (DF_CAP's note), identical
+    docs should be collapsed by the exact-hash tier (q_dedup_exact /
+    q_training_mix stage 3) BEFORE this tier, and the loss is pinned 0
+    on the driver datasets by q_dedup_containment_capped's oracle
+    (``capped_missed_true_pairs``) so a blocking-recall regression reds
+    the driver rather than silently dropping duplicates.
 
     ``capped=False``: the uncapped inverted-index join — the
     ground-truth tier (exact-Levenshtein analog): complete by
@@ -239,6 +247,7 @@ def containment_pairs(grams: DataFrame, capped: bool = True) -> DataFrame:
 
     Returns (doc_a, doc_b, lang, sz_a, sz_b, containment)."""
     t = CONTAINMENT_THRESHOLD
+    cap = DF_CAP if df_cap is None else df_cap
     sized = grams.withColumn(
         "sz", F.count("*").over(Window.partitionBy("doc_id"))
     ).localCheckpoint()
@@ -254,7 +263,7 @@ def containment_pairs(grams: DataFrame, capped: bool = True) -> DataFrame:
         df_tbl = sized.groupBy("lang", "gram").agg(
             F.count("*").alias("df")
         )
-        rare = df_tbl.filter(F.col("df") <= DF_CAP).select("lang", "gram")
+        rare = df_tbl.filter(F.col("df") <= cap).select("lang", "gram")
         blocked = sized.join(rare, ["lang", "gram"], "left_semi")
         a, b = blocked.alias("a"), blocked.alias("b")
         cand = (
@@ -343,10 +352,14 @@ def q_dedup_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate blocking + full-inventory verify (see
     ``containment_pairs``; the q_dedup_prefix_filter candidate-then-
     verify topology). Oracled by the SAME exact-pair SQL as
-    q_dedup_containment — the cap is lossless on the driver datasets
+    q_dedup_containment — on the driver datasets the cap loses nothing
     (q_dedup_containment_capped pins ``capped_missed_true_pairs`` = 0),
     so the driver value-checks both that the blocked plan finds every
-    true pair and that its verified containment values are exact.
+    true pair and that its verified containment values are exact. The
+    cap's general miss mode (a true pair whose shared grams all have
+    df > DF_CAP — dup clusters larger than the cap) is documented on
+    the builder; run the exact-hash tier first and size DF_CAP above
+    expected cluster fan-out.
 
     Scale: every candidate bucket is ≤ DF_CAP² rows by construction —
     the Σ_gram df² quadratic of the ground-truth tier cannot occur; the
@@ -360,8 +373,15 @@ def q_dedup_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: document-frequency ceiling for containment candidate blocking: only
 #: grams with df ≤ DF_CAP post candidates (the skew lever both gram-join
-#: docstrings reference — this id makes it real and driver-certified)
-DF_CAP = 2
+#: docstrings reference — this id makes it real and driver-certified).
+#: Sized WELL ABOVE typical near-dup cluster fan-out (r9 advice: at
+#: df_cap=2 any dup cluster of 3+ docs pushes every shared gram past the
+#: cap and the pair posts no candidate) while still bounding every
+#: per-gram candidate bucket at DF_CAP² = 4096 rows — the Σdf² quadratic
+#: stays closed. Clusters larger than this belong to the exact-hash tier
+#: (identical docs) or the LSH tiers; `containment_pairs` takes a
+#: per-call ``df_cap`` override for corpora with fatter clusters.
+DF_CAP = 64
 
 
 def q_dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:

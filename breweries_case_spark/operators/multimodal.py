@@ -672,14 +672,12 @@ IMG_HAMMING_MAX = 3
 _HASH_BANDS = 4
 
 
-def _bmp_ahash(content: bytes) -> tuple[int, int]:
-    """64-bit aHash of a decoded BMP as (hi32, lo32) ints — bit
-    k = y·w + x set iff n·gray3(k) > Σ gray3 (strict, integer-only).
-    Shared by the image and video-frame fingerprint tiers."""
-    w, h, px = parse_bmp(content)
-    gray = [r + g + b for (r, g, b) in px]
+def _ahash_from_gray(gray: list[int]) -> tuple[int, int]:
+    """64-bit aHash over a decoded gray3 vector as (hi32, lo32) ints —
+    bit k set iff n·gray3(k) > Σ gray3 (strict, integer-only). Split
+    from the decode so callers that also need dHash parse ONCE."""
     total = sum(gray)
-    n = w * h
+    n = len(gray)
     hi = lo = 0
     for k in range(n):
         if gray[k] * n > total:
@@ -688,6 +686,13 @@ def _bmp_ahash(content: bytes) -> tuple[int, int]:
             else:
                 lo |= 1 << k
     return hi, lo
+
+
+def _bmp_ahash(content: bytes) -> tuple[int, int]:
+    """64-bit aHash of a decoded BMP — parse + ``_ahash_from_gray``.
+    Shared by the image and video-frame fingerprint tiers."""
+    _w, _h, px = parse_bmp(content)
+    return _ahash_from_gray([r + g + b for (r, g, b) in px])
 
 
 def image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,9 +722,10 @@ def image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, his, los, ds = [], [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                hi, lo = _bmp_ahash(bytes(content))
+                # parse ONCE; aHash and dHash share the gray vector
                 w, h, px = parse_bmp(bytes(content))
                 gray = [r + g + b for (r, g, b) in px]
+                hi, lo = _ahash_from_gray(gray)
                 dh = 0
                 for y in range(h):
                     for x in range(w - 1):

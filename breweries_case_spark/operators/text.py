@@ -1126,22 +1126,36 @@ def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
             .limit(1)
         )
+        # broadcast the 1-row winner on a constant equi-key LEFT join:
+        # a pair-less round (every doc down to <= 1 token) yields an
+        # EMPTY top1 — a crossJoin would silently empty the corpus, the
+        # left join keeps every row and the fold falls back to identity
         merged = (
-            cur.crossJoin(F.broadcast(top1))
+            cur.withColumn("_k", F.lit(1))
+            .join(
+                F.broadcast(top1.withColumn("_k", F.lit(1))), "_k", "left"
+            )
             .select(
                 "doc_id",
                 "left_tok",
                 "right_tok",
                 "pair_count",
                 F.size("t").alias("nb"),
-                bpe_merge_fold(
-                    F.col("t"), F.col("left_tok"), F.col("right_tok")
-                ).alias("t"),
+                F.when(F.col("left_tok").isNull(), F.col("t"))
+                .otherwise(
+                    bpe_merge_fold(
+                        F.col("t"), F.col("left_tok"), F.col("right_tok")
+                    )
+                )
+                .alias("t"),
             )
             .localCheckpoint()
         )
         per_round.append(
-            merged.groupBy("left_tok", "right_tok", "pair_count").agg(
+            # a winner-less round contributes no trajectory row (nothing
+            # was merged) — filter before the aggregate
+            merged.filter(F.col("left_tok").isNotNull())
+            .groupBy("left_tok", "right_tok", "pair_count").agg(
                 F.sum(F.col("nb") - F.size("t")).alias("n_merges_total"),
                 F.sum(F.size("t")).alias("n_tokens_after_total"),
             )
@@ -1210,13 +1224,24 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select("left_tok", "right_tok")
         )
+        # same empty-round guard as q_bpe_train_k: LEFT join the 1-row
+        # winner on a constant equi-key and coalesce to the identity
+        # fold, so a pair-less round leaves the stream unmerged instead
+        # of a crossJoin emptying the corpus
         cur = (
-            cur.crossJoin(F.broadcast(top1))
+            cur.withColumn("_k", F.lit(1))
+            .join(
+                F.broadcast(top1.withColumn("_k", F.lit(1))), "_k", "left"
+            )
             .select(
                 "doc_id",
-                bpe_merge_fold(
-                    F.col("t"), F.col("left_tok"), F.col("right_tok")
-                ).alias("t"),
+                F.when(F.col("left_tok").isNull(), F.col("t"))
+                .otherwise(
+                    bpe_merge_fold(
+                        F.col("t"), F.col("left_tok"), F.col("right_tok")
+                    )
+                )
+                .alias("t"),
             )
             .localCheckpoint()
         )
@@ -1334,8 +1359,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-k sums run on the vocab-bounded count table (at 100 TB that
     table is a few million rows — window-safe); ks expand via a
     broadcast-range crossJoin of a 3-row literal array. Coverage
-    follows the module float discipline (one IEEE division + 6-dp
-    FLOOR)."""
+    follows the module float discipline: one IEEE division, then the
+    module's FLOOR(x·1e6 + 0.5)/1e6 HALF-UP rounding to 6 dp (not a
+    floor — the +0.5 makes it round-half-up)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.explode(
         F.filter(

@@ -64,16 +64,22 @@ def candidates(spark, half: bool):
     )
 
 
-def capped_candidates(spark, half: bool):
-    """The blocked tier's candidate stage: df≤DF_CAP semi-join, then the
-    rare-gram self-join (distinct pairs — what feeds the verify join)."""
+def capped_candidates(spark, half: bool, cap: int | None = None):
+    """The blocked tier's candidate stage: df≤cap semi-join, then the
+    rare-gram self-join (distinct pairs — what feeds the verify join).
+    ``cap=None`` uses the production DF_CAP; the probe also measures a
+    MECHANISM cap (2 — r9's default) that bites at this corpus size,
+    because the production cap is sized for recall (above typical dup
+    cluster fan-out) and only starts excluding grams once per-gram df
+    outgrows it (≈ DF_CAP/max_df× this corpus in the saturated
+    regime)."""
     from breweries_case_spark.operators.dedup import DF_CAP
 
     g = _grams(spark, half)
     rare = (
         g.groupBy("lang", "gram")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= DF_CAP)
+        .filter(F.col("df") <= (DF_CAP if cap is None else cap))
         .select("lang", "gram")
     )
     gr = g.join(rare, ["lang", "gram"], "left_semi")
@@ -107,6 +113,16 @@ def main():
         out[f"{tag}_capped_candidate_pairs"] = capped_candidates(
             spark, half
         ).count()
+        out[f"{tag}_mechanism_capped_candidate_pairs"] = capped_candidates(
+            spark, half, cap=2
+        ).count()
+        out[f"{tag}_max_gram_df"] = (
+            _grams(spark, half)
+            .groupBy("lang", "gram")
+            .agg(F.count("*").alias("df"))
+            .agg(F.max("df"))
+            .collect()[0][0]
+        )
         walls = []
         for _ in range(ROUNDS):
             from breweries_case_spark.operators.dedup import (
@@ -152,6 +168,11 @@ def main():
     out["capped_pair_growth"] = round(
         out["full_capped_candidate_pairs"]
         / max(out["half_capped_candidate_pairs"], 1),
+        2,
+    )
+    out["mechanism_capped_pair_growth"] = round(
+        out["full_mechanism_capped_candidate_pairs"]
+        / max(out["half_mechanism_capped_candidate_pairs"], 1),
         2,
     )
     out["docs_growth"] = round(out["full_docs"] / out["half_docs"], 2)

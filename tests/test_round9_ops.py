@@ -57,9 +57,11 @@ def test_capped_builder_skips_saturated_gram_buckets(spark):
         rows, "doc_id long, lang string, gram string"
     )
 
+    # df_cap=2 pins the capping MECHANISM on a small fixture (the module
+    # default is sized for real cluster fan-out — sanity-checked below)
     got = {
         (r.doc_a, r.doc_b): r.containment
-        for r in containment_pairs(grams, capped=True).collect()
+        for r in containment_pairs(grams, capped=True, df_cap=2).collect()
     }
     # containment = |{x y z, dup*4}| inter / min(5,5) = 5/5 = 1.0
     assert got == {(0, 1): 1.0}
@@ -67,7 +69,8 @@ def test_capped_builder_skips_saturated_gram_buckets(spark):
     # the saturated gram posts NO capped candidates: candidate volume is
     # only the rare-gram pairs (docs 0-1 share 4 rare grams -> 1 distinct
     # pair), while the uncapped join's "x y z" bucket alone is C(8,2)=28
-    assert DF_CAP < 8
+    assert 16 <= DF_CAP <= 1024  # default must stay cluster-sized
+    cap = 2
     uncapped_bucket = (
         grams.alias("a")
         .join(
@@ -83,7 +86,7 @@ def test_capped_builder_skips_saturated_gram_buckets(spark):
     rare = (
         grams.groupBy("lang", "gram")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= DF_CAP)
+        .filter(F.col("df") <= cap)
         .select("lang", "gram")
     )
     capped_cands = (
@@ -103,14 +106,16 @@ def test_capped_builder_skips_saturated_gram_buckets(spark):
 
 
 def test_capped_builder_can_miss_all_frequent_pair(spark):
-    """The documented trade-off, demonstrated: a true pair whose shared
-    grams are ALL above DF_CAP posts no candidate under the cap (this
-    is exactly what q_dedup_containment_capped's pinned-0 oracle
-    watches for on the driver corpora) while the ground-truth tier
-    still finds it."""
+    """The documented trade-off, demonstrated (with an explicit
+    df_cap=2 so the fixture stays small): a true pair whose shared
+    grams are ALL above the cap posts no candidate (this is exactly
+    what q_dedup_containment_capped's pinned-0 oracle watches for on
+    the driver corpora — and the miss mode the r9 advice flagged: a
+    dup cluster of cap+1 docs pushes every shared gram past the cap)
+    while the ground-truth tier still finds it."""
     from breweries_case_spark.operators.dedup import containment_pairs
 
-    # one gram shared by 4 docs (df=4 > DF_CAP=2); docs 0,1 consist of
+    # one gram shared by 4 docs (df=4 > cap=2); docs 0,1 consist of
     # ONLY that gram -> true containment 1.0 but no rare shared gram
     rows = [(d, "en", "x y z") for d in range(4)]
     for d in (2, 3):
@@ -125,7 +130,7 @@ def test_capped_builder_can_miss_all_frequent_pair(spark):
     }
     capped = {
         (r.doc_a, r.doc_b)
-        for r in containment_pairs(grams, capped=True).collect()
+        for r in containment_pairs(grams, capped=True, df_cap=2).collect()
     }
     assert (0, 1) in exact
     assert (0, 1) not in capped
