@@ -669,7 +669,34 @@ def q_multimodal_real_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 16-bit bands the banded blocker is LOSSLESS by pigeonhole
 #: (≤ 3 differing bits cannot touch all 4 bands)
 IMG_HAMMING_MAX = 3
+#: band COUNT for the banded blocker — a parameter (r9 verdict): the
+#: pigeonhole guarantee needs n_bands ≥ IMG_HAMMING_MAX + 1, and wider
+#: bands (fewer of them) collide less on hash-uniform data, so 4×16-bit
+#: is the max-width lossless geometry for a 64-bit hash at hamming ≤ 3;
+#: a 128-bit fingerprint at larger corpus scales would run 4×32-bit
+#: bands (expected random collisions per band ~ |distinct|²/2^width).
 _HASH_BANDS = 4
+#: df ceiling for a (band_idx, band_val) bucket over DISTINCT hashes —
+#: the r9 scale-killer fix: a band value shared by more than this many
+#: distinct hashes posts no candidates (its bucket would be C(df,2)),
+#: so every candidate bucket is ≤ BAND_DF_CAP² by construction. Sized
+#: above the driver fixtures' max observed band df (61 at sf0.1 — the
+#: audio sawtooth's saturated all-ones bands) so the cap is currently
+#: lossless on driver data, pinned by q_dedup_perceptual_capped's
+#: missed-pair-count = 0 oracle. NOTE the cap acts on DISTINCT hashes:
+#: the constant-hash populations the r9 verdict named (black frames,
+#: silence, boilerplate intros) collapse to ONE distinct hash before
+#: banding, so they never inflate band df at all — the cap only guards
+#: residual near-collisions between distinct values.
+BAND_DF_CAP = 64
+#: df ceiling (videos per distinct frame fingerprint) for the video
+#: candidate join — a fingerprint carried by more videos than this (the
+#: boilerplate-intro-frame shape) posts no candidates; candidate pairs
+#: are then VERIFIED against the full fingerprint inventory, so
+#: published shared_frames counts stay exact. Sized above the driver
+#: fixtures' max fingerprint df (306 at sf0.1 — the 768-periodic frame
+#: cliques) and pinned lossless by q_dedup_perceptual_capped.
+FP_DF_CAP = 512
 
 
 def _ahash_from_gray(gray: list[int]) -> tuple[int, int]:
@@ -767,24 +794,24 @@ def q_multimodal_image_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate IMAGE pairs — the dedup family
     extended to the multimodal surface: pairs of image payloads whose
-    aHashes differ in ≤ IMG_HAMMING_MAX bits, found with the banded
-    LSH blocker the SimHash text tier uses (never all-pairs): each
-    64-bit aHash splits into _HASH_BANDS=4 16-bit bands; candidates
-    share at least one exact band (equi-join on (band_idx, band_val));
-    verify recomputes the true hamming distance with XOR + bit_count
-    (JVM codegen). LOSSLESS by pigeonhole: ≤ 3 differing bits cannot
-    touch all 4 bands, so every qualifying pair shares an intact band
-    — same guarantee shape as the prefix-filter lemma, and the oracle
-    is the ground-truth ALL-PAIRS formulation over closed-form-
-    recomputed hashes, so any blocker recall loss reds the driver.
+    aHashes differ in ≤ IMG_HAMMING_MAX bits, via the shared two-tier
+    ``hamming_near_pairs`` core (r10): identical hashes pair in one
+    full-hash equi-join (constant-hash populations collapse BEFORE
+    banding), and distinct hashes go through the df-capped banded
+    blocker (≤ BAND_DF_CAP² per candidate bucket by construction — the
+    containment family's DF_CAP pattern) + XOR/bit_count verify. The
+    oracle stays the ground-truth ALL-PAIRS formulation over
+    closed-form-recomputed hashes, so any blocker or cap recall loss
+    reds the driver; q_dedup_perceptual_capped additionally pins the
+    cap's missed-pair count at 0 and publishes the candidate volumes.
 
-    Scale: band table is 4 rows per image; candidate buckets are
-    per-(band_idx, value) — a 16-bit band value keys ≤ corpus/65536
-    expected rows; verify is one equi-join + two bit_count ops per
-    candidate. At the driver sfs the synthetic pixel patterns only
-    collide for doc_id ≡ doc_id' (mod 256) (hamming 0 pairs appear at
-    sf0.1: 768-periodic image cliques); crafted-BMP unit tests pin the
-    1-3-bit and beyond-threshold behavior."""
+    Scale: banding runs on DISTINCT hashes only (4 rows each);
+    candidate buckets are df-capped; verify is two bit_count ops per
+    candidate; member expansion is output-bound. At the driver sfs the
+    synthetic pixel patterns only collide for doc_id ≡ doc_id'
+    (mod 256) (hamming-0 pairs appear at sf0.1: 768-periodic image
+    cliques — all tier-1 now); crafted-BMP unit tests pin the 1-3-bit
+    and beyond-threshold behavior."""
     h = image_hashes(spark, sf_dir)
     return hamming_near_pairs(
         h.select(
@@ -795,61 +822,108 @@ def q_dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hamming_near_pairs(hashes: DataFrame) -> DataFrame:
-    """Banded-blocker + XOR-verify near-dup core over ANY 64-bit
-    perceptual hash published as (media_id, hash_hi, hash_lo) — shared
-    by the image (aHash) and audio (delta-sign) tiers, factored so unit
-    tests can pin the pigeonhole guarantee on crafted bit patterns.
-    4×16-bit bands → equi-join candidates → exact hamming verify
-    (XOR + bit_count, JVM codegen) at ≤ IMG_HAMMING_MAX; lossless by
-    pigeonhole."""
-    h = hashes.localCheckpoint()
-    bands = h.select(
-        "media_id",
-        "hash_hi",
-        "hash_lo",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("band_idx"),
-                    F.shiftright("hash_hi", 16).alias("band_val"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band_idx"),
-                    (F.col("hash_hi").bitwiseAND(F.lit(65535))).alias(
-                        "band_val"
-                    ),
-                ),
-                F.struct(
-                    F.lit(2).alias("band_idx"),
-                    F.shiftright("hash_lo", 16).alias("band_val"),
-                ),
-                F.struct(
-                    F.lit(3).alias("band_idx"),
-                    (F.col("hash_lo").bitwiseAND(F.lit(65535))).alias(
-                        "band_val"
-                    ),
-                ),
+def _band_structs(n_bands: int) -> list:
+    """Band-extraction struct expressions over (hash_hi, hash_lo) for a
+    64-bit hash split into ``n_bands`` equal bands (n_bands even,
+    64 % n_bands == 0 — bands never straddle the hi/lo split). The
+    default 4×16-bit geometry reproduces the r9 layout bit for bit."""
+    if n_bands % 2 or 64 % n_bands:
+        raise ValueError(f"n_bands must be even and divide 64: {n_bands}")
+    per_half = n_bands // 2
+    width = 32 // per_half
+    mask = (1 << width) - 1
+    out = []
+    for j in range(n_bands):
+        half = F.col("hash_hi") if j < per_half else F.col("hash_lo")
+        shift = 32 - ((j % per_half) + 1) * width
+        out.append(
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.shiftright(half, shift)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
             )
-        ).alias("b"),
-    ).select(
-        "media_id",
-        "hash_hi",
-        "hash_lo",
-        F.col("b.band_idx").alias("band_idx"),
-        F.col("b.band_val").alias("band_val"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
+        )
+    return out
+
+
+def hamming_near_pairs(
+    hashes: DataFrame,
+    band_df_cap: int | None = None,
+    n_bands: int = _HASH_BANDS,
+) -> DataFrame:
+    """Near-dup core over ANY 64-bit perceptual hash published as
+    (media_id, hash_hi, hash_lo) — shared by the image (aHash) and
+    audio (delta-sign) tiers. Two tiers, closing the r9 verdict's
+    uncapped-C(df,2) scale-killer:
+
+    1. **Identical hashes (hamming 0)**: one equi-join on the full
+       64-bit value. A constant-hash population (black frames, silence)
+       lands entirely here — its pair set IS the output, which no
+       correct pairs-contract algorithm can beat (cluster-granularity
+       output for such populations is the q_dedup_clusters shape).
+    2. **Distinct hashes (hamming 1..IMG_HAMMING_MAX)**: the banded
+       blocker runs over the DISTINCT-hash table only, so constant-hash
+       populations contribute ONE row to banding, and each
+       (band_idx, band_val) bucket is df-capped at ``band_df_cap``
+       (default BAND_DF_CAP) before the self-join — every candidate
+       bucket ≤ cap² by construction (the containment family's DF_CAP
+       pattern, dedup.py:containment_pairs). Survivors XOR-verify
+       (bit_count, JVM codegen) and expand back to media pairs through
+       two hash-keyed joins (output-bound).
+
+    Lossless by pigeonhole when the cap doesn't bite (≤ hamming_max
+    differing bits cannot touch all n_bands ≥ hamming_max+1 bands);
+    the cap's miss mode (a distinct-hash true pair whose every shared
+    band is hotter than the cap) is pinned at 0 on driver data by
+    q_dedup_perceptual_capped's oracle, so recall loss reds the driver.
+    Band count/width are parameters — see _HASH_BANDS' sizing note."""
+    cap = BAND_DF_CAP if band_df_cap is None else band_df_cap
+    h = hashes.localCheckpoint()
+    # tier 1: identical hashes — hamming 0, output-sized
+    same = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.hash_hi") == F.col("b.hash_hi"))
+            & (F.col("a.hash_lo") == F.col("b.hash_lo"))
             & (F.col("a.media_id") < F.col("b.media_id")),
         )
         .select(
             F.col("a.media_id").alias("media_id_a"),
             F.col("b.media_id").alias("media_id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    # tier 2: near pairs between DISTINCT hash values via capped bands
+    dist = h.select("hash_hi", "hash_lo").distinct().localCheckpoint()
+    bands = dist.select(
+        "hash_hi",
+        "hash_lo",
+        F.explode(F.array(*_band_structs(n_bands))).alias("b"),
+    ).select(
+        "hash_hi",
+        "hash_lo",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    bdf = bands.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("df")
+    )
+    rare = bdf.filter(F.col("df") <= cap).select("band_idx", "band_val")
+    rb = bands.join(rare, ["band_idx", "band_val"], "left_semi")
+    a, b = rb.alias("a"), rb.alias("b")
+    pair_lt = F.struct(F.col("a.hash_hi"), F.col("a.hash_lo")) < F.struct(
+        F.col("b.hash_hi"), F.col("b.hash_lo")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & pair_lt,
+        )
+        .select(
             F.col("a.hash_hi").alias("hi_a"),
             F.col("a.hash_lo").alias("lo_a"),
             F.col("b.hash_hi").alias("hi_b"),
@@ -860,11 +934,29 @@ def hamming_near_pairs(hashes: DataFrame) -> DataFrame:
     hamming = F.bit_count(
         F.col("hi_a").bitwiseXOR(F.col("hi_b"))
     ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("long"))
-        .filter(F.col("hamming") <= IMG_HAMMING_MAX)
-        .select("media_id_a", "media_id_b", "hamming")
+    near = cand.withColumn("hamming", hamming.cast("long")).filter(
+        F.col("hamming") <= IMG_HAMMING_MAX
     )
+    ma = h.select(
+        F.col("media_id").alias("ma"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+    )
+    mb = h.select(
+        F.col("media_id").alias("mb"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+    )
+    cross = (
+        near.join(ma, ["hi_a", "lo_a"])
+        .join(mb, ["hi_b", "lo_b"])
+        .select(
+            F.least("ma", "mb").alias("media_id_a"),
+            F.greatest("ma", "mb").alias("media_id_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
 
 
 def audio_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,12 +1028,15 @@ def q_dedup_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver.
 
     Density note: the synthetic sawtooth population is deliberately
-    near-dup-DENSE (450k true pairs among 1,667 docs at sf0.1 — 2.2 s
-    wall), so candidate volume here tracks OUTPUT size, which no
-    correct algorithm can beat; on a natural corpus the 16-bit bands
-    thin candidates toward the true-pair rate, and a pathological
-    constant-hash population takes the containment family's DF_CAP
-    treatment (cap band df before the self-join)."""
+    near-dup-DENSE (450k true pairs among 1,667 docs at sf0.1), so
+    output volume tracks the true-pair count, which no correct
+    algorithm can beat — but under the r10 two-tier core the heavy
+    same-period cliques pair in the hamming-0 full-hash join (84
+    distinct hashes at sf0.1 vs 1,667 media rows enter banding), and
+    the distinct-hash banded join is df-capped at BAND_DF_CAP — the
+    sawtooth's saturated all-ones bands (df 61 at sf0.1, the fixture's
+    own constant-band population) sit just under the cap, pinned
+    lossless by q_dedup_perceptual_capped."""
     h = audio_hashes(spark, sf_dir)
     return hamming_near_pairs(
         h.select(
@@ -956,26 +1051,12 @@ def q_dedup_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 VIDEO_SHARED_MIN = 2
 
 
-def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate VIDEO pairs via shared frame fingerprints — the
-    set-overlap formulation video dedup actually uses (fingerprint
-    every keyframe, pair videos sharing enough of them): each IVF
-    container is REALLY demuxed (stdlib parser), every frame's BMP gets
-    the shared 64-bit aHash (``_bmp_ahash`` — the image tier's exact
-    kernel), per-video fingerprints are DISTINCTed, and videos pair on
-    ≥ VIDEO_SHARED_MIN shared distinct fingerprints via an equi-join on
-    the (hi, lo) hash — the inverted-index candidate topology of the
-    text dedup family (Σ_hash df², never |videos|²), with the hash as
-    the posting key. Output (media_id_a, media_id_b, shared_frames).
-
-    Scale: fingerprints are 4 rows per video riding the demux scan;
-    the join keys on a 64-bit fingerprint, so bucket fatness is the
-    TRUE duplication rate (a boilerplate intro frame shared by
-    thousands of videos fattens its df² bucket — at 100 TB cap high-df
-    fingerprints exactly like the containment family's DF_CAP tier).
-    Oracle recomputes every frame hash closed-form (frame pixels are
-    (x·31+s+pts)%256 / (y·57+s)%256 / (x·y+s+pts)%256) and re-joins —
-    demux, decode, hash and join all value-checked."""
+def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT per-video frame fingerprints (media_id, hash_hi,
+    hash_lo): real IVF demux → shared ``_bmp_ahash`` kernel per frame →
+    distinct. Factored from q_dedup_video_frames so the
+    q_dedup_perceptual_capped certificate certifies the SAME pipeline
+    it blocks over."""
     media = synth_media_table(spark, sf_dir).filter(
         F.col("modality") == "video"
     )
@@ -1005,11 +1086,208 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("hash_lo", T.LongType(), False),
         ]
     )
-    fp = media.mapInPandas(run, schema).distinct().localCheckpoint()
-    a, b = fp.alias("a"), fp.alias("b")
-    return (
+    return media.mapInPandas(run, schema).distinct()
+
+
+def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO pairs via shared frame fingerprints — the
+    set-overlap formulation video dedup actually uses (fingerprint
+    every keyframe, pair videos sharing enough of them): each IVF
+    container is REALLY demuxed (stdlib parser), every frame's BMP gets
+    the shared 64-bit aHash (``_bmp_ahash`` — the image tier's exact
+    kernel), per-video fingerprints are DISTINCTed, and videos pair on
+    ≥ VIDEO_SHARED_MIN shared distinct fingerprints. r10 closes the r9
+    verdict's uncapped-df² bucket: CANDIDATES come only from
+    fingerprints with df ≤ FP_DF_CAP (a boilerplate intro frame shared
+    by more videos than the cap posts no candidates — it carries no
+    pairing signal, exactly the containment family's DF_CAP stance),
+    then candidates are VERIFIED by recounting shared fingerprints
+    against the FULL inventory, so published shared_frames stay exact
+    (candidate-then-verify, the q_dedup_prefix_filter topology).
+    Output (media_id_a, media_id_b, shared_frames).
+
+    Scale: fingerprints are 4 rows per video riding the demux scan;
+    every candidate bucket is ≤ FP_DF_CAP² by construction. The cap's
+    miss mode (a true pair whose every shared fingerprint is hotter
+    than the cap) is pinned at 0 on driver data by
+    q_dedup_perceptual_capped; the oracle here stays the ground-truth
+    UNCAPPED join over closed-form-recomputed frame hashes (pixels
+    (x·31+s+pts)%256 / (y·57+s)%256 / (x·y+s+pts)%256), so demux,
+    decode, hash, cap and verify are all value-checked."""
+    fp = video_fingerprints(spark, sf_dir).localCheckpoint()
+    fdf = fp.groupBy("hash_hi", "hash_lo").agg(F.count("*").alias("df"))
+    rare = fdf.filter(F.col("df") <= FP_DF_CAP).select(
+        "hash_hi", "hash_lo"
+    )
+    rfp = fp.join(rare, ["hash_hi", "hash_lo"], "left_semi")
+    a, b = rfp.alias("a"), rfp.alias("b")
+    cand = (
         a.join(
             b,
+            (F.col("a.hash_hi") == F.col("b.hash_hi"))
+            & (F.col("a.hash_lo") == F.col("b.hash_lo"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+        )
+        .distinct()
+    )
+    # verify: recount shared fingerprints against the FULL inventory so
+    # the published counts are exact even where the cap pruned postings
+    fa = fp.select(F.col("media_id").alias("media_id_a"), "hash_hi", "hash_lo")
+    fb = fp.select(F.col("media_id").alias("media_id_b"), "hash_hi", "hash_lo")
+    return (
+        cand.join(fa, "media_id_a")
+        .join(fb, ["media_id_b", "hash_hi", "hash_lo"])
+        .groupBy("media_id_a", "media_id_b")
+        .agg(F.count("*").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= VIDEO_SHARED_MIN)
+    )
+
+
+def q_dedup_perceptual_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked certificate for the PERCEPTUAL NEAR-DUP CAPS —
+    the q_dedup_containment_capped pattern applied to the r10 blockers:
+    publishes, per modality, the ground-truth pair count, the pairs the
+    df cap would MISS (**pinned 0 in the oracle** — a blocking-recall
+    regression after a cap, band-geometry, or fixture change turns the
+    driver red instead of silently dropping duplicates), and the
+    candidate volumes with and without the cap (the measured trade).
+
+    Rows ``(check_name, value)``:
+
+    - ``image_true_hash_pairs`` / ``audio_true_hash_pairs``: DISTINCT
+      hash-value pairs at hamming 1..IMG_HAMMING_MAX — the tier-2
+      quantity the band cap can lose (tier-1 identical-hash pairs are
+      cap-exempt by construction). Ground truth is the all-pairs join
+      over the DISTINCT-hash table — quadratic in hash DIVERSITY, not
+      corpus size (38/84 distinct hashes at sf0.1), the certify-only
+      tier exactly like q_dedup_containment's.
+    - ``image_capped_missed_true_pairs`` / ``audio_...`` /
+      ``video_capped_missed_true_pairs``: true pairs with NO
+      df≤cap shared band/fingerprint — pinned 0.
+    - ``*_candidates_full`` / ``*_candidates_capped``: distinct
+      band-sharing (resp. fingerprint-sharing) pairs without/with the
+      cap — both recomputed by the oracle.
+    - ``video_true_pairs``: ground-truth ≥ VIDEO_SHARED_MIN pairs.
+    """
+    out: list[tuple[str, int]] = []
+    ham = F.bit_count(
+        F.col("a.hash_hi").bitwiseXOR(F.col("b.hash_hi"))
+    ) + F.bit_count(F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo")))
+    lt = F.struct(F.col("a.hash_hi"), F.col("a.hash_lo")) < F.struct(
+        F.col("b.hash_hi"), F.col("b.hash_lo")
+    )
+
+    def _band_cands(dist: DataFrame, cap: int | None) -> DataFrame:
+        bands = dist.select(
+            "hash_hi",
+            "hash_lo",
+            F.explode(F.array(*_band_structs(_HASH_BANDS))).alias("b"),
+        ).select(
+            "hash_hi",
+            "hash_lo",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_val").alias("band_val"),
+        )
+        if cap is not None:
+            rare = (
+                bands.groupBy("band_idx", "band_val")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= cap)
+                .select("band_idx", "band_val")
+            )
+            bands = bands.join(rare, ["band_idx", "band_val"], "left_semi")
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & lt,
+            )
+            .select(
+                F.col("a.hash_hi").alias("hi_a"),
+                F.col("a.hash_lo").alias("lo_a"),
+                F.col("b.hash_hi").alias("hi_b"),
+                F.col("b.hash_lo").alias("lo_b"),
+            )
+            .distinct()
+        )
+
+    for tag, hashes in (
+        (
+            "image",
+            image_hashes(spark, sf_dir).select(
+                "media_id",
+                F.col("ahash_hi").alias("hash_hi"),
+                F.col("ahash_lo").alias("hash_lo"),
+            ),
+        ),
+        (
+            "audio",
+            audio_hashes(spark, sf_dir).select(
+                "media_id",
+                F.col("dhash_hi").alias("hash_hi"),
+                F.col("dhash_lo").alias("hash_lo"),
+            ),
+        ),
+    ):
+        dist = (
+            hashes.select("hash_hi", "hash_lo").distinct().localCheckpoint()
+        )
+        # ground-truth tier: all-pairs over DISTINCT hashes (tiny —
+        # bounded by hash diversity; certify-only, never the 100× plan)
+        tp = (
+            dist.alias("a")
+            .join(dist.alias("b"), lt)
+            .filter(ham <= IMG_HAMMING_MAX)
+            .select(
+                F.col("a.hash_hi").alias("hi_a"),
+                F.col("a.hash_lo").alias("lo_a"),
+                F.col("b.hash_hi").alias("hi_b"),
+                F.col("b.hash_lo").alias("lo_b"),
+            )
+            .localCheckpoint()
+        )
+        capped = _band_cands(dist, BAND_DF_CAP).localCheckpoint()
+        keys = ["hi_a", "lo_a", "hi_b", "lo_b"]
+        out.append((f"{tag}_true_hash_pairs", tp.count()))
+        out.append(
+            (
+                f"{tag}_capped_missed_true_pairs",
+                tp.join(capped, keys, "left_anti").count(),
+            )
+        )
+        out.append(
+            (f"{tag}_candidates_full", _band_cands(dist, None).count())
+        )
+        out.append((f"{tag}_candidates_capped", capped.count()))
+
+    fp = video_fingerprints(spark, sf_dir).localCheckpoint()
+
+    def _fp_cands(posts: DataFrame) -> DataFrame:
+        a, b = posts.alias("a"), posts.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.hash_hi") == F.col("b.hash_hi"))
+                & (F.col("a.hash_lo") == F.col("b.hash_lo"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            )
+            .select(
+                F.col("a.media_id").alias("media_id_a"),
+                F.col("b.media_id").alias("media_id_b"),
+            )
+            .distinct()
+        )
+
+    vtp = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
             (F.col("a.hash_hi") == F.col("b.hash_hi"))
             & (F.col("a.hash_lo") == F.col("b.hash_lo"))
             & (F.col("a.media_id") < F.col("b.media_id")),
@@ -1018,9 +1296,30 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.media_id").alias("media_id_a"),
             F.col("b.media_id").alias("media_id_b"),
         )
-        .agg(F.count("*").alias("shared_frames"))
-        .filter(F.col("shared_frames") >= VIDEO_SHARED_MIN)
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= VIDEO_SHARED_MIN)
+        .select("media_id_a", "media_id_b")
+        .localCheckpoint()
     )
+    rare_fp = fp.join(
+        fp.groupBy("hash_hi", "hash_lo")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= FP_DF_CAP)
+        .select("hash_hi", "hash_lo"),
+        ["hash_hi", "hash_lo"],
+        "left_semi",
+    )
+    vcap = _fp_cands(rare_fp).localCheckpoint()
+    out.append(("video_true_pairs", vtp.count()))
+    out.append(
+        (
+            "video_capped_missed_true_pairs",
+            vtp.join(vcap, ["media_id_a", "media_id_b"], "left_anti").count(),
+        )
+    )
+    out.append(("video_candidates_full", _fp_cands(fp).count()))
+    out.append(("video_candidates_capped", vcap.count()))
+    return spark.createDataFrame(out, "check_name string, value long")
 
 
 QUERIES = {
@@ -1037,6 +1336,7 @@ QUERIES = {
     "q_multimodal_audio_hash": q_multimodal_audio_hash,
     "q_dedup_audio_near": q_dedup_audio_near,
     "q_dedup_video_frames": q_dedup_video_frames,
+    "q_dedup_perceptual_capped": q_dedup_perceptual_capped,
 }
 
 # closed-form pixel regeneration for the synth 8×8 BMPs (image docs are
@@ -1273,6 +1573,157 @@ ORACLES["q_dedup_audio_near"] = (
         WHERE hamming <= {IMG_HAMMING_MAX}
     """
 )
+
+# perceptual-cap certificate: every hash recomputed closed-form (the
+# image/audio/video CTE bodies above), bands re-derived with the same
+# shift/mask math, dfs and candidate sets re-joined, and the cap's
+# missed-true-pair counts pinned LITERAL 0 per modality (recall
+# regressions must red the driver, not agree on a nonzero loss)
+ORACLES["q_dedup_perceptual_capped"] = f"""
+        WITH img AS (
+            SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+            SELECT doc_id, k,
+                   ((k % 8) * 31 + doc_id) % 256
+                   + ((k // 8) * 57 + doc_id) % 256
+                   + ((k % 8) * (k // 8) + doc_id) % 256 AS gray3
+            FROM img, unnest(generate_series(0, 63)) AS s(k)),
+        tot AS (
+            SELECT doc_id, SUM(gray3) AS total FROM px GROUP BY doc_id),
+        iah AS (
+            SELECT p.doc_id,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM px p JOIN tot USING (doc_id) GROUP BY p.doc_id),
+        idist AS (SELECT DISTINCT hi, lo FROM iah),
+        aud AS (
+            SELECT doc_id, doc_id % 50 + 2 AS period,
+                   LEAST(n_chars, 400) AS n
+            FROM documents WHERE doc_id % 3 = 1),
+        abits AS (
+            SELECT doc_id, k,
+                   CASE WHEN k + 1 <= n - 1 AND (k + 1) % period <> 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM aud, unnest(generate_series(0, 63)) AS s(k)),
+        adh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN bit = 1 AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN bit = 1 AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM abits GROUP BY doc_id),
+        adist AS (SELECT DISTINCT hi, lo FROM adh),
+        ibands AS (
+            SELECT hi, lo, 0 AS bi, (hi >> 16) & 65535 AS bv FROM idist
+            UNION ALL SELECT hi, lo, 1, hi & 65535 FROM idist
+            UNION ALL SELECT hi, lo, 2, (lo >> 16) & 65535 FROM idist
+            UNION ALL SELECT hi, lo, 3, lo & 65535 FROM idist),
+        abands AS (
+            SELECT hi, lo, 0 AS bi, (hi >> 16) & 65535 AS bv FROM adist
+            UNION ALL SELECT hi, lo, 1, hi & 65535 FROM adist
+            UNION ALL SELECT hi, lo, 2, (lo >> 16) & 65535 FROM adist
+            UNION ALL SELECT hi, lo, 3, lo & 65535 FROM adist),
+        itp AS (
+            SELECT a.hi ha, a.lo la, b.hi hb, b.lo lb
+            FROM idist a JOIN idist b ON (a.hi, a.lo) < (b.hi, b.lo)
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  <= {IMG_HAMMING_MAX}),
+        atp AS (
+            SELECT a.hi ha, a.lo la, b.hi hb, b.lo lb
+            FROM adist a JOIN adist b ON (a.hi, a.lo) < (b.hi, b.lo)
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  <= {IMG_HAMMING_MAX}),
+        ibdf AS (SELECT bi, bv, COUNT(*) AS df FROM ibands GROUP BY 1, 2),
+        abdf AS (SELECT bi, bv, COUNT(*) AS df FROM abands GROUP BY 1, 2),
+        irb AS (SELECT b.hi, b.lo, b.bi, b.bv
+                FROM ibands b JOIN ibdf USING (bi, bv)
+                WHERE ibdf.df <= {BAND_DF_CAP}),
+        arb AS (SELECT b.hi, b.lo, b.bi, b.bv
+                FROM abands b JOIN abdf USING (bi, bv)
+                WHERE abdf.df <= {BAND_DF_CAP}),
+        icf AS (SELECT DISTINCT a.hi ha, a.lo la, b.hi hb, b.lo lb
+                FROM ibands a JOIN ibands b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                     AND (a.hi, a.lo) < (b.hi, b.lo)),
+        icc AS (SELECT DISTINCT a.hi ha, a.lo la, b.hi hb, b.lo lb
+                FROM irb a JOIN irb b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                     AND (a.hi, a.lo) < (b.hi, b.lo)),
+        acf AS (SELECT DISTINCT a.hi ha, a.lo la, b.hi hb, b.lo lb
+                FROM abands a JOIN abands b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                     AND (a.hi, a.lo) < (b.hi, b.lo)),
+        acc AS (SELECT DISTINCT a.hi ha, a.lo la, b.hi hb, b.lo lb
+                FROM arb a JOIN arb b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                     AND (a.hi, a.lo) < (b.hi, b.lo)),
+        vid AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        fpx AS (
+            SELECT doc_id, f, k,
+                   ((k % 8) * 31 + doc_id + f) % 256
+                   + ((k // 8) * 57 + doc_id) % 256
+                   + ((k % 8) * (k // 8) + doc_id + f) % 256 AS gray3
+            FROM vid,
+                 unnest([0, 250, 500, 750]) AS ff(f),
+                 unnest(generate_series(0, 63)) AS s(k)),
+        ftot AS (
+            SELECT doc_id, f, SUM(gray3) AS total
+            FROM fpx GROUP BY 1, 2),
+        fh AS (
+            SELECT p.doc_id, p.f,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM fpx p JOIN ftot USING (doc_id, f) GROUP BY 1, 2),
+        fd AS (SELECT DISTINCT doc_id, hi, lo FROM fh),
+        vtp AS (
+            SELECT a.doc_id da, b.doc_id db
+            FROM fd a JOIN fd b
+              ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= {VIDEO_SHARED_MIN}),
+        vdf AS (SELECT hi, lo, COUNT(*) AS df FROM fd GROUP BY 1, 2),
+        vrare AS (SELECT fd.doc_id, fd.hi, fd.lo
+                  FROM fd JOIN vdf USING (hi, lo)
+                  WHERE vdf.df <= {FP_DF_CAP}),
+        vcf AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+                FROM fd a JOIN fd b
+                  ON a.hi = b.hi AND a.lo = b.lo
+                     AND a.doc_id < b.doc_id),
+        vcc AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+                FROM vrare a JOIN vrare b
+                  ON a.hi = b.hi AND a.lo = b.lo
+                     AND a.doc_id < b.doc_id)
+        SELECT 'image_true_hash_pairs' AS check_name,
+               CAST((SELECT COUNT(*) FROM itp) AS BIGINT) AS value
+        UNION ALL SELECT 'image_capped_missed_true_pairs', 0
+        UNION ALL SELECT 'image_candidates_full',
+            CAST((SELECT COUNT(*) FROM icf) AS BIGINT)
+        UNION ALL SELECT 'image_candidates_capped',
+            CAST((SELECT COUNT(*) FROM icc) AS BIGINT)
+        UNION ALL SELECT 'audio_true_hash_pairs',
+            CAST((SELECT COUNT(*) FROM atp) AS BIGINT)
+        UNION ALL SELECT 'audio_capped_missed_true_pairs', 0
+        UNION ALL SELECT 'audio_candidates_full',
+            CAST((SELECT COUNT(*) FROM acf) AS BIGINT)
+        UNION ALL SELECT 'audio_candidates_capped',
+            CAST((SELECT COUNT(*) FROM acc) AS BIGINT)
+        UNION ALL SELECT 'video_true_pairs',
+            CAST((SELECT COUNT(*) FROM vtp) AS BIGINT)
+        UNION ALL SELECT 'video_capped_missed_true_pairs', 0
+        UNION ALL SELECT 'video_candidates_full',
+            CAST((SELECT COUNT(*) FROM vcf) AS BIGINT)
+        UNION ALL SELECT 'video_candidates_capped',
+            CAST((SELECT COUNT(*) FROM vcc) AS BIGINT)
+    """
 
 # video frame hashes closed-form: frame at pts f has pixel channels
 # r = (x·31+s+f)%256, g = (y·57+s)%256, b = (x·y+s+f)%256 — the image

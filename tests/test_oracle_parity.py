@@ -220,6 +220,10 @@ NESTED_LOOP_OK = {
     # composite inherits q_quality_gate's 1-row cutoff crossJoin and
     # q_mix_epochs' 1-row largest-source crossJoin
     "q_training_mix_v2",
+    # certificate's ground-truth tier: all-pairs over the DISTINCT-hash
+    # tables (bounded by hash diversity, tens of rows at driver sfs) —
+    # the certify-only quadratic, like the range-join ground truths
+    "q_dedup_perceptual_capped",
 }
 
 
