@@ -432,8 +432,88 @@ def q_ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII redaction patterns — deliberately plain ANSI regex (no
+#: lookaround, no engine-specific classes) so Spark's Java regex and
+#: DuckDB's RE2 match the SAME spans; ordered email → SSN → phone
+#: because an SSN contains a phone-shaped tail
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_SSN_RE = r"\d{3}-\d{2}-\d{4}"
+PII_PHONE_RE = r"\d{3}-\d{4}"
+
+
+def pii_scrub_expr(c):
+    """Composable PII redaction over any string column: emails →
+    ``[EMAIL]``, SSNs → ``[SSN]``, then phone-shaped digit runs →
+    ``[PHONE]`` (in that order — the SSN pattern contains a
+    phone-shaped tail, so phones are redacted last from the already
+    email/SSN-clean text). A pure ``regexp_replace`` chain — JVM
+    codegen, no UDF — usable anywhere a text column flows (compose it
+    before the gate → dedup → mix chain exactly like
+    ``training_mix.quality_mask``)."""
+    c = F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]")
+    c = F.regexp_replace(c, PII_SSN_RE, "[SSN]")
+    return F.regexp_replace(c, PII_PHONE_RE, "[PHONE]")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern SCRUB over the staged-ingest payloads — the
+    curation pass the reference's own data-quality doc calls for
+    (docs/data_quality.md) and every pretraining pipeline runs before
+    text leaves bronze: redact emails, SSNs, and phone numbers, and
+    publish per-record redaction counts (the audit trail a privacy
+    review reads). The documents fixture has no digits/emails, so the
+    PII carrier is the synthetic REST payload (the fixture path that
+    ships phone numbers): each record's contact blob is rebuilt
+    deterministically from the payload fields — name, a synthesized
+    ``<id>@breweries.example`` address, the ``555-xxxx`` phone, and an
+    index-derived SSN — then scrubbed with ``pii_scrub_expr``.
+
+    Output (id, contact_blob, scrubbed, n_emails, n_ssns, n_phones);
+    phone hits are counted AFTER email+SSN redaction so the three
+    counts partition the redacted spans. Full value oracle: the blob
+    is a pure function of the row index, so DuckDB regenerates it and
+    applies the same regex chain (RE2 vs Java regex agree on these
+    deliberately plain patterns) — the scrubber itself is
+    value-checked, not just row-counted.
+
+    Scale: scan-shaped (no exchange) — regexp_replace/regexp_count run
+    inside whole-stage codegen on whatever partitioning the payload
+    arrives with; at 100 TB this rides the bronze ingest scan."""
+    records = fetch_paginated(synthetic_page_fetcher(), per_page=200)
+    rows = [(r["id"], r["name"], r["phone"]) for r in records]
+    base = spark.createDataFrame(
+        rows, "id string, name string, phone string"
+    )
+    blob = F.concat(
+        F.lit("Contact "),
+        F.col("name"),
+        F.lit(" <"),
+        F.col("id"),
+        F.lit("@breweries.example>, tel "),
+        F.col("phone"),
+        F.lit(", owner SSN 123-45-"),
+        F.substring(F.col("phone"), 5, 4),
+        F.lit("."),
+    )
+    no_email = F.regexp_replace(blob, PII_EMAIL_RE, "[EMAIL]")
+    no_ssn = F.regexp_replace(no_email, PII_SSN_RE, "[SSN]")
+    return base.select(
+        "id",
+        blob.alias("contact_blob"),
+        pii_scrub_expr(blob).alias("scrubbed"),
+        F.regexp_count(blob, F.lit(PII_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(blob, F.lit(PII_SSN_RE)).cast("long").alias("n_ssns"),
+        F.regexp_count(no_ssn, F.lit(PII_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
 QUERIES = {
     "q_ingest_rest": q_ingest_rest,
+    "q_pii_scrub": q_pii_scrub,
     "q_ingest_schema_evolution": q_ingest_schema_evolution,
     "q_ingest_staged_json": q_ingest_staged_json,
     "q_ingest_staged_csv": q_ingest_staged_csv,
@@ -498,6 +578,50 @@ ORACLES: dict[str, str] = {
                s_nationkey, 2 AS batch
         FROM supplier
     """,
+    # PII scrub: blob regenerated from the index closed form; DuckDB's
+    # regexp_replace needs the 'g' flag (Spark replaces all by default);
+    # phone hits counted on the email+SSN-redacted text, like the Spark
+    # side. Patterns are spliced verbatim — plain ANSI regex on both.
+    "q_pii_scrub": (
+        """
+        WITH syn AS ("""
+        + _SYN_FIELDS
+        + """),
+        blob AS (
+            SELECT id,
+                   'Contact ' || name || ' <' || id
+                   || '@breweries.example>, tel ' || phone
+                   || ', owner SSN 123-45-' || substr(phone, 5, 4) || '.'
+                       AS contact_blob
+            FROM syn)
+        SELECT id, contact_blob,
+               regexp_replace(regexp_replace(regexp_replace(contact_blob,
+                   '"""
+        + PII_EMAIL_RE
+        + """', '[EMAIL]', 'g'),
+                   '"""
+        + PII_SSN_RE
+        + """', '[SSN]', 'g'),
+                   '"""
+        + PII_PHONE_RE
+        + """', '[PHONE]', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(contact_blob, '"""
+        + PII_EMAIL_RE
+        + """')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(contact_blob, '"""
+        + PII_SSN_RE
+        + """')) AS BIGINT) AS n_ssns,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(regexp_replace(contact_blob, '"""
+        + PII_EMAIL_RE
+        + """', '[EMAIL]', 'g'), '"""
+        + PII_SSN_RE
+        + """', '[SSN]', 'g'), '"""
+        + PII_PHONE_RE
+        + """')) AS BIGINT) AS n_phones
+        FROM blob
+    """
+    ),
     "q_ingest_staged_json": _STAGED_JSON_ORACLE,
     # CSV stages the same payload with nullValue='' so both formats yield
     # identical bronze rows (the unit-tested contract) — same oracle.

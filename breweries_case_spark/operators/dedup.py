@@ -1402,6 +1402,78 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: source-priority tiers for keeper election: sources src0..src4 are the
+#: "curated" feeds (tier 0 — books/wiki-grade), the rest are "web" (tier
+#: 1). In production this is a feed-priority lookup table; here it is a
+#: deterministic function of the source name so both engines derive it.
+CURATED_SOURCE_MAX = 5
+
+
+def _source_priority(source_col):
+    """0 for curated feeds (src0..src{CURATED_SOURCE_MAX-1}), 1 for web
+    — the numeric suffix comparison both engines compute identically."""
+    return (
+        F.when(
+            F.substring(source_col, 4, 10).cast("int")
+            < CURATED_SOURCE_MAX,
+            0,
+        )
+        .otherwise(1)
+        .cast("long")
+    )
+
+
+def q_dedup_keeper_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-PRIORITY cluster keeper — the keeper policy real curation
+    pipelines run (RefinedWeb/Dolma-style: when a page is mirrored
+    across feeds, keep the CURATED copy, not whichever is longest):
+    inside each near-dup cluster (the SAME exact-Jaccard components as
+    q_dedup_clusters) elect the keeper by (source tier ASC, n_chars
+    DESC, doc_id ASC) — curated > web first, the quality rule only as
+    the within-tier tiebreak. Output one row per cluster (cluster_id,
+    cluster_size, keeper_doc_id, keeper_source, keeper_priority);
+    singletons keep themselves, so this is a total cluster table.
+
+    Plan: the shared pair source + min-label components, one members
+    join, ONE cluster-keyed rank window (value-bounded partitions) —
+    exactly q_dedup_clusters' topology with a different ORDER BY, so
+    the priority policy costs nothing extra. Oracle: the
+    q_dedup_clusters recursive-CTE fixpoint + the priority-ordered
+    window — membership, sizes, keepers, and tiers all value-checked."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source"
+    )
+    comps = connected_components(
+        pairs, docs.select(F.col("doc_id").alias("node"))
+    )
+    member = (
+        comps.join(docs, comps["node"] == docs["doc_id"])
+        .select("doc_id", "n_chars", "source", "label")
+        .withColumn("prio", _source_priority(F.col("source")))
+    )
+    w = Window.partitionBy("label")
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            "prio", F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        member.withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("source").alias("keeper_source"),
+            F.col("prio").alias("keeper_priority"),
+        )
+    )
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_dedup_clusters with components resolved by the alternating-star
     algorithm (``connected_components_star``) instead of label
@@ -1626,6 +1698,7 @@ QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_soft_weights": q_dedup_soft_weights,
     "q_dedup_rate_by_source": q_dedup_rate_by_source,
+    "q_dedup_keeper_priority": q_dedup_keeper_priority,
     "q_dedup_clusters_star": q_dedup_clusters_star,
     "q_dedup_clusters_bounded": q_dedup_clusters_bounded,
     "q_dedup_filtered_corpus": q_dedup_filtered_corpus,
@@ -1885,6 +1958,30 @@ ORACLES = {
     "q_dedup_clusters": _CLUSTERS_ORACLE,
     "q_dedup_soft_weights": _SOFT_WEIGHTS_ORACLE,
     "q_dedup_rate_by_source": _DUP_RATE_ORACLE,
+    # keeper-priority: the clusters fixpoint + ONE priority-ordered
+    # window (curated tier first, quality as the within-tier tiebreak)
+    "q_dedup_keeper_priority": _CLUSTERS_CTES
+    + f"""
+        , pm AS (
+            SELECT l.cluster_id, d.doc_id, d.n_chars, d.source,
+                   CASE WHEN CAST(substr(d.source, 4) AS INT)
+                             < {CURATED_SOURCE_MAX}
+                        THEN 0 ELSE 1 END AS prio,
+                   COUNT(*) OVER (PARTITION BY l.cluster_id)
+                       AS cluster_size
+            FROM labels l JOIN documents d USING (doc_id)),
+        pk AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY prio ASC, n_chars DESC, doc_id ASC)
+                       AS prk
+            FROM pm)
+        SELECT cluster_id, cluster_size, doc_id AS keeper_doc_id,
+               source AS keeper_source,
+               CAST(prio AS BIGINT) AS keeper_priority
+        FROM pk WHERE prk = 1
+    """,
     "q_dedup_clusters_star": _CLUSTERS_ORACLE,
     # the bounded composition must reach the SAME fixpoint as the exact
     # pair source — blocker recall is the property under test

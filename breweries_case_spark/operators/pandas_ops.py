@@ -218,6 +218,77 @@ PACK_SEQ_LEN = 256
 PACK_SCAN_PARTS = 8
 
 
+def concat_scan(d: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """Two-phase distributed EXCLUSIVE PREFIX SUM of ``n_tokens`` per
+    ``key`` in (key, *order_cols) order — the Blelloch scan behind
+    concat-and-cut packing, factored out so q_pack_concat (key=lang,
+    order=doc_id) and q_curation_pipeline's stage-3 pack (key=stage,
+    order=(order_key, doc_id)) provably run ONE implementation (the
+    training_mix shared-helper rule). Appends start_offset /
+    example_first / example_last to ``d``'s columns.
+
+    (1) range-partition by (key, *order_cols) and reduce each partition
+    to per-(partition, key) subtotals — a partition-count-sized
+    aggregate collected to the driver; (2) the driver computes each
+    partition's per-key base offset and broadcasts it; (3) a NARROW
+    mapInPandas pass re-walks each sorted partition from its base. One
+    range exchange total, partition-boundary-INVARIANT by construction
+    (the oracle proves it: a plain per-key window cumsum). int64 only."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = d.sparkSession
+    parts = (
+        d.repartitionByRange(PACK_SCAN_PARTS, key, *order_cols)
+        .sortWithinPartitions(key, *order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin partitioning: both phases see one layout
+    )
+    # phase 1: per-(partition, key) subtotals — parts × keys rows
+    partials = parts.groupBy("pid", key).agg(
+        F.sum("n_tokens").alias("subtotal")
+    ).collect()
+    base: dict[tuple[int, object], int] = {}
+    running: dict[object, int] = {}
+    for r in sorted(partials, key=lambda r: (r[key], r["pid"])):
+        base[(r["pid"], r[key])] = running.get(r[key], 0)
+        running[r[key]] = running.get(r[key], 0) + int(r["subtotal"])
+    base_b = spark.sparkContext.broadcast(base)
+
+    # phase 2: narrow re-walk of each sorted partition from its base
+    def _scan(batches) -> "pd.DataFrame":
+        run: dict[object, int] = {}
+        for pdf in batches:
+            starts = []
+            for pid, k, n in zip(
+                pdf["pid"].tolist(),
+                pdf[key].tolist(),
+                pdf["n_tokens"].tolist(),
+            ):
+                if k not in run:
+                    run[k] = base_b.value.get((int(pid), k), 0)
+                starts.append(run[k])
+                run[k] += int(n)
+            out = pdf.drop(columns=["pid"]).copy()
+            out["start_offset"] = pd.Series(starts, dtype="int64")
+            out["example_first"] = out["start_offset"] // PACK_SEQ_LEN
+            out["example_last"] = (
+                out["start_offset"] + out["n_tokens"] - 1
+            ) // PACK_SEQ_LEN
+            yield out
+
+    out_schema = T.StructType(
+        [f for f in parts.schema.fields if f.name != "pid"]
+        + [
+            T.StructField("start_offset", T.LongType(), False),
+            T.StructField("example_first", T.LongType(), False),
+            T.StructField("example_last", T.LongType(), False),
+        ]
+    )
+    return parts.mapInPandas(_scan, out_schema)
+
+
 def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut example packing — the GPT-style alternative to
     bin packing (q_pack_sequences/q_pack_nextfit): per lang, documents
@@ -231,20 +302,12 @@ def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     The start offset is a per-lang EXCLUSIVE PREFIX SUM over doc_id
     order — on 100 TB the naive formulation (one window per lang) is
     the classic scan anti-pattern: every lang funnels through a single
-    task. This operator instead runs the two-phase distributed scan
-    (Blelloch): (1) range-partition by (lang, doc_id) and reduce each
-    partition to per-(partition, lang) token subtotals — a
-    partition-count-sized aggregate collected to the driver; (2) the
-    driver computes each partition's per-lang base offset (an exclusive
-    scan over ≤ parts × langs numbers) and broadcasts it; (3) a NARROW
-    mapInPandas pass re-walks each sorted partition accumulating from
-    its broadcast base. One range exchange total, parallelism = any
-    partition count, and the result is partition-boundary-invariant —
-    whatever boundaries the range sampler picks, offsets are identical
-    (the oracle proves it: a plain per-lang window cumsum in DuckDB).
-    All arithmetic is int64 — exact on both engines."""
-    import pandas as pd
-
+    task. This operator instead runs the shared two-phase distributed
+    scan (``concat_scan`` — Blelloch; one range exchange, driver-side
+    base offsets over ≤ parts × langs numbers, narrow re-walk;
+    partition-boundary-invariant, which the plain per-lang window
+    cumsum oracle proves). All arithmetic is int64 — exact on both
+    engines."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -252,54 +315,7 @@ def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    parts = (
-        d.repartitionByRange(PACK_SCAN_PARTS, "lang", "doc_id")
-        .sortWithinPartitions("lang", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()  # pin partitioning: both phases see one layout
-    )
-    # phase 1: per-(partition, lang) subtotals — parts × langs rows
-    partials = parts.groupBy("pid", "lang").agg(
-        F.sum("n_tokens").alias("subtotal")
-    ).collect()
-    base: dict[tuple[int, str], int] = {}
-    running: dict[str, int] = {}
-    for r in sorted(partials, key=lambda r: (r["lang"], r["pid"])):
-        base[(r["pid"], r["lang"])] = running.get(r["lang"], 0)
-        running[r["lang"]] = running.get(r["lang"], 0) + int(r["subtotal"])
-    base_b = spark.sparkContext.broadcast(base)
-
-    # phase 2: narrow re-walk of each sorted partition from its base
-    def _scan(batches) -> "pd.DataFrame":
-        run: dict[str, int] = {}
-        for pdf in batches:
-            starts = []
-            for pid, lang, n in zip(
-                pdf["pid"], pdf["lang"], pdf["n_tokens"]
-            ):
-                if lang not in run:
-                    run[lang] = base_b.value.get((int(pid), lang), 0)
-                starts.append(run[lang])
-                run[lang] += int(n)
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "lang": pdf["lang"],
-                    "n_tokens": pdf["n_tokens"],
-                    "start_offset": pd.Series(starts, dtype="int64"),
-                }
-            )
-            out["example_first"] = out["start_offset"] // PACK_SEQ_LEN
-            out["example_last"] = (
-                out["start_offset"] + out["n_tokens"] - 1
-            ) // PACK_SEQ_LEN
-            yield out
-
-    return parts.mapInPandas(
-        _scan,
-        "doc_id long, lang string, n_tokens long, start_offset long, "
-        "example_first long, example_last long",
-    )
+    return concat_scan(d, "lang", ["doc_id"])
 
 
 def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

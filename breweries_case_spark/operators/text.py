@@ -1252,6 +1252,122 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_vocab_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table PERSISTENCE + re-encode — the tokenizer
+    artifact lifecycle a training pipeline actually runs: train once,
+    SAVE the merge table, then every encode job LOADS the artifact and
+    applies the recorded merges (never retrains). Three phases:
+
+    1. **Train**: the q_bpe_train_k count→merge loop verbatim (one
+       vocabulary-bounded exchange per round, 1-row guarded winner
+       join, JVM greedy fold, localCheckpoint between rounds), also
+       collecting each round's winning pair.
+    2. **Persist**: the (round, left_tok, right_tok) merge table —
+       BPE_TRAIN_ROUNDS rows — written as a parquet artifact and
+       registered through the session catalog (``tokenizer.bpe_merges``
+       — DDL over a LOCATION, the io/catalog.py bootstrap stance), then
+       READ BACK via ``spark.table``: the artifact round-trip is part
+       of the checked dataflow, not a side effect.
+    3. **Re-encode from the artifact**: the loaded rules (a k-row
+       bounded artifact — collected like any tokenizer load) are
+       chained as LITERAL folds over the raw corpus — k higher-order
+       folds in ONE narrow select, ZERO exchanges for the whole encode
+       (cheaper than training's per-round plan: this is exactly why
+       tokenizers persist their merges) — then one posexplode.
+
+    Output (doc_id, pos, tok) — identical to q_bpe_encode by
+    construction; the oracle IS q_bpe_encode's unrolled CTE chain, so
+    the driver value-checks that save → register → load → re-encode
+    reproduces the trained encode exactly (a serialization or ordering
+    bug in the artifact reds the driver)."""
+    from breweries_case_spark.io.rest_source import _staging_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    cur = d.select("doc_id", toks.alias("t"))
+    winners = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        ln = F.greatest(F.size("t") - 1, F.lit(0))
+        pairs = F.arrays_zip(
+            F.slice(F.col("t"), 1, ln).alias("l"),
+            F.slice(F.col("t"), 2, ln).alias("r"),
+        )
+        top1 = (
+            cur.select(F.explode(pairs).alias("p"))
+            .groupBy(
+                F.col("p.l").alias("left_tok"),
+                F.col("p.r").alias("right_tok"),
+            )
+            .agg(F.count("*").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
+            .limit(1)
+            .select(
+                F.lit(rnd).cast("int").alias("round"),
+                "left_tok",
+                "right_tok",
+            )
+        )
+        winners.append(top1)
+        cur = (
+            cur.withColumn("_k", F.lit(1))
+            .join(
+                F.broadcast(
+                    top1.select("left_tok", "right_tok").withColumn(
+                        "_k", F.lit(1)
+                    )
+                ),
+                "_k",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.when(F.col("left_tok").isNull(), F.col("t"))
+                .otherwise(
+                    bpe_merge_fold(
+                        F.col("t"), F.col("left_tok"), F.col("right_tok")
+                    )
+                )
+                .alias("t"),
+            )
+            .localCheckpoint()
+        )
+    merges = winners[0]
+    for w in winners[1:]:
+        merges = merges.unionByName(w)
+    path = f"{_staging_dir()}/bpe_merges"
+    merges.write.mode("overwrite").parquet(path)
+    spark.sql("CREATE DATABASE IF NOT EXISTS tokenizer")
+    spark.sql("DROP TABLE IF EXISTS tokenizer.bpe_merges")
+    spark.sql(
+        "CREATE TABLE tokenizer.bpe_merges "
+        "(round INT, left_tok STRING, right_tok STRING) "
+        f"USING parquet LOCATION '{path}'"
+    )
+    rules = sorted(
+        spark.table("tokenizer.bpe_merges").collect(),
+        key=lambda r: r["round"],
+    )
+    enc_t = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    expr = enc_t
+    for r in rules:
+        expr = bpe_merge_fold(
+            expr, F.lit(r["left_tok"]), F.lit(r["right_tok"])
+        )
+    return (
+        d.select("doc_id", expr.alias("t"))
+        .select("doc_id", F.posexplode(F.col("t")).alias("pos0", "tok"))
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+        )
+    )
+
+
 #: cross-source overlap shingle width (string n-grams — readable and
 #: oracle-checkable; the hashed-shingle variant lives in dedup.py)
 OVERLAP_N = 5
@@ -1465,6 +1581,38 @@ def q_quality_gate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURRICULUM_STAGES = 4
 
 
+def curriculum_stage_table(scored: DataFrame) -> DataFrame:
+    """(quality_bin → stage) assignment over ANY frame carrying a
+    ``quality_bin`` column — q_curriculum_order's histogram-quantile
+    topology factored out (the training_mix shared-helper rule) so
+    q_curation_pipeline's staging is provably THE registered
+    operator's, recomputed over whatever population it is given (the
+    composite feeds gate survivors; the unit id feeds the full scored
+    corpus). One map-side-combined histogram + a cumulative window
+    over the tiny bin summary; stage(bin) = LEAST(S−1,
+    FLOOR((cum−1)·S / total)) with bins ordered quality DESC."""
+    hist = scored.groupBy("quality_bin").agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy(F.col("quality_bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "quality_bin",
+        F.least(
+            F.lit(CURRICULUM_STAGES - 1),
+            F.floor(
+                (F.sum("c").over(w_cum) - 1)
+                * CURRICULUM_STAGES
+                / F.sum("c").over(w_all)
+            ),
+        )
+        .cast("long")
+        .alias("stage"),
+    )
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum DATA ORDERING (Bengio et al. 2009 curriculum
     learning, public; quality-staged pretraining orders the cleanest
@@ -1488,24 +1636,7 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = gate_scored(
         load_table(spark, sf_dir, "documents")
     ).localCheckpoint()
-    hist = scored.groupBy("quality_bin").agg(F.count("*").alias("c"))
-    w_cum = Window.orderBy(F.col("quality_bin").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    stages = hist.select(
-        "quality_bin",
-        F.least(
-            F.lit(CURRICULUM_STAGES - 1),
-            F.floor(
-                (F.sum("c").over(w_cum) - 1)
-                * CURRICULUM_STAGES
-                / F.sum("c").over(w_all)
-            ),
-        ).cast("long").alias("stage"),
-    )
+    stages = curriculum_stage_table(scored)
     return scored.join(F.broadcast(stages), "quality_bin").select(
         "doc_id",
         "quality_bin",
@@ -1659,6 +1790,7 @@ QUERIES = {
     "q_bpe_merge_apply": q_bpe_merge_apply,
     "q_bpe_train_k": q_bpe_train_k,
     "q_bpe_encode": q_bpe_encode,
+    "q_bpe_vocab_persist": q_bpe_vocab_persist,
     "q_quality_token_curve": q_quality_token_curve,
     "q_quality_gate": q_quality_gate,
     "q_quality_gate_by_lang": q_quality_gate_by_lang,
@@ -2524,3 +2656,8 @@ ORACLES["q_bpe_encode"] = (
         FROM stream_{BPE_TRAIN_ROUNDS + 1}
     """
 )
+
+# the persisted-artifact round trip must reproduce the trained encode
+# EXACTLY — same oracle, so a save/register/load/re-encode drift reds
+# the driver on values, not just rows
+ORACLES["q_bpe_vocab_persist"] = ORACLES["q_bpe_encode"]

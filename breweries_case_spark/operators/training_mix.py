@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from breweries_case_spark.io.reader import load_table
+from breweries_case_spark.operators.pandas_ops import PACK_SEQ_LEN
 from breweries_case_spark.operators.sampling import (
     TOKEN_BUDGET_PER_SOURCE,
     _md5_key,
@@ -38,6 +39,7 @@ from breweries_case_spark.operators.dedup import (
 )
 from breweries_case_spark.operators.text import (
     BENCHMARK_MOD,
+    CURRICULUM_STAGES,
     QG_DROP_PCT,
     QG_SCALE,
     _ngram_rows,
@@ -331,11 +333,83 @@ def q_training_mix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-generation curation composite: the DATALOADER-FACING end
+    of the chain, where q_training_mix ends at a mixed corpus and
+    q_training_mix_v2 at per-doc copy counts —
+
+        quantile quality gate → curriculum staging → concat-and-cut
+        packing per stage
+
+    i.e. "which tokens, in what order, cut into which training
+    examples". Stage semantics are THE registered operators', via the
+    shared-helper rule: stage 1 calls q_quality_gate itself; stage 2
+    calls ``curriculum_stage_table`` (q_curriculum_order's
+    histogram-quantile topology) recomputed over the GATE SURVIVORS —
+    curriculum quartiles must describe what actually trains, not the
+    pre-gate distribution; stage 3 packs each curriculum stage with
+    ``concat_scan`` (q_pack_concat's two-phase Blelloch scan) in
+    (order_key, doc_id) order — the md5 shuffle key IS the intra-stage
+    order the dataloader consumes, so the pack offsets are the real
+    artifact. Output one row per surviving doc: (doc_id, stage,
+    order_key, n_tokens, start_offset, example_first, example_last).
+
+    Oracle: gate CTE = q_quality_gate's, stage CTE = the curriculum
+    assignment over the survivor histogram, pack = a plain per-stage
+    window cumsum — one chain, so any stage or hand-off drift reds the
+    composite even while the unit ids stay green (and the window-free
+    distributed scan is proven boundary-invariant against the window
+    formulation, the q_pack_concat contract).
+
+    Scale: gate is histogram-cheap; staging is a value-bounded
+    broadcast join; the pack is one range exchange + a narrow re-walk.
+    Composition order is the optimization: packing runs on the gated
+    25%-smaller corpus, and nothing here shuffles the corpus more than
+    once per stage key."""
+    from breweries_case_spark.operators.pandas_ops import concat_scan
+    from breweries_case_spark.operators.text import (
+        curriculum_stage_table,
+        q_quality_gate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+
+    # 1. quantile gate — the registered operator itself
+    gated = (
+        q_quality_gate(spark, sf_dir)
+        .select("doc_id", "quality_bin")
+        .localCheckpoint()
+    )
+
+    # 2. curriculum staging over the SURVIVORS — the shared
+    # histogram-quantile helper + the layout-free md5 order key
+    stages = curriculum_stage_table(gated)
+    n_tok = (
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    staged = (
+        gated.join(F.broadcast(stages), "quality_bin")
+        .join(d.select("doc_id", n_tok), "doc_id")
+        .select(
+            "doc_id",
+            "stage",
+            F.md5(F.col("doc_id").cast("string")).alias("order_key"),
+            "n_tokens",
+        )
+    )
+
+    # 3. concat-and-cut pack per stage — the shared two-phase scan
+    return concat_scan(staged, "stage", ["order_key", "doc_id"])
+
+
 QUERIES = {
     "q_training_mix": q_training_mix,
     "q_mix_temperature": q_mix_temperature,
     "q_mix_epochs": q_mix_epochs,
     "q_training_mix_v2": q_training_mix_v2,
+    "q_curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES = {
@@ -530,5 +604,77 @@ ORACLES = {
                             {_EPOCH_HEX_CHARS}, '0')
                       THEN 1 ELSE 0 END AS n_copies
         FROM clean c JOIN ep USING (source)
+    """,
+    # curation pipeline: gate CTE = q_quality_gate's oracle, stage CTE
+    # = the curriculum assignment over the SURVIVOR histogram, pack =
+    # a plain per-stage window cumsum (the boundary-invariance proof of
+    # the Spark side's two-phase scan) — one chain, so any stage or
+    # hand-off drift reds the composite.
+    "q_curation_pipeline": rf"""
+        WITH b AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(FLOOR((
+                       len(regexp_extract_all(text,
+                               '\b(the|a|of|is|and|to|in)\b'))
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.5
+                       + len(regexp_extract_all(text, '[^\w\s]'))
+                           / length(text) * -0.25
+                       + length(text)
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.05) * {QG_SCALE}) AS BIGINT)
+                       AS quality_bin
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) > 0
+              AND length(text) > 0),
+        h AS (SELECT quality_bin, COUNT(*) AS c FROM b GROUP BY 1),
+        cw AS (
+            SELECT quality_bin,
+                   SUM(c) OVER (ORDER BY quality_bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(c) OVER () AS total
+            FROM h),
+        cut AS (
+            SELECT MAX(quality_bin) AS cutoff_bin
+            FROM cw
+            WHERE cum <= FLOOR(total * {QG_DROP_PCT} / 100.0)),
+        kept AS MATERIALIZED (
+            SELECT doc_id, quality_bin
+            FROM b, cut
+            WHERE cut.cutoff_bin IS NULL
+               OR quality_bin > cut.cutoff_bin),
+        kh AS (SELECT quality_bin, COUNT(*) AS c FROM kept GROUP BY 1),
+        st AS (
+            SELECT quality_bin,
+                   CAST(LEAST({CURRICULUM_STAGES - 1},
+                              FLOOR((SUM(c) OVER (ORDER BY quality_bin DESC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - 1)
+                                    * {CURRICULUM_STAGES}
+                                    / SUM(c) OVER ())) AS BIGINT) AS stage
+            FROM kh),
+        staged AS MATERIALIZED (
+            SELECT k.doc_id, st.stage,
+                   md5(CAST(k.doc_id AS VARCHAR)) AS order_key,
+                   CAST(len(string_split_regex(lower(trim(d.text)),
+                                               '\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM kept k JOIN st USING (quality_bin)
+                 JOIN documents d USING (doc_id)),
+        sc AS (
+            SELECT *,
+                   CAST(SUM(n_tokens) OVER (
+                            PARTITION BY stage
+                            ORDER BY order_key, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens
+                        AS BIGINT) AS start_offset
+            FROM staged)
+        SELECT doc_id, stage, order_key, n_tokens, start_offset,
+               CAST(start_offset // {PACK_SEQ_LEN} AS BIGINT)
+                   AS example_first,
+               CAST((start_offset + n_tokens - 1) // {PACK_SEQ_LEN}
+                    AS BIGINT) AS example_last
+        FROM sc
     """,
 }
