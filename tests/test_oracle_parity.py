@@ -227,10 +227,56 @@ NESTED_LOOP_OK = {
 }
 
 
+#: ids whose FINAL plans contain an unpartitioned Window by design —
+#: each window runs over a value-bounded summary (quality-bin
+#: histograms for the gate/curve/curriculum/v2-composite, the per-key
+#: count table for the skew profile, per-price maxima for the Pareto
+#: sweep), never corpus rows. Anything OUTSIDE this set growing a
+#: single-partition WindowExec is an accidental global sort — the
+#: regression this sweep exists to catch (the known-benign "No
+#: Partition Defined for Window" warning must not hide a new one).
+#: NB: operators whose bounded global windows sit BEHIND a
+#: localCheckpoint (vocab-coverage rank, stream-replay ntile) don't
+#: surface in final plans — the sweep still covers every live plan.
+GLOBAL_WINDOW_OK = {
+    "q_quality_gate",
+    "q_quality_token_curve",
+    "q_curriculum_order",
+    "q_training_mix_v2",
+    "q_skew_profile",
+    "q_pareto_frontier",
+}
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    """Physical-plan sweep for Window operators with an EMPTY partition
+    spec (WindowExec / WindowInPandasExec / WindowGroupLimitExec) —
+    the single-task global-sort shape the plan pins forbid outside the
+    documented bounded-summary allowlist."""
+    plan = df._jdf.queryExecution().executedPlan()
+    found: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name in (
+            "WindowExec",
+            "WindowInPandasExec",
+            "WindowGroupLimitExec",
+        ) and node.partitionSpec().isEmpty():
+            found.append(name)
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(plan)
+    return found
+
+
 def test_all_queries_run(spark, sf_dir):
-    """Every registered query (oracle or not) executes, has a schema, and
+    """Every registered query (oracle or not) executes, has a schema,
     plans without an ACCIDENTAL quadratic join (cartesian / nested-loop
-    outside the documented scalar-broadcast and ground-truth set)."""
+    outside the documented scalar-broadcast and ground-truth set), and
+    plans without an ACCIDENTAL unpartitioned window (global sort
+    outside the documented bounded-summary set)."""
     for qid, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.columns, qid
@@ -238,6 +284,9 @@ def test_all_queries_run(spark, sf_dir):
         if qid not in NESTED_LOOP_OK:
             assert "CartesianProduct" not in plan, qid
             assert "BroadcastNestedLoopJoin" not in plan, qid
+        if qid not in GLOBAL_WINDOW_OK:
+            globals_found = _unpartitioned_windows(df)
+            assert not globals_found, (qid, globals_found)
         assert df.count() >= 0, qid
 
 
