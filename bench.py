@@ -252,6 +252,16 @@ EXTENDED = [
     # q_dedup_soft_weights (count-rank / gate-histogram / clusters
     # reuses), and the audio/video hash tiers (the benched image
     # mapInPandas + banded-join shapes)
+    # r10: the dataloader-facing composite (gate → survivor-staged
+    # curriculum → per-stage two-phase pack) — benched like the other
+    # end-to-end chains; q_dedup_image_near above now measures the r10
+    # two-tier capped core. The other r10 ids reuse benched shapes and
+    # stay out: q_pii_scrub (scan-shaped regex), q_bpe_vocab_persist
+    # (the benched train loop + a fold-only encode),
+    # q_dedup_keeper_priority (clusters + one window),
+    # q_dedup_perceptual_capped (certificate: the near ids' own stages
+    # re-counted)
+    "q_curation_pipeline",
 ]
 
 

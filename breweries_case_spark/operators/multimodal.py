@@ -1147,6 +1147,46 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-granularity perceptual dedup — the 100 TB OUTPUT SHAPE
+    the pair ids point at: where q_dedup_image_near publishes every
+    near-dup PAIR (output-quadratic inside an identical-hash clique —
+    unavoidable under a pairs contract), this id resolves the pairs
+    into connected components and publishes ONE row per cluster
+    (cluster_id, cluster_size, keeper_media_id = min id, sorted
+    members_csv) — output-linear in media, the form a real multimodal
+    dedup pipeline materializes (q_dedup_clusters' shape on the
+    perceptual surface). Pairs come from the shared two-tier capped
+    core; components from the shared min-label propagation
+    (dedup.connected_components — swap in the alternating-star form at
+    unbounded diameters); singletons keep themselves, so the output is
+    a total media→cluster assignment. Oracle: the closed-form hash
+    CTEs + an all-pairs edge set + the recursive-CTE fixpoint — the
+    q_dedup_clusters oracle pattern over media."""
+    from breweries_case_spark.operators.dedup import connected_components
+
+    pairs = q_dedup_image_near(spark, sf_dir).select(
+        F.col("media_id_a").alias("u"), F.col("media_id_b").alias("v")
+    )
+    nodes = (
+        synth_media_table(spark, sf_dir)
+        .filter(F.col("modality") == "image")
+        .select(F.col("media_id").alias("node"))
+    )
+    comps = connected_components(pairs, nodes)
+    return comps.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("cluster_size"),
+        F.min("node").alias("keeper_media_id"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("node")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members_csv"),
+    )
+
+
 def q_dedup_perceptual_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checked certificate for the PERCEPTUAL NEAR-DUP CAPS —
     the q_dedup_containment_capped pattern applied to the r10 blockers:
@@ -1337,6 +1377,7 @@ QUERIES = {
     "q_dedup_audio_near": q_dedup_audio_near,
     "q_dedup_video_frames": q_dedup_video_frames,
     "q_dedup_perceptual_capped": q_dedup_perceptual_capped,
+    "q_dedup_image_clusters": q_dedup_image_clusters,
 }
 
 # closed-form pixel regeneration for the synth 8×8 BMPs (image docs are
@@ -1571,6 +1612,36 @@ ORACLES["q_dedup_audio_near"] = (
                         AS BIGINT) AS hamming
             FROM dh a JOIN dh b ON a.media_id < b.media_id)
         WHERE hamming <= {IMG_HAMMING_MAX}
+    """
+)
+
+# cluster resolution over the perceptual pairs: closed-form hash CTEs +
+# all-pairs edges + the recursive reach fixpoint (the q_dedup_clusters
+# oracle pattern over media); WITH RECURSIVE spliced onto the shared CTE
+ORACLES["q_dedup_image_clusters"] = (
+    _IMAGE_HASH_CTES.replace("WITH img", "WITH RECURSIVE img", 1)
+    + f"""
+        , edges0 AS (
+            SELECT a.media_id AS u, b.media_id AS v
+            FROM ah a JOIN ah b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+                  + bit_count(xor(a.ahash_lo, b.ahash_lo))
+                  <= {IMG_HAMMING_MAX}),
+        edges AS (
+            SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+        reach(u, l) AS (
+            SELECT media_id, media_id FROM ah
+            UNION
+            SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
+        lbl AS (
+            SELECT u AS media_id, MIN(l) AS cluster_id
+            FROM reach GROUP BY u)
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               MIN(media_id) AS keeper_media_id,
+               array_to_string(list_sort(list(media_id)), ',')
+                   AS members_csv
+        FROM lbl GROUP BY cluster_id
     """
 )
 

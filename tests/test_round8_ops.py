@@ -583,8 +583,11 @@ def test_hard_negatives_matches_bruteforce(spark, sf_dir):
 
 def test_containment_cap_certificate(spark, sf_dir):
     """The df-cap blocking certificate: lossless at driver scale
-    (missed = 0), a real candidate cut (capped < full, both nonzero),
-    and the exact pair count anchors to the unpruned operator."""
+    (missed = 0), candidate volume bounded by the full join (r10: at
+    the cluster-sized production DF_CAP=64 no driver-fixture gram
+    exceeds the cap, so capped == full here — the actual cut mechanism
+    is pinned at df_cap=2 in test_round9_ops), and the exact pair
+    count anchors to the unpruned operator."""
     from breweries_case_spark.operators.dedup import (
         q_dedup_containment,
         q_dedup_containment_capped,
@@ -595,7 +598,7 @@ def test_containment_cap_certificate(spark, sf_dir):
         for r in q_dedup_containment_capped(spark, sf_dir).collect()
     }
     assert rows["capped_missed_true_pairs"] == 0
-    assert 0 < rows["candidate_pairs_capped"] < rows["candidate_pairs_full"]
+    assert 0 < rows["candidate_pairs_capped"] <= rows["candidate_pairs_full"]
     assert rows["exact_pairs"] == q_dedup_containment(spark, sf_dir).count()
 
 
