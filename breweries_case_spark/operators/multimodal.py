@@ -1187,6 +1187,140 @@ def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: incremental shard selector — media_id % 20 == 0 (the dedup family's
+#: _SHARD_MOD convention: a deterministic ~5% "daily delivery")
+_MEDIA_SHARD_MOD = 20
+
+
+def q_dedup_media_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PERCEPTUAL dedup — q_dedup_incremental's production
+    topology on the multimodal surface: classify a NEW image shard
+    (media_id % 20 == 0, the dedup family's deterministic daily
+    delivery) against the stored fingerprint index WITHOUT re-pairing
+    the corpus. Tiers:
+
+    1. **exact** — shard aHashes equi-join corpus aHashes (identical
+       fingerprint = re-upload/re-encode of the same image); at scale
+       the corpus side is the stored hash table, probed with O(shard)
+       rows.
+    2. **near** — the shard's band keys (4×16-bit over shard DISTINCT
+       hashes, tiny) BROADCAST-semi-join the corpus band index before
+       any pair forms, so corpus-side candidate work is proportional
+       to the SHARD, not the corpus — q_dedup_incremental's probe
+       discipline; corpus postings are additionally df-capped at
+       BAND_DF_CAP (the stored index is built capped). Candidates
+       XOR-verify at hamming 1..IMG_HAMMING_MAX.
+
+    Output: one row per shard image — verdict 'exact_dup' /
+    'near_dup' / 'new' with dup_of = the smallest matching corpus
+    media_id (exact precedence, NULL for 'new'). Oracle: brute-force
+    closed-form SQL over the same split — like every bounded tier, a
+    driver red here means blocker/cap recall loss, not a verify bug.
+    At 100 TB the corpus hash + band tables are the incremental state
+    (pipelines/incremental.py discipline): built once, appended per
+    shard, per-day cost O(shard)."""
+    h = (
+        image_hashes(spark, sf_dir)
+        .select(
+            "media_id",
+            F.col("ahash_hi").alias("hash_hi"),
+            F.col("ahash_lo").alias("hash_lo"),
+        )
+        .localCheckpoint()
+    )
+    is_shard = F.col("media_id") % _MEDIA_SHARD_MOD == 0
+    shard, corpus = h.filter(is_shard), h.filter(~is_shard)
+
+    # tier 1: exact fingerprint
+    ex = (
+        shard.alias("s")
+        .join(
+            corpus.alias("c"),
+            (F.col("s.hash_hi") == F.col("c.hash_hi"))
+            & (F.col("s.hash_lo") == F.col("c.hash_lo")),
+        )
+        .groupBy(F.col("s.media_id").alias("media_id"))
+        .agg(F.min("c.media_id").alias("exact_dup_of"))
+    )
+
+    # tier 2: shard-driven band probe over the (capped) corpus index
+    def _bands(dist):
+        return dist.select(
+            "hash_hi",
+            "hash_lo",
+            F.explode(F.array(*_band_structs(_HASH_BANDS))).alias("b"),
+        ).select(
+            "hash_hi",
+            "hash_lo",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_val").alias("band_val"),
+        )
+
+    sbands = _bands(
+        shard.select("hash_hi", "hash_lo").distinct()
+    ).localCheckpoint()
+    cbands = _bands(corpus.select("hash_hi", "hash_lo").distinct())
+    rare = (
+        cbands.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= BAND_DF_CAP)
+        .select("band_idx", "band_val")
+    )
+    probe = cbands.join(rare, ["band_idx", "band_val"], "left_semi").join(
+        F.broadcast(sbands.select("band_idx", "band_val").distinct()),
+        ["band_idx", "band_val"],
+        "left_semi",
+    )
+    hamming = F.bit_count(
+        F.col("a.hash_hi").bitwiseXOR(F.col("b.hash_hi"))
+    ) + F.bit_count(F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo")))
+    near_hash = (
+        sbands.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.hash_hi").alias("hi_s"),
+            F.col("a.hash_lo").alias("lo_s"),
+            F.col("b.hash_hi").alias("hi_c"),
+            F.col("b.hash_lo").alias("lo_c"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming").between(1, IMG_HAMMING_MAX))
+        .distinct()
+    )
+    nr = (
+        shard.alias("s")
+        .join(
+            near_hash,
+            (F.col("s.hash_hi") == F.col("hi_s"))
+            & (F.col("s.hash_lo") == F.col("lo_s")),
+        )
+        .join(
+            corpus.alias("c"),
+            (F.col("c.hash_hi") == F.col("hi_c"))
+            & (F.col("c.hash_lo") == F.col("lo_c")),
+        )
+        .groupBy(F.col("s.media_id").alias("media_id"))
+        .agg(F.min("c.media_id").alias("near_dup_of"))
+    )
+    return (
+        shard.select("media_id")
+        .join(ex, "media_id", "left")
+        .join(nr, "media_id", "left")
+        .select(
+            "media_id",
+            F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+        )
+    )
+
+
 def q_dedup_perceptual_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checked certificate for the PERCEPTUAL NEAR-DUP CAPS —
     the q_dedup_containment_capped pattern applied to the r10 blockers:
@@ -1378,6 +1512,7 @@ QUERIES = {
     "q_dedup_video_frames": q_dedup_video_frames,
     "q_dedup_perceptual_capped": q_dedup_perceptual_capped,
     "q_dedup_image_clusters": q_dedup_image_clusters,
+    "q_dedup_media_incremental": q_dedup_media_incremental,
 }
 
 # closed-form pixel regeneration for the synth 8×8 BMPs (image docs are
@@ -1612,6 +1747,39 @@ ORACLES["q_dedup_audio_near"] = (
                         AS BIGINT) AS hamming
             FROM dh a JOIN dh b ON a.media_id < b.media_id)
         WHERE hamming <= {IMG_HAMMING_MAX}
+    """
+)
+
+# incremental perceptual classification: closed-form hashes, shard =
+# media % 20 == 0, brute-force exact + hamming-1..3 ground truth with
+# exact-precedence verdicts — blocker/cap recall loss reds the driver
+ORACLES["q_dedup_media_incremental"] = (
+    _IMAGE_HASH_CTES
+    + f"""
+        , sh2 AS (
+            SELECT media_id, ahash_hi AS hi, ahash_lo AS lo FROM ah
+            WHERE media_id % {_MEDIA_SHARD_MOD} = 0),
+        co2 AS (
+            SELECT media_id, ahash_hi AS hi, ahash_lo AS lo FROM ah
+            WHERE media_id % {_MEDIA_SHARD_MOD} <> 0),
+        ex2 AS (
+            SELECT s.media_id, MIN(c.media_id) AS exact_dup_of
+            FROM sh2 s JOIN co2 c ON s.hi = c.hi AND s.lo = c.lo
+            GROUP BY s.media_id),
+        nr2 AS (
+            SELECT s.media_id, MIN(c.media_id) AS near_dup_of
+            FROM sh2 s JOIN co2 c
+              ON bit_count(xor(s.hi, c.hi)) + bit_count(xor(s.lo, c.lo))
+                 BETWEEN 1 AND {IMG_HAMMING_MAX}
+            GROUP BY s.media_id)
+        SELECT s.media_id,
+               CASE WHEN ex2.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                    WHEN nr2.near_dup_of IS NOT NULL THEN 'near_dup'
+                    ELSE 'new' END AS verdict,
+               COALESCE(ex2.exact_dup_of, nr2.near_dup_of) AS dup_of
+        FROM sh2 s
+             LEFT JOIN ex2 USING (media_id)
+             LEFT JOIN nr2 USING (media_id)
     """
 )
 

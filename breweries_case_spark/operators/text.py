@@ -1368,6 +1368,62 @@ def q_bpe_vocab_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer COMPRESSION report — the number a tokenizer owner
+    reads after training: per language, documents, whitespace-token
+    count BEFORE the merges, token count AFTER the k trained merges,
+    merges applied, and the 6-dp compression ratio (after/before). A
+    language whose ratio stays ≈ 1 is under-served by the learned
+    vocabulary (the multilingual-fairness audit beside
+    q_vocab_coverage's frequency curve and q_quality_gate_by_lang's
+    per-lang gate). Composes the REGISTERED encode (q_bpe_encode —
+    merges, guard and all), so the report provably describes the real
+    token stream: one count aggregate over the final stream + one
+    scan-time before-count, joined and re-aggregated per lang. Docs
+    with zero whitespace tokens never enter the encode's stream_1 —
+    the c0 > 0 filter mirrors the oracle's inner join. Integer sums
+    exact on both engines; the ratio is one IEEE division + the module
+    half-up 6-dp rounding.
+
+    Scale: rides the benched encode loop (vocabulary-bounded exchanges
+    — SURVEY §6) plus two |langs|-bounded aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = d.select(
+        "doc_id", "lang", F.size(toks).cast("long").alias("c0")
+    ).filter(F.col("c0") > 0)
+    after = (
+        q_bpe_encode(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c1"))
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        base.join(after, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("c0").alias("tokens_before"),
+            F.sum("c1").alias("tokens_after"),
+            (F.sum("c0") - F.sum("c1")).alias("merges_applied"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "tokens_before",
+            "tokens_after",
+            "merges_applied",
+            q6(
+                F.col("tokens_after").cast("double")
+                / F.col("tokens_before").cast("double")
+            ).alias("compression"),
+        )
+    )
+
+
 #: cross-source overlap shingle width (string n-grams — readable and
 #: oracle-checkable; the hashed-shingle variant lives in dedup.py)
 OVERLAP_N = 5
@@ -1791,6 +1847,7 @@ QUERIES = {
     "q_bpe_train_k": q_bpe_train_k,
     "q_bpe_encode": q_bpe_encode,
     "q_bpe_vocab_persist": q_bpe_vocab_persist,
+    "q_bpe_compression": q_bpe_compression,
     "q_quality_token_curve": q_quality_token_curve,
     "q_quality_gate": q_quality_gate,
     "q_quality_gate_by_lang": q_quality_gate_by_lang,
@@ -2637,8 +2694,9 @@ ORACLES["q_bpe_train_k"] = (
 # full encode: the same unrolled round CTEs, but publish the FINAL
 # stream (the merged token sequence after all rounds) instead of the
 # per-round trajectory rows. ROW_NUMBER re-packs positions per round,
-# so stream_{k+1}.pos is already the 1-based final position.
-ORACLES["q_bpe_encode"] = (
+# so stream_{k+1}.pos is already the 1-based final position. The CTE
+# prefix is shared with the compression report's oracle.
+_BPE_ENCODE_CTES = (
     r"""
         WITH tk AS (
             SELECT doc_id,
@@ -2651,6 +2709,10 @@ ORACLES["q_bpe_encode"] = (
             FROM tk, LATERAL (SELECT unnest(tk.t) AS tok,
                                      generate_subscripts(tk.t, 1) AS pos) p),"""
     + ",".join(_bpe_round_ctes(i) for i in range(1, BPE_TRAIN_ROUNDS + 1))
+)
+
+ORACLES["q_bpe_encode"] = (
+    _BPE_ENCODE_CTES
     + f"""
         SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
         FROM stream_{BPE_TRAIN_ROUNDS + 1}
@@ -2661,3 +2723,28 @@ ORACLES["q_bpe_encode"] = (
 # EXACTLY — same oracle, so a save/register/load/re-encode drift reds
 # the driver on values, not just rows
 ORACLES["q_bpe_vocab_persist"] = ORACLES["q_bpe_encode"]
+
+# compression report: per-lang before/after token totals from the SAME
+# unrolled chain (stream_1 = pre-merge, stream_{k+1} = final); docs
+# whose trimmed text is empty never enter stream_1 — the Spark side's
+# c0 > 0 filter mirrors that inner-join semantics
+ORACLES["q_bpe_compression"] = (
+    _BPE_ENCODE_CTES
+    + f"""
+        , tok_before AS (
+            SELECT doc_id, COUNT(*) AS c0 FROM stream_1 GROUP BY 1),
+        tok_after AS (
+            SELECT doc_id, COUNT(*) AS c1
+            FROM stream_{BPE_TRAIN_ROUNDS + 1} GROUP BY 1)
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c0) AS BIGINT) AS tokens_before,
+               CAST(SUM(c1) AS BIGINT) AS tokens_after,
+               CAST(SUM(c0) - SUM(c1) AS BIGINT) AS merges_applied,
+               FLOOR(SUM(c1) / CAST(SUM(c0) AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 AS compression
+        FROM documents d
+             JOIN tok_before USING (doc_id)
+             JOIN tok_after USING (doc_id)
+        GROUP BY d.lang
+    """
+)
