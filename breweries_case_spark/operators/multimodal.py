@@ -1321,6 +1321,56 @@ def q_dedup_media_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_media_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal DUPLICATION DASHBOARD — q_dedup_rate_by_source's
+    per-feed report generalized over the media surface, at each
+    modality's natural storage granularity: for image and audio, items
+    are MEDIA and duplicates are identical-fingerprint copies beyond
+    each hash group's min-id keeper (the exact-dedup rate a blob store
+    realizes by content-addressing the perceptual hash); for video,
+    items are the per-video distinct FRAME fingerprints and duplicates
+    are postings beyond each fingerprint's first video (the frame-level
+    storage dedup rate — boilerplate frames shared across videos).
+    Output (modality, n_items, n_distinct, dup_items, dup_rate) with
+    the module 6-dp half-up rate. Plan: three hash aggregates over the
+    already-computed fingerprint tables — |distinct hashes| output
+    rows; at 100 TB this is the nightly one-liner over the stored
+    index. Oracle: the closed-form hash CTEs re-aggregated."""
+    img = image_hashes(spark, sf_dir).select(
+        F.lit("image").alias("modality"),
+        F.col("ahash_hi").alias("hi"),
+        F.col("ahash_lo").alias("lo"),
+    )
+    aud = audio_hashes(spark, sf_dir).select(
+        F.lit("audio").alias("modality"),
+        F.col("dhash_hi").alias("hi"),
+        F.col("dhash_lo").alias("lo"),
+    )
+    vid = video_fingerprints(spark, sf_dir).select(
+        F.lit("video").alias("modality"), "hash_hi", "hash_lo"
+    ).select("modality", F.col("hash_hi").alias("hi"), F.col("hash_lo").alias("lo"))
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        img.unionByName(aud)
+        .unionByName(vid)
+        .groupBy("modality")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("hi", "lo").alias("n_distinct"),
+        )
+        .select(
+            "modality",
+            "n_items",
+            "n_distinct",
+            (F.col("n_items") - F.col("n_distinct")).alias("dup_items"),
+            q6(
+                (F.col("n_items") - F.col("n_distinct")).cast("double")
+                / F.col("n_items").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def q_dedup_perceptual_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checked certificate for the PERCEPTUAL NEAR-DUP CAPS —
     the q_dedup_containment_capped pattern applied to the r10 blockers:
@@ -1513,6 +1563,7 @@ QUERIES = {
     "q_dedup_perceptual_capped": q_dedup_perceptual_capped,
     "q_dedup_image_clusters": q_dedup_image_clusters,
     "q_dedup_media_incremental": q_dedup_media_incremental,
+    "q_dedup_media_rate": q_dedup_media_rate,
 }
 
 # closed-form pixel regeneration for the synth 8×8 BMPs (image docs are
@@ -1749,6 +1800,84 @@ ORACLES["q_dedup_audio_near"] = (
         WHERE hamming <= {IMG_HAMMING_MAX}
     """
 )
+
+# cross-modal dup dashboard: the three closed-form hash families
+# re-aggregated — media granularity for image/audio (identical aHash /
+# delta-sign groups), frame granularity for video (shared fingerprints)
+ORACLES["q_dedup_media_rate"] = f"""
+        WITH img AS (
+            SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+            SELECT doc_id, k,
+                   ((k % 8) * 31 + doc_id) % 256
+                   + ((k // 8) * 57 + doc_id) % 256
+                   + ((k % 8) * (k // 8) + doc_id) % 256 AS gray3
+            FROM img, unnest(generate_series(0, 63)) AS s(k)),
+        tot AS (
+            SELECT doc_id, SUM(gray3) AS total FROM px GROUP BY doc_id),
+        iah AS (
+            SELECT p.doc_id,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM px p JOIN tot USING (doc_id) GROUP BY p.doc_id),
+        aud AS (
+            SELECT doc_id, doc_id % 50 + 2 AS period,
+                   LEAST(n_chars, 400) AS n
+            FROM documents WHERE doc_id % 3 = 1),
+        abits AS (
+            SELECT doc_id, k,
+                   CASE WHEN k + 1 <= n - 1 AND (k + 1) % period <> 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM aud, unnest(generate_series(0, 63)) AS s(k)),
+        adh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN bit = 1 AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN bit = 1 AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM abits GROUP BY doc_id),
+        vid AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        fpx AS (
+            SELECT doc_id, f, k,
+                   ((k % 8) * 31 + doc_id + f) % 256
+                   + ((k // 8) * 57 + doc_id) % 256
+                   + ((k % 8) * (k // 8) + doc_id + f) % 256 AS gray3
+            FROM vid,
+                 unnest([0, 250, 500, 750]) AS ff(f),
+                 unnest(generate_series(0, 63)) AS s(k)),
+        ftot AS (
+            SELECT doc_id, f, SUM(gray3) AS total
+            FROM fpx GROUP BY 1, 2),
+        fh AS (
+            SELECT p.doc_id, p.f,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM fpx p JOIN ftot USING (doc_id, f) GROUP BY 1, 2),
+        fd AS (SELECT DISTINCT doc_id, hi, lo FROM fh),
+        uni AS (
+            SELECT 'image' AS modality, hi, lo FROM iah
+            UNION ALL SELECT 'audio', hi, lo FROM adh
+            UNION ALL SELECT 'video', hi, lo FROM fd)
+        SELECT modality,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(COUNT(DISTINCT (hi, lo)) AS BIGINT) AS n_distinct,
+               CAST(COUNT(*) - COUNT(DISTINCT (hi, lo)) AS BIGINT)
+                   AS dup_items,
+               FLOOR((COUNT(*) - COUNT(DISTINCT (hi, lo)))
+                     / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 AS dup_rate
+        FROM uni GROUP BY modality
+    """
 
 # incremental perceptual classification: closed-form hashes, shard =
 # media % 20 == 0, brute-force exact + hamming-1..3 ground truth with

@@ -311,3 +311,66 @@ def test_curation_pipeline_shared_helpers(spark, sf_dir):
         for r in rows_:
             assert r.start_offset == run, (stage, r.doc_id)
             run += r.n_tokens
+
+
+def test_media_incremental_probe_bounded(spark, sf_dir):
+    """The incremental tier's corpus-side probe is O(shard): corpus
+    band postings surviving the shard-key semi-join are bounded by
+    |shard band keys| × BAND_DF_CAP, and the verdicts agree with a
+    brute-force classification of the same split."""
+    import breweries_case_spark.operators.multimodal as mm
+
+    h = (
+        mm.image_hashes(spark, sf_dir)
+        .select(
+            "media_id",
+            F.col("ahash_hi").alias("hash_hi"),
+            F.col("ahash_lo").alias("hash_lo"),
+        )
+        .localCheckpoint()
+    )
+    is_shard = F.col("media_id") % mm._MEDIA_SHARD_MOD == 0
+    shard = h.filter(is_shard).collect()
+    corpus = h.filter(~is_shard).collect()
+
+    def _bands64(hi, lo):
+        return [
+            (0, (hi >> 16) & 0xFFFF),
+            (1, hi & 0xFFFF),
+            (2, (lo >> 16) & 0xFFFF),
+            (3, lo & 0xFFFF),
+        ]
+
+    shard_keys = {b for r in shard for b in _bands64(r.hash_hi, r.hash_lo)}
+    corpus_hits = [
+        b
+        for r in {(r.hash_hi, r.hash_lo) for r in corpus}
+        for b in _bands64(*r)
+        if b in shard_keys
+    ]
+    assert len(corpus_hits) <= len(shard_keys) * mm.BAND_DF_CAP
+
+    # brute-force verdicts over the same split
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    expect = {}
+    for s in shard:
+        sh = (s.hash_hi, s.hash_lo)
+        ex = [c.media_id for c in corpus if (c.hash_hi, c.hash_lo) == sh]
+        nr = [
+            c.media_id
+            for c in corpus
+            if 1 <= ham(sh, (c.hash_hi, c.hash_lo)) <= mm.IMG_HAMMING_MAX
+        ]
+        if ex:
+            expect[s.media_id] = ("exact_dup", min(ex))
+        elif nr:
+            expect[s.media_id] = ("near_dup", min(nr))
+        else:
+            expect[s.media_id] = ("new", None)
+    got = {
+        r.media_id: (r.verdict, r.dup_of)
+        for r in mm.q_dedup_media_incremental(spark, sf_dir).collect()
+    }
+    assert got == expect
