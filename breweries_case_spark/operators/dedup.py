@@ -224,11 +224,14 @@ def containment_pairs(
     ≤ ``df_cap`` (default DF_CAP), so every per-gram candidate bucket
     is capped at df_cap² by construction — the Σ_gram df² blow-up a
     saturated high-df gram causes (measured corpus-QUADRATIC in
-    scripts/measure_containment_scaling.py) cannot happen. Candidates
-    are then VERIFIED by recounting the full intersection against the
-    complete gram inventory (candidate-then-verify, the
-    q_dedup_prefix_filter topology), so published containment values
-    are exact. The cap is NOT recall-free in general: a true pair
+    scripts/measure_containment_scaling.py) cannot happen. The
+    candidate aggregate counts the shared-RARE-gram intersection as it
+    groups; pairs whose BOTH docs hold only rare grams publish that
+    count directly (it IS the full intersection), and only pairs
+    touching a hot (df > cap) gram take the full-inventory VERIFY
+    recount (candidate-then-verify, the q_dedup_prefix_filter
+    topology) — so published containment values are exact everywhere
+    and the verify join is empty wherever the cap never engaged. The cap is NOT recall-free in general: a true pair
     whose shared grams ALL have df > df_cap posts no candidate — at
     corpus scale that regime is real (a dup cluster of k near-identical
     docs pushes every shared gram to df ≥ k), which is why the default
@@ -266,6 +269,13 @@ def containment_pairs(
         rare = df_tbl.filter(F.col("df") <= cap).select("lang", "gram")
         blocked = sized.join(rare, ["lang", "gram"], "left_semi")
         a, b = blocked.alias("a"), blocked.alias("b")
+        # the candidate aggregate ALSO counts the rare-gram intersection
+        # (one row per shared rare gram by distinctness of the gram
+        # inventory) — for a pair whose BOTH docs hold only rare grams
+        # that count IS the full intersection, so verify is skipped for
+        # it (r10: at driver scale no gram exceeds the cluster-sized
+        # cap, making the whole verify join empty; at 100 TB only pairs
+        # touching a hot gram pay it)
         cand = (
             a.join(
                 b,
@@ -273,8 +283,6 @@ def containment_pairs(
                 & (F.col("a.gram") == F.col("b.gram"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-            # two shared rare grams emit the pair twice; dedup before
-            # the verify join or the intersection counts double
             .groupBy(
                 F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
@@ -282,17 +290,50 @@ def containment_pairs(
                 F.col("a.sz").alias("sz_a"),
                 F.col("b.sz").alias("sz_b"),
             )
-            .agg(F.lit(1).alias("_one"))
-            .drop("_one")
+            .agg(F.count("*").alias("rare_inter"))
+            .localCheckpoint()  # reused by the clean/verify splits
         )
+        # docs carrying at least one hot (df > cap) gram — only their
+        # pairs need the full-inventory recount
+        hot = (
+            sized.join(rare, ["lang", "gram"], "left_anti")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = cand.join(
+            hot.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti"
+        ).join(
+            hot.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti"
+        )
+        exact_clean = clean.select(
+            "doc_a",
+            "doc_b",
+            "lang",
+            "sz_a",
+            "sz_b",
+            (
+                F.floor(
+                    F.col("rare_inter")
+                    / F.least(F.col("sz_a"), F.col("sz_b"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("containment"),
+        )
+        needs = cand.join(
+            clean.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        ).drop("rare_inter")
         ga = sized.select(F.col("doc_id").alias("doc_a"), "gram")
         gb = sized.select(F.col("doc_id").alias("doc_b"), "gram")
-        return (
-            cand.join(ga, "doc_a")
+        verified = (
+            needs.join(ga, "doc_a")
             .join(gb, ["doc_b", "gram"])
             .groupBy("doc_a", "doc_b", "lang", "sz_a", "sz_b")
             .agg(cont.alias("containment"))
-            .filter(F.col("containment") >= F.lit(t))
+        )
+        return exact_clean.unionByName(verified).filter(
+            F.col("containment") >= F.lit(t)
         )
     a, b = sized.alias("a"), sized.alias("b")
     return (

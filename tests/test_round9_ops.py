@@ -615,7 +615,6 @@ def test_round9_plan_shapes(spark, sf_dir):
         "q_repetition_removal": 3,
         "q_dedup_rate_by_source": 4,
         "q_curriculum_order": 3,
-        "q_dedup_containment_blocked": 7,
         "q_quality_gate_by_lang": 3,
         # one corpus exchange; its 3-row ks broadcast crossJoin plans as
         # a broadcast NL by design (the q_quality_gate cutoff pattern)
@@ -631,6 +630,12 @@ def test_round9_plan_shapes(spark, sf_dir):
         "q_dedup_image_near": 2,
         "q_dedup_audio_near": 2,
         "q_dedup_video_frames": 3,
+        # r10 split-verify: df agg + rare semi + candidate agg + the
+        # hot anti / pair-split anti + verify agg — 6 shuffles, but the
+        # verify pair recount now runs ONLY on pairs touching a hot
+        # gram (empty at driver scale under the cluster-sized cap);
+        # the hot/clean-split joins broadcast
+        "q_dedup_containment_blocked": 6,
     }
     NESTED_LOOP_OK = {"q_vocab_coverage"}
 
