@@ -374,3 +374,37 @@ def test_media_incremental_probe_bounded(spark, sf_dir):
         for r in mm.q_dedup_media_incremental(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_round10_layout_invariance(spark, sf_dir):
+    """The r10 wave's outputs are identical under a different shuffle
+    partitioning — the layout-free determinism the 100 TB design
+    claims (min-label components, md5 order keys, closed-form hashes,
+    integer fold math, no rand(), no partition-dependent tie-breaks;
+    the two-phase pack scan is partition-boundary-invariant by
+    construction)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    ids = [
+        "q_pii_scrub",
+        "q_dedup_keeper_priority",
+        "q_curation_pipeline",
+        "q_dedup_image_clusters",
+        "q_dedup_media_incremental",
+        "q_dedup_media_rate",
+        "q_bpe_compression",
+        "q_dedup_perceptual_capped",
+    ]
+    base = {
+        qid: sorted(tuple(r) for r in qs[qid](spark, sf_dir).collect())
+        for qid in ids
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for qid in ids:
+            alt = sorted(tuple(r) for r in qs[qid](spark, sf_dir).collect())
+            assert alt == base[qid], qid
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
