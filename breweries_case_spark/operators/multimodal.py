@@ -847,6 +847,61 @@ def _band_structs(n_bands: int) -> list:
     return out
 
 
+def hash_near_pairs(
+    dist: DataFrame,
+    band_df_cap: int | None = None,
+    n_bands: int = _HASH_BANDS,
+) -> DataFrame:
+    """Tier-2 core over a DISTINCT-hash frame (hash_hi, hash_lo):
+    df-capped banded blocking + XOR/bit_count verify, returning
+    hash-VALUE near pairs (hi_a, lo_a, hi_b, lo_b, hamming) at
+    hamming 1..IMG_HAMMING_MAX. Factored from ``hamming_near_pairs``
+    so cluster-granularity consumers (q_dedup_image_clusters) can run
+    connected components on the HASH graph directly — never
+    materializing the media-pair expansion."""
+    cap = BAND_DF_CAP if band_df_cap is None else band_df_cap
+    bands = dist.select(
+        "hash_hi",
+        "hash_lo",
+        F.explode(F.array(*_band_structs(n_bands))).alias("b"),
+    ).select(
+        "hash_hi",
+        "hash_lo",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    bdf = bands.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("df")
+    )
+    rare = bdf.filter(F.col("df") <= cap).select("band_idx", "band_val")
+    rb = bands.join(rare, ["band_idx", "band_val"], "left_semi")
+    a, b = rb.alias("a"), rb.alias("b")
+    pair_lt = F.struct(F.col("a.hash_hi"), F.col("a.hash_lo")) < F.struct(
+        F.col("b.hash_hi"), F.col("b.hash_lo")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & pair_lt,
+        )
+        .select(
+            F.col("a.hash_hi").alias("hi_a"),
+            F.col("a.hash_lo").alias("lo_a"),
+            F.col("b.hash_hi").alias("hi_b"),
+            F.col("b.hash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return cand.withColumn("hamming", hamming.cast("long")).filter(
+        F.col("hamming") <= IMG_HAMMING_MAX
+    )
+
+
 def hamming_near_pairs(
     hashes: DataFrame,
     band_df_cap: int | None = None,
@@ -897,46 +952,7 @@ def hamming_near_pairs(
     )
     # tier 2: near pairs between DISTINCT hash values via capped bands
     dist = h.select("hash_hi", "hash_lo").distinct().localCheckpoint()
-    bands = dist.select(
-        "hash_hi",
-        "hash_lo",
-        F.explode(F.array(*_band_structs(n_bands))).alias("b"),
-    ).select(
-        "hash_hi",
-        "hash_lo",
-        F.col("b.band_idx").alias("band_idx"),
-        F.col("b.band_val").alias("band_val"),
-    )
-    bdf = bands.groupBy("band_idx", "band_val").agg(
-        F.count("*").alias("df")
-    )
-    rare = bdf.filter(F.col("df") <= cap).select("band_idx", "band_val")
-    rb = bands.join(rare, ["band_idx", "band_val"], "left_semi")
-    a, b = rb.alias("a"), rb.alias("b")
-    pair_lt = F.struct(F.col("a.hash_hi"), F.col("a.hash_lo")) < F.struct(
-        F.col("b.hash_hi"), F.col("b.hash_lo")
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & pair_lt,
-        )
-        .select(
-            F.col("a.hash_hi").alias("hi_a"),
-            F.col("a.hash_lo").alias("lo_a"),
-            F.col("b.hash_hi").alias("hi_b"),
-            F.col("b.hash_lo").alias("lo_b"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(
-        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
-    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    near = cand.withColumn("hamming", hamming.cast("long")).filter(
-        F.col("hamming") <= IMG_HAMMING_MAX
-    )
+    near = hash_near_pairs(dist, cap, n_bands)
     ma = h.select(
         F.col("media_id").alias("ma"),
         F.col("hash_hi").alias("hi_a"),
@@ -1151,35 +1167,66 @@ def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-granularity perceptual dedup — the 100 TB OUTPUT SHAPE
     the pair ids point at: where q_dedup_image_near publishes every
     near-dup PAIR (output-quadratic inside an identical-hash clique —
-    unavoidable under a pairs contract), this id resolves the pairs
-    into connected components and publishes ONE row per cluster
-    (cluster_id, cluster_size, keeper_media_id = min id, sorted
-    members_csv) — output-linear in media, the form a real multimodal
-    dedup pipeline materializes (q_dedup_clusters' shape on the
-    perceptual surface). Pairs come from the shared two-tier capped
-    core; components from the shared min-label propagation
-    (dedup.connected_components — swap in the alternating-star form at
-    unbounded diameters); singletons keep themselves, so the output is
-    a total media→cluster assignment. Oracle: the closed-form hash
-    CTEs + an all-pairs edge set + the recursive-CTE fixpoint — the
-    q_dedup_clusters oracle pattern over media."""
+    unavoidable under a pairs contract), this id publishes ONE row per
+    cluster (cluster_id, cluster_size, keeper_media_id = min id,
+    sorted members_csv) — output-linear in media, the form a real
+    multimodal dedup pipeline materializes (q_dedup_clusters' shape on
+    the perceptual surface).
+
+    Plan — and the reason this is NOT just "CC over the pair id": the
+    media-pair expansion is never materialized. Components run on the
+    DISTINCT-HASH graph (``hash_near_pairs``' capped tier-2 edges —
+    bounded by hash diversity), each hash node represented by its
+    min-media-id; media then label themselves through one hash-keyed
+    join onto their hash's component. An identical-hash clique of a
+    million black frames is ONE graph node here, where the pairs
+    contract owes C(10⁶,2) rows. Component labels = min media_id by
+    construction (min over per-hash min-media reps). Singletons keep
+    themselves — a total media→cluster assignment. Oracle: the
+    closed-form hash CTEs + an all-pairs edge set + the recursive-CTE
+    fixpoint over MEDIA — the q_dedup_clusters oracle pattern, which
+    also proves the hash-level factoring loses nothing."""
     from breweries_case_spark.operators.dedup import connected_components
 
-    pairs = q_dedup_image_near(spark, sf_dir).select(
-        F.col("media_id_a").alias("u"), F.col("media_id_b").alias("v")
+    h = (
+        image_hashes(spark, sf_dir)
+        .select(
+            "media_id",
+            F.col("ahash_hi").alias("hash_hi"),
+            F.col("ahash_lo").alias("hash_lo"),
+        )
+        .localCheckpoint()
     )
-    nodes = (
-        synth_media_table(spark, sf_dir)
-        .filter(F.col("modality") == "image")
-        .select(F.col("media_id").alias("node"))
+    # one representative (min media) per distinct hash
+    reps = h.groupBy("hash_hi", "hash_lo").agg(
+        F.min("media_id").alias("rep")
+    ).localCheckpoint()
+    near = hash_near_pairs(reps.select("hash_hi", "hash_lo"))
+    ra = reps.select(
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+        F.col("rep").alias("u"),
     )
-    comps = connected_components(pairs, nodes)
-    return comps.groupBy(F.col("label").alias("cluster_id")).agg(
+    rb = reps.select(
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+        F.col("rep").alias("v"),
+    )
+    edges = near.join(ra, ["hi_a", "lo_a"]).join(rb, ["hi_b", "lo_b"])
+    comps = connected_components(
+        edges.select("u", "v"), reps.select(F.col("rep").alias("node"))
+    )
+    labeled = (
+        h.join(reps, ["hash_hi", "hash_lo"])
+        .join(comps, F.col("rep") == F.col("node"))
+        .select("media_id", "label")
+    )
+    return labeled.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count("*").alias("cluster_size"),
-        F.min("node").alias("keeper_media_id"),
+        F.min("media_id").alias("keeper_media_id"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list("node")),
+                F.array_sort(F.collect_list("media_id")),
                 lambda x: x.cast("string"),
             ),
             ",",
