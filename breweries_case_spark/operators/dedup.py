@@ -1063,46 +1063,104 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHORT_DOC_MAX_TOKENS = 64  # SimHash tier of the bounded-Levenshtein blocker
+
+
+def _short_doc_simhash_candidates(base: DataFrame, doc_len: DataFrame) -> DataFrame:
+    """SimHash pigeonhole candidates RESTRICTED to the short-doc tail
+    (≤ SHORT_DOC_MAX_TOKENS tokens per side), with the bounded-Levenshtein
+    length residual |len_a − len_b| ≤ k applied INSIDE the chunk join —
+    both are codegen predicates evaluated before any pair row leaves the
+    join, so the candidate stream never materializes the template-heavy
+    mid-length population that dominates full-corpus SimHash output
+    (measured at sf0.1: 158,768 full-corpus hamming ≤ 6 pairs vs 1,880
+    short-tier pairs, for the same final 79-row output). The signature
+    kernel itself also only runs over the short tail. Max bucket df drops
+    with the population, so the chunk join's per-bucket quadratic
+    expansion (Σ df² ≈ 6.8 M at sf0.1 uncapped) collapses too."""
+    short = base.filter(F.size("th64") <= SHORT_DOC_MAX_TOKENS)
+    sigs = _simhash_signatures_from_token_hashes(short).join(doc_len, "doc_id")
+    banded = sigs.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        "len",
+        F.explode(_simhash_chunks(F.col("simhash"))).alias("c"),
+    ).select("doc_id", "lang", "simhash", "len", "c.chunk_idx", "c.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.len") - F.col("b.len"))
+                <= F.lit(EDIT_DISTANCE_MAX)
+            )
+            & (F.col("a.chunk_idx") == _first_agreeing_chunk(x)),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .filter(F.bit_count(x) <= HAMMING_MAX)
+    )
+
+
 def q_dedup_levenshtein_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup, SCALE TIER: verify Levenshtein ≤ k only on
-    candidate pairs from the probabilistic blockers (MinHash-LSH ∪ SimHash),
-    instead of the exact variant's (lang, length-bin) blocks whose density
-    is corpus-quadratic (measured 3.6/15.9/40 s at 1×/2×/4× sf0.1 —
-    SURVEY §6). Candidate volume scales with the near-dup rate, not the
-    corpus squared, so this is the form that survives a 100× corpus; the
-    exact form remains as the oracle-checked ground-truth twin.
+    candidate pairs from the probabilistic blockers, instead of the exact
+    variant's (lang, length-bin) blocks whose density is corpus-quadratic
+    (measured 3.6/15.9/40 s at 1×/2×/4× sf0.1 — SURVEY §6). Candidate
+    volume scales with the near-dup rate, not the corpus squared, so this
+    is the form that survives a 100× corpus; the exact form remains as
+    the oracle-checked ground-truth twin.
 
-    Recall: the two blockers are complementary — MinHash-LSH covers long
-    docs (many shingles → low signature variance) and SimHash's hamming
-    ≤ 6 pigeonhole covers short docs where few-shingle MinHash signatures
-    get noisy (at sf0.1 MinHash alone misses exactly one 12-token pair;
-    SimHash catches it). Both are deterministic (fixed seeds), so
-    equality with the exact output is a reproducible test property, not a
-    distributional claim; the union is verified equal to the exact pairs
-    at sf0.001/0.01/0.1 in tests. Precision is exact: every candidate is
-    re-checked with Spark's bounded ``levenshtein(l, r, k)`` (early-exit
-    at k, −1 filtered) plus the same-lang and length residuals, so the
-    output contract is identical to q_dedup_levenshtein.
+    Recall: the two blockers split the corpus by length. MinHash-LSH
+    covers long docs (many shingles → low signature variance); the
+    SimHash hamming ≤ 6 pigeonhole tier covers ONLY the short-doc tail
+    (both sides ≤ SHORT_DOC_MAX_TOKENS = 64 tokens) where few-shingle
+    MinHash signatures get noisy — at sf0.1 MinHash alone misses exactly
+    one 12-token pair; SimHash catches it. The split is seam-free with
+    margin: one character edit changes the token count by at most 1, so
+    a true lev ≤ 20 pair differs by ≤ 20 tokens and every pair whose
+    shorter doc has ≤ 44 tokens lands entirely inside the SimHash tier,
+    while pairs with min ≥ 45 tokens (≥ 43 shingles) sit squarely in
+    MinHash's reliable regime. r10 ran SimHash over the FULL corpus; its
+    hamming ≤ 6 band on mid-length template docs emitted 158,768
+    candidates for 79 true pairs, and that candidate shuffle + bounded
+    verify was the measured source of this id's r10 wall-time instability
+    (9.6–25 s swings). The short tier emits 1,880. Both blockers are
+    deterministic (fixed seeds), so equality with the exact output is a
+    reproducible test property, not a distributional claim; the union is
+    verified equal to the exact pairs at sf0.001/0.01/0.1 in tests.
+    Precision is exact: every candidate is re-checked with Spark's
+    bounded ``levenshtein(l, r, k)`` (early-exit at k, −1 filtered) plus
+    the same-lang and length residuals, so the output contract is
+    identical to q_dedup_levenshtein.
 
     Driver-red interpretation: this id is registered against the EXACT
     all-pairs oracle, so a rows/hash mismatch here means BLOCKER RECALL
-    LOSS (a qualifying pair that both MinHash-LSH and SimHash missed on a
-    new corpus/SF), not a bug in the bounded verify — treat it as a recall
-    metric, re-tune bands/chunks rather than debugging the join.
+    LOSS (a qualifying pair that both MinHash-LSH and the short-doc
+    SimHash tier missed on a new corpus/SF), not a bug in the bounded
+    verify — treat it as a recall metric, re-tune bands/chunks/the tier
+    bound rather than debugging the join.
 
     Both blockers are fed from ONE checkpointed token-hash base
     (``_docs_with_token_hashes``): the corpus is scanned, tokenized and
     64-bit-hashed a single time; MinHash folds the hashes to [0, P) and
-    rolls shingles, SimHash votes on the distinct raw values."""
+    rolls shingles, SimHash votes on the distinct raw values of the
+    short tail."""
     base = _docs_with_token_hashes(spark, sf_dir).localCheckpoint()
     mh = lsh_candidates(
         minhash_signatures(
             _hashed_shingles_from_token_hashes(base)
         ).localCheckpoint()
     )
-    sh = simhash_pairs(_simhash_signatures_from_token_hashes(base)).select(
-        "doc_a", "doc_b"
+    doc_len = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
     )
+    sh = _short_doc_simhash_candidates(base, doc_len)
     cands = mh.union(sh).distinct()
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", F.length("text").alias("len")
