@@ -469,8 +469,12 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     index-derived SSN — then scrubbed with ``pii_scrub_expr``.
 
     Output (id, contact_blob, scrubbed, n_emails, n_ssns, n_phones);
-    phone hits are counted AFTER email+SSN redaction so the three
-    counts partition the redacted spans. Full value oracle: the blob
+    each count is measured on the text its replace actually sees —
+    SSN hits on the email-redacted text, phone hits on the
+    email+SSN-redacted text — so the three counts partition the
+    redacted spans even when an SSN/phone-shaped span sits inside an
+    email match (digits+dashes are legal in an email local part).
+    Full value oracle: the blob
     is a pure function of the row index, so DuckDB regenerates it and
     applies the same regex chain (RE2 vs Java regex agree on these
     deliberately plain patterns) — the scrubber itself is
@@ -504,7 +508,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(blob, F.lit(PII_EMAIL_RE))
         .cast("long")
         .alias("n_emails"),
-        F.regexp_count(blob, F.lit(PII_SSN_RE)).cast("long").alias("n_ssns"),
+        F.regexp_count(no_email, F.lit(PII_SSN_RE)).cast("long").alias("n_ssns"),
         F.regexp_count(no_ssn, F.lit(PII_PHONE_RE))
         .cast("long")
         .alias("n_phones"),
@@ -580,8 +584,9 @@ ORACLES: dict[str, str] = {
     """,
     # PII scrub: blob regenerated from the index closed form; DuckDB's
     # regexp_replace needs the 'g' flag (Spark replaces all by default);
-    # phone hits counted on the email+SSN-redacted text, like the Spark
-    # side. Patterns are spliced verbatim — plain ANSI regex on both.
+    # SSN hits counted on the email-redacted text and phone hits on the
+    # email+SSN-redacted text, like the Spark side — each count sees the
+    # text its replace sees. Patterns spliced verbatim — plain ANSI regex.
     "q_pii_scrub": (
         """
         WITH syn AS ("""
@@ -608,7 +613,10 @@ ORACLES: dict[str, str] = {
                CAST(len(regexp_extract_all(contact_blob, '"""
         + PII_EMAIL_RE
         + """')) AS BIGINT) AS n_emails,
-               CAST(len(regexp_extract_all(contact_blob, '"""
+               CAST(len(regexp_extract_all(
+                   regexp_replace(contact_blob, '"""
+        + PII_EMAIL_RE
+        + """', '[EMAIL]', 'g'), '"""
         + PII_SSN_RE
         + """')) AS BIGINT) AS n_ssns,
                CAST(len(regexp_extract_all(

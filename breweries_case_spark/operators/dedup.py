@@ -1510,11 +1510,20 @@ CURATED_SOURCE_MAX = 5
 
 def _source_priority(source_col):
     """0 for curated feeds (src0..src{CURATED_SOURCE_MAX-1}), 1 for web
-    — the numeric suffix comparison both engines compute identically."""
+    — the numeric suffix comparison both engines compute identically.
+    Null handling is EXPLICIT and mirrored in the oracle: the first 10
+    suffix chars go through try_cast (never throws under ANSI mode) and
+    an unparsable suffix COALESCEs to the web tier, as
+    ``COALESCE(TRY_CAST(substr(source, 4, 10) AS INT) < 5, FALSE)`` does
+    on the DuckDB side — no engine-parity drift if the fixture ever
+    grows a non-'srcN' source name."""
     return (
         F.when(
-            F.substring(source_col, 4, 10).cast("int")
-            < CURATED_SOURCE_MAX,
+            F.coalesce(
+                F.substring(source_col, 4, 10).try_cast("int")
+                < CURATED_SOURCE_MAX,
+                F.lit(False),
+            ),
             0,
         )
         .otherwise(1)
@@ -2063,8 +2072,9 @@ ORACLES = {
     + f"""
         , pm AS (
             SELECT l.cluster_id, d.doc_id, d.n_chars, d.source,
-                   CASE WHEN CAST(substr(d.source, 4) AS INT)
-                             < {CURATED_SOURCE_MAX}
+                   CASE WHEN COALESCE(
+                            TRY_CAST(substr(d.source, 4, 10) AS INT)
+                                < {CURATED_SOURCE_MAX}, FALSE)
                         THEN 0 ELSE 1 END AS prio,
                    COUNT(*) OVER (PARTITION BY l.cluster_id)
                        AS cluster_size

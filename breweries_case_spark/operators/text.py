@@ -15,6 +15,8 @@ at 100 TB these pipeline into the scan stage."""
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1264,10 +1266,16 @@ def q_bpe_vocab_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
        collecting each round's winning pair.
     2. **Persist**: the (round, left_tok, right_tok) merge table —
        BPE_TRAIN_ROUNDS rows — written as a parquet artifact and
-       registered through the session catalog (``tokenizer.bpe_merges``
-       — DDL over a LOCATION, the io/catalog.py bootstrap stance), then
-       READ BACK via ``spark.table``: the artifact round-trip is part
-       of the checked dataflow, not a side effect.
+       registered through the session catalog (DDL over a LOCATION,
+       the io/catalog.py bootstrap stance), then READ BACK via
+       ``spark.table``: the artifact round-trip is part of the checked
+       dataflow, not a side effect. The artifact path AND table name
+       are namespaced by the Spark application id
+       (``tokenizer.bpe_merges_<appId>``), so concurrent runs in
+       separate sessions (a parallel bench/test session sharing the
+       warehouse/staging dir) never race each other's DROP/overwrite;
+       within one session the query stays idempotent (same name, an
+       overwrite + CREATE OR REPLACE of its own artifact).
     3. **Re-encode from the artifact**: the loaded rules (a k-row
        bounded artifact — collected like any tokenizer load) are
        chained as LITERAL folds over the raw corpus — k higher-order
@@ -1337,17 +1345,19 @@ def q_bpe_vocab_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = winners[0]
     for w in winners[1:]:
         merges = merges.unionByName(w)
-    path = f"{_staging_dir()}/bpe_merges"
+    run_ns = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    table = f"tokenizer.bpe_merges_{run_ns}"
+    path = f"{_staging_dir()}/bpe_merges_{run_ns}"
     merges.write.mode("overwrite").parquet(path)
     spark.sql("CREATE DATABASE IF NOT EXISTS tokenizer")
-    spark.sql("DROP TABLE IF EXISTS tokenizer.bpe_merges")
+    spark.sql("DROP TABLE IF EXISTS " + table)
     spark.sql(
-        "CREATE TABLE tokenizer.bpe_merges "
+        f"CREATE TABLE {table} "
         "(round INT, left_tok STRING, right_tok STRING) "
         f"USING parquet LOCATION '{path}'"
     )
     rules = sorted(
-        spark.table("tokenizer.bpe_merges").collect(),
+        spark.table(table).collect(),
         key=lambda r: r["round"],
     )
     enc_t = F.filter(

@@ -191,10 +191,13 @@ def test_bpe_vocab_persist_roundtrip(spark, sf_dir):
         q_bpe_vocab_persist,
     )
 
+    import re
+
     a = q_bpe_vocab_persist(spark, sf_dir)
     b = q_bpe_encode(spark, sf_dir)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
-    art = spark.table("tokenizer.bpe_merges")
+    run_ns = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    art = spark.table(f"tokenizer.bpe_merges_{run_ns}")
     assert art.count() == BPE_TRAIN_ROUNDS
     assert {r["round"] for r in art.collect()} == set(
         range(1, BPE_TRAIN_ROUNDS + 1)
