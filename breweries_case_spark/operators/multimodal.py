@@ -25,7 +25,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1130,9 +1130,24 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNCAPPED join over closed-form-recomputed frame hashes (pixels
     (x·31+s+pts)%256 / (y·57+s)%256 / (x·y+s+pts)%256), so demux,
     decode, hash, cap and verify are all value-checked."""
-    fp = video_fingerprints(spark, sf_dir).localCheckpoint()
+    return video_shared_pairs(
+        video_fingerprints(spark, sf_dir).localCheckpoint()
+    )
+
+
+def video_shared_pairs(fp: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """The df-capped candidate + full-inventory verify body of
+    q_dedup_video_frames over a PREPARED (ideally checkpointed)
+    fingerprint inventory (media_id, hash_hi, hash_lo) — factored so
+    the cluster-granularity id (q_dedup_video_clusters) runs the SAME
+    pair plan over its set-collapsed representative inventory: unit
+    drift here reds both driver ids. ``df_cap`` (default FP_DF_CAP)
+    is parametric so the mechanism-cap certificate
+    (q_dedup_mechanism_cap) can engage the pruning branch on driver
+    data — the containment family's ``df_cap`` stance."""
+    cap = FP_DF_CAP if df_cap is None else df_cap
     fdf = fp.groupBy("hash_hi", "hash_lo").agg(F.count("*").alias("df"))
-    rare = fdf.filter(F.col("df") <= FP_DF_CAP).select(
+    rare = fdf.filter(F.col("df") <= cap).select(
         "hash_hi", "hash_lo"
     )
     rfp = fp.join(rare, ["hash_hi", "hash_lo"], "left_semi")
@@ -1163,15 +1178,64 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-cluster published-members bound — keeper/size are the real
+#: contract; the sample is a bounded debugging affordance (the full
+#: media→cluster assignment is the pre-aggregation join, a side table
+#: in production)
+MEMBERS_SAMPLE_CAP = 16
+
+
+def perceptual_cluster_output(labeled: DataFrame) -> DataFrame:
+    """(media_id, label) assignment → the published cluster table
+    (cluster_id, cluster_size, keeper_media_id, members_sample_csv).
+    Every column is BOUNDED per row: members are ranked by a
+    cluster-keyed window and only ranks ≤ MEMBERS_SAMPLE_CAP enter the
+    when-guarded collect_list (collect_list skips the NULLs the guard
+    emits), so the aggregation buffer holds ≤ CAP ids even for a
+    million-member constant-hash cluster while COUNT(*) still counts
+    every member. Shared by the image- and video-tier cluster ids."""
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy("media_id")
+    )
+    return (
+        labeled.withColumn("rk", rk)
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("media_id").alias("keeper_media_id"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") <= MEMBERS_SAMPLE_CAP,
+                                F.col("media_id"),
+                            )
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members_sample_csv"),
+        )
+    )
+
+
 def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-granularity perceptual dedup — the 100 TB OUTPUT SHAPE
     the pair ids point at: where q_dedup_image_near publishes every
     near-dup PAIR (output-quadratic inside an identical-hash clique —
     unavoidable under a pairs contract), this id publishes ONE row per
-    cluster (cluster_id, cluster_size, keeper_media_id = min id,
-    sorted members_csv) — output-linear in media, the form a real
+    cluster (cluster_id, cluster_size, keeper_media_id = min id, plus
+    the first MEMBERS_SAMPLE_CAP sorted members as
+    ``members_sample_csv``) — output-linear in media, the form a real
     multimodal dedup pipeline materializes (q_dedup_clusters' shape on
-    the perceptual surface).
+    the perceptual surface). Every published column is BOUNDED per row:
+    members are ranked by a cluster-keyed window and only ranks
+    ≤ MEMBERS_SAMPLE_CAP enter the when-guarded collect_list, so the
+    aggregation buffer holds ≤ CAP ids even for a million-member
+    constant-hash cluster — the full assignment lives in the
+    (media_id, label) join this aggregates, not in a row-level blob.
 
     Plan — and the reason this is NOT just "CC over the pair id": the
     media-pair expansion is never materialized. Components run on the
@@ -1221,17 +1285,77 @@ def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(comps, F.col("rep") == F.col("node"))
         .select("media_id", "label")
     )
-    return labeled.groupBy(F.col("label").alias("cluster_id")).agg(
-        F.count("*").alias("cluster_size"),
-        F.min("media_id").alias("keeper_media_id"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list("media_id")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("members_csv"),
+    return perceptual_cluster_output(labeled)
+
+
+def q_dedup_video_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-granularity VIDEO dedup — q_dedup_image_clusters' output
+    shape over the shared-frame-fingerprint surface: one row per
+    video cluster (cluster_id = min media, cluster_size,
+    keeper_media_id, bounded members_sample_csv) instead of the pair
+    id's output-quadratic edge list.
+
+    Plan — the video twin of the image tier's distinct-hash collapse,
+    with the set-valued analogue: videos are first grouped by their
+    FULL distinct fingerprint set (groupBy on the sorted array itself —
+    exact, no signature collision), and each identical-set group with
+    ≥ VIDEO_SHARED_MIN fingerprints collapses to its min-media
+    representative BEFORE any pairing: a thousand re-uploads of the
+    same clip are ONE node in the pair join and the component fixpoint
+    (identical sets of size ≥ 2 are mutually near-dup by definition,
+    so the collapse loses no edges; cross-set edges are preserved
+    because identical sets intersect third sets identically). Videos
+    with < VIDEO_SHARED_MIN distinct fingerprints can never clear the
+    shared-frame threshold with ANYONE, so each stays its own
+    representative (edge-free, but present — the output is a total
+    assignment of fingerprinted videos). Representatives then run the
+    EXACT pair plan of q_dedup_video_frames (``video_shared_pairs`` —
+    df-capped candidates, full-inventory verify), min-label components
+    resolve rep clusters, and every video labels itself through one
+    set-keyed join. Labels are min media_id by construction (min over
+    min-media reps).
+
+    Oracle: the UNCAPPED closed-form fingerprint join (≥ shared-min)
+    + the recursive-CTE fixpoint over ALL fingerprinted videos — the
+    q_dedup_clusters oracle pattern, which also proves the set
+    collapse and the df cap lose nothing on driver data. Scale: set
+    grouping is one media-keyed aggregate of ~frames-per-video rows;
+    everything downstream operates on DISTINCT fingerprint sets."""
+    from breweries_case_spark.operators.dedup import connected_components
+
+    fp = video_fingerprints(spark, sf_dir).localCheckpoint()
+    sets = fp.groupBy("media_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("hash_hi", "hash_lo"))
+        ).alias("fps")
     )
+    big = sets.filter(F.size("fps") >= VIDEO_SHARED_MIN)
+    reps = big.groupBy("fps").agg(F.min("media_id").alias("rep"))
+    assign = (
+        big.join(reps, "fps")
+        .select("media_id", "rep")
+        .unionByName(
+            sets.filter(F.size("fps") < VIDEO_SHARED_MIN).select(
+                "media_id", F.col("media_id").alias("rep")
+            )
+        )
+        .localCheckpoint()
+    )
+    rep_fp = fp.join(
+        assign.select(F.col("rep").alias("media_id")).distinct(),
+        "media_id",
+        "left_semi",
+    ).localCheckpoint()
+    pairs = video_shared_pairs(rep_fp).select(
+        F.col("media_id_a").alias("u"), F.col("media_id_b").alias("v")
+    )
+    comps = connected_components(
+        pairs, assign.select(F.col("rep").alias("node")).distinct()
+    )
+    labeled = assign.join(
+        comps, F.col("rep") == F.col("node")
+    ).select("media_id", "label")
+    return perceptual_cluster_output(labeled)
 
 
 #: incremental shard selector — media_id % 20 == 0 (the dedup family's
@@ -1593,6 +1717,159 @@ def q_dedup_perceptual_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "check_name string, value long")
 
 
+#: mechanism cap for the pruning-plumbing certificate — deliberately
+#: BELOW driver-fixture dfs so every prune + verify-recount branch
+#: actually executes under the oracle (production caps sit above every
+#: fixture maximum, so there capped == full and those branches are
+#: no-ops end-to-end — the r10 ADVICE gap this id closes)
+MECH_CAP = 2
+
+
+def q_dedup_mechanism_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked MECHANISM-CAP certificate — the companion to
+    q_dedup_containment_capped / q_dedup_perceptual_capped, run at a
+    cap the driver data actually EXCEEDS: the production certificates
+    pin missed-true-pairs = 0 because DF_CAP/BAND_DF_CAP/FP_DF_CAP sit
+    above every fixture df, which also means their pruning and
+    verify-recount branches never fire under the DuckDB oracle (only
+    small unit fixtures covered them). This id runs the REAL
+    production builders — ``containment_pairs(df_cap=2)`` (hot-gram
+    split + full-inventory recount), ``hash_near_pairs(band_df_cap=2)``
+    (tier-2 band pruning + XOR verify), ``video_shared_pairs
+    (df_cap=2)`` (posting prune + full recount) — at MECH_CAP = 2,
+    where pruning genuinely engages, and publishes per family the
+    capped-but-verified pair count plus the pairs the mechanism cap
+    misses. Every value is RECOMPUTED by the oracle (not pinned): the
+    counts are nonzero by design, so any drift in the prune/verify
+    plumbing — the split predicate, the recount join, the cap
+    comparison — reds the driver on values.
+
+    Rows ``(check_name, value)``:
+
+    - ``containment_mech_pairs`` / ``containment_mech_missed``: exact
+      containment pairs found / lost when candidates come only from
+      grams with df ≤ 2 (published values stay exact via the verify
+      recount — what this certifies).
+    - ``image_mech_pairs`` / ``image_mech_missed`` (and ``audio_``):
+      verified tier-2 DISTINCT-hash pairs at band_df_cap = 2 vs the
+      all-pairs hamming ground truth.
+    - ``video_mech_pairs`` / ``video_mech_missed``: verified
+      shared-frame pairs when postings are pruned at fingerprint
+      df ≤ 2 vs the uncapped ground truth.
+
+    Scale note: this is a CERTIFICATE (ground-truth tiers included,
+    quadratic in hash diversity / block density) — the production ids
+    run the same builders at production caps."""
+    from breweries_case_spark.operators.dedup import (
+        _docs_with_gram_rows,
+        containment_pairs,
+    )
+
+    out: list[tuple[str, int]] = []
+    grams = _docs_with_gram_rows(spark, sf_dir).localCheckpoint()
+    exact = (
+        containment_pairs(grams, capped=False)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    mech = (
+        containment_pairs(grams, capped=True, df_cap=MECH_CAP)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    out.append(("containment_mech_pairs", mech.count()))
+    out.append(
+        (
+            "containment_mech_missed",
+            exact.join(mech, ["doc_a", "doc_b"], "left_anti").count(),
+        )
+    )
+
+    ham = F.bit_count(
+        F.col("a.hash_hi").bitwiseXOR(F.col("b.hash_hi"))
+    ) + F.bit_count(F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo")))
+    lt = F.struct(F.col("a.hash_hi"), F.col("a.hash_lo")) < F.struct(
+        F.col("b.hash_hi"), F.col("b.hash_lo")
+    )
+    for tag, hashes in (
+        (
+            "image",
+            image_hashes(spark, sf_dir).select(
+                "media_id",
+                F.col("ahash_hi").alias("hash_hi"),
+                F.col("ahash_lo").alias("hash_lo"),
+            ),
+        ),
+        (
+            "audio",
+            audio_hashes(spark, sf_dir).select(
+                "media_id",
+                F.col("dhash_hi").alias("hash_hi"),
+                F.col("dhash_lo").alias("hash_lo"),
+            ),
+        ),
+    ):
+        dist = (
+            hashes.select("hash_hi", "hash_lo").distinct().localCheckpoint()
+        )
+        tp = (
+            dist.alias("a")
+            .join(dist.alias("b"), lt)
+            .filter(ham <= IMG_HAMMING_MAX)
+            .select(
+                F.col("a.hash_hi").alias("hi_a"),
+                F.col("a.hash_lo").alias("lo_a"),
+                F.col("b.hash_hi").alias("hi_b"),
+                F.col("b.hash_lo").alias("lo_b"),
+            )
+            .localCheckpoint()
+        )
+        mp = (
+            hash_near_pairs(dist, band_df_cap=MECH_CAP)
+            .select("hi_a", "lo_a", "hi_b", "lo_b")
+            .localCheckpoint()
+        )
+        keys = ["hi_a", "lo_a", "hi_b", "lo_b"]
+        out.append((f"{tag}_mech_pairs", mp.count()))
+        out.append(
+            (f"{tag}_mech_missed", tp.join(mp, keys, "left_anti").count())
+        )
+
+    fp = video_fingerprints(spark, sf_dir).localCheckpoint()
+    vtp = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.hash_hi") == F.col("b.hash_hi"))
+            & (F.col("a.hash_lo") == F.col("b.hash_lo"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= VIDEO_SHARED_MIN)
+        .select("media_id_a", "media_id_b")
+        .localCheckpoint()
+    )
+    vm = (
+        video_shared_pairs(fp, df_cap=MECH_CAP)
+        .select("media_id_a", "media_id_b")
+        .localCheckpoint()
+    )
+    out.append(("video_mech_pairs", vm.count()))
+    out.append(
+        (
+            "video_mech_missed",
+            vtp.join(
+                vm, ["media_id_a", "media_id_b"], "left_anti"
+            ).count(),
+        )
+    )
+    return spark.createDataFrame(out, "check_name string, value long")
+
+
 QUERIES = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_real_invariants": q_multimodal_real_invariants,
@@ -1609,6 +1886,8 @@ QUERIES = {
     "q_dedup_video_frames": q_dedup_video_frames,
     "q_dedup_perceptual_capped": q_dedup_perceptual_capped,
     "q_dedup_image_clusters": q_dedup_image_clusters,
+    "q_dedup_video_clusters": q_dedup_video_clusters,
+    "q_dedup_mechanism_cap": q_dedup_mechanism_cap,
     "q_dedup_media_incremental": q_dedup_media_incremental,
     "q_dedup_media_rate": q_dedup_media_rate,
 }
@@ -1983,8 +2262,9 @@ ORACLES["q_dedup_image_clusters"] = (
         SELECT cluster_id,
                CAST(COUNT(*) AS BIGINT) AS cluster_size,
                MIN(media_id) AS keeper_media_id,
-               array_to_string(list_sort(list(media_id)), ',')
-                   AS members_csv
+               array_to_string(
+                   list_sort(list(media_id))[1:{MEMBERS_SAMPLE_CAP}], ',')
+                   AS members_sample_csv
         FROM lbl GROUP BY cluster_id
     """
 )
@@ -2140,6 +2420,183 @@ ORACLES["q_dedup_perceptual_capped"] = f"""
             CAST((SELECT COUNT(*) FROM vcc) AS BIGINT)
     """
 
+# mechanism-cap certificate: the SAME closed-form hash/gram CTE bodies
+# as the production certificates, with the caps dropped to MECH_CAP so
+# the prune + verify-recount branches execute under the oracle; every
+# count RECOMPUTED (none pinned — nonzero misses are the design here)
+def _mech_oracle() -> str:
+    from breweries_case_spark.operators.dedup import CONTAINMENT_THRESHOLD
+
+    return rf"""
+        WITH sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 2),
+                       i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(lower(text)), '\s+')[i+2])) AS sh
+            FROM documents),
+        g AS (SELECT doc_id, lang, unnest(sh) AS gram FROM sh),
+        gdf AS (SELECT lang, gram, COUNT(*) AS df FROM g GROUP BY 1, 2),
+        gr AS (SELECT g.doc_id, g.lang, g.gram
+               FROM g JOIN gdf USING (lang, gram)
+               WHERE gdf.df <= {MECH_CAP}),
+        cexact AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0
+              AND FLOOR(len(list_intersect(a.sh, b.sh))
+                        / least(len(a.sh), len(b.sh)) * 1e6 + 0.5) / 1e6
+                  >= {CONTAINMENT_THRESHOLD}),
+        ccand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM gr a JOIN gr b
+              ON a.lang = b.lang AND a.gram = b.gram
+                 AND a.doc_id < b.doc_id),
+        cmech AS (SELECT da, db FROM cexact INTERSECT
+                  SELECT da, db FROM ccand),
+        img AS (
+            SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+            SELECT doc_id, k,
+                   ((k % 8) * 31 + doc_id) % 256
+                   + ((k // 8) * 57 + doc_id) % 256
+                   + ((k % 8) * (k // 8) + doc_id) % 256 AS gray3
+            FROM img, unnest(generate_series(0, 63)) AS s(k)),
+        tot AS (
+            SELECT doc_id, SUM(gray3) AS total FROM px GROUP BY doc_id),
+        iah AS (
+            SELECT p.doc_id,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM px p JOIN tot USING (doc_id) GROUP BY p.doc_id),
+        idist AS (SELECT DISTINCT hi, lo FROM iah),
+        aud AS (
+            SELECT doc_id, doc_id % 50 + 2 AS period,
+                   LEAST(n_chars, 400) AS n
+            FROM documents WHERE doc_id % 3 = 1),
+        abits AS (
+            SELECT doc_id, k,
+                   CASE WHEN k + 1 <= n - 1 AND (k + 1) % period <> 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM aud, unnest(generate_series(0, 63)) AS s(k)),
+        adh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN bit = 1 AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN bit = 1 AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM abits GROUP BY doc_id),
+        adist AS (SELECT DISTINCT hi, lo FROM adh),
+        ibands AS (
+            SELECT hi, lo, 0 AS bi, (hi >> 16) & 65535 AS bv FROM idist
+            UNION ALL SELECT hi, lo, 1, hi & 65535 FROM idist
+            UNION ALL SELECT hi, lo, 2, (lo >> 16) & 65535 FROM idist
+            UNION ALL SELECT hi, lo, 3, lo & 65535 FROM idist),
+        abands AS (
+            SELECT hi, lo, 0 AS bi, (hi >> 16) & 65535 AS bv FROM adist
+            UNION ALL SELECT hi, lo, 1, hi & 65535 FROM adist
+            UNION ALL SELECT hi, lo, 2, (lo >> 16) & 65535 FROM adist
+            UNION ALL SELECT hi, lo, 3, lo & 65535 FROM adist),
+        itp AS (
+            SELECT a.hi ha, a.lo la, b.hi hb, b.lo lb
+            FROM idist a JOIN idist b ON (a.hi, a.lo) < (b.hi, b.lo)
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  <= {IMG_HAMMING_MAX}),
+        atp AS (
+            SELECT a.hi ha, a.lo la, b.hi hb, b.lo lb
+            FROM adist a JOIN adist b ON (a.hi, a.lo) < (b.hi, b.lo)
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  <= {IMG_HAMMING_MAX}),
+        ibdf AS (SELECT bi, bv, COUNT(*) AS df FROM ibands GROUP BY 1, 2),
+        abdf AS (SELECT bi, bv, COUNT(*) AS df FROM abands GROUP BY 1, 2),
+        irb AS (SELECT b.hi, b.lo, b.bi, b.bv
+                FROM ibands b JOIN ibdf USING (bi, bv)
+                WHERE ibdf.df <= {MECH_CAP}),
+        arb AS (SELECT b.hi, b.lo, b.bi, b.bv
+                FROM abands b JOIN abdf USING (bi, bv)
+                WHERE abdf.df <= {MECH_CAP}),
+        icm AS (SELECT DISTINCT t.ha, t.la, t.hb, t.lb
+                FROM itp t JOIN irb a
+                  ON t.ha = a.hi AND t.la = a.lo
+                JOIN irb b
+                  ON t.hb = b.hi AND t.lb = b.lo
+                     AND a.bi = b.bi AND a.bv = b.bv),
+        acm AS (SELECT DISTINCT t.ha, t.la, t.hb, t.lb
+                FROM atp t JOIN arb a
+                  ON t.ha = a.hi AND t.la = a.lo
+                JOIN arb b
+                  ON t.hb = b.hi AND t.lb = b.lo
+                     AND a.bi = b.bi AND a.bv = b.bv),
+        vid AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        fpx AS (
+            SELECT doc_id, f, k,
+                   ((k % 8) * 31 + doc_id + f) % 256
+                   + ((k // 8) * 57 + doc_id) % 256
+                   + ((k % 8) * (k // 8) + doc_id + f) % 256 AS gray3
+            FROM vid,
+                 unnest([0, 250, 500, 750]) AS ff(f),
+                 unnest(generate_series(0, 63)) AS s(k)),
+        ftot AS (
+            SELECT doc_id, f, SUM(gray3) AS total
+            FROM fpx GROUP BY 1, 2),
+        fh AS (
+            SELECT p.doc_id, p.f,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM fpx p JOIN ftot USING (doc_id, f) GROUP BY 1, 2),
+        fd AS (SELECT DISTINCT doc_id, hi, lo FROM fh),
+        vtp AS (
+            SELECT a.doc_id da, b.doc_id db
+            FROM fd a JOIN fd b
+              ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= {VIDEO_SHARED_MIN}),
+        vdf AS (SELECT hi, lo, COUNT(*) AS df FROM fd GROUP BY 1, 2),
+        vrare AS (SELECT fd.doc_id, fd.hi, fd.lo
+                  FROM fd JOIN vdf USING (hi, lo)
+                  WHERE vdf.df <= {MECH_CAP}),
+        vcand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+                  FROM vrare a JOIN vrare b
+                    ON a.hi = b.hi AND a.lo = b.lo
+                       AND a.doc_id < b.doc_id),
+        vmech AS (SELECT da, db FROM vtp INTERSECT
+                  SELECT da, db FROM vcand)
+        SELECT 'containment_mech_pairs' AS check_name,
+               CAST((SELECT COUNT(*) FROM cmech) AS BIGINT) AS value
+        UNION ALL SELECT 'containment_mech_missed',
+            CAST((SELECT COUNT(*) FROM cexact) AS BIGINT)
+            - CAST((SELECT COUNT(*) FROM cmech) AS BIGINT)
+        UNION ALL SELECT 'image_mech_pairs',
+            CAST((SELECT COUNT(*) FROM icm) AS BIGINT)
+        UNION ALL SELECT 'image_mech_missed',
+            CAST((SELECT COUNT(*) FROM itp) AS BIGINT)
+            - CAST((SELECT COUNT(*) FROM icm) AS BIGINT)
+        UNION ALL SELECT 'audio_mech_pairs',
+            CAST((SELECT COUNT(*) FROM acm) AS BIGINT)
+        UNION ALL SELECT 'audio_mech_missed',
+            CAST((SELECT COUNT(*) FROM atp) AS BIGINT)
+            - CAST((SELECT COUNT(*) FROM acm) AS BIGINT)
+        UNION ALL SELECT 'video_mech_pairs',
+            CAST((SELECT COUNT(*) FROM vmech) AS BIGINT)
+        UNION ALL SELECT 'video_mech_missed',
+            CAST((SELECT COUNT(*) FROM vtp) AS BIGINT)
+            - CAST((SELECT COUNT(*) FROM vmech) AS BIGINT)
+    """
+
+
+ORACLES["q_dedup_mechanism_cap"] = _mech_oracle()
+
 # video frame hashes closed-form: frame at pts f has pixel channels
 # r = (x·31+s+f)%256, g = (y·57+s)%256, b = (x·y+s+f)%256 — the image
 # CTE with the PTS offset on r and b
@@ -2175,3 +2632,49 @@ ORACLES["q_dedup_video_frames"] = f"""
             GROUP BY 1, 2)
         WHERE shared_frames >= {VIDEO_SHARED_MIN}
     """
+
+# video cluster resolution: UNCAPPED closed-form fingerprint pairs
+# (≥ shared-min) + the recursive reach fixpoint over ALL fingerprinted
+# videos — proves the Spark side's identical-set collapse and df cap
+# lose nothing (the q_dedup_image_clusters oracle pattern on the
+# shared-frame relation)
+ORACLES["q_dedup_video_clusters"] = (
+    ORACLES["q_dedup_video_frames"]
+    .replace("WITH vid", "WITH RECURSIVE vid", 1)
+    .replace(
+        f"""SELECT media_id_a, media_id_b, shared_frames FROM (
+            SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+                   COUNT(*) AS shared_frames
+            FROM fd a JOIN fd b
+              ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        WHERE shared_frames >= {VIDEO_SHARED_MIN}""",
+        f"""SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               MIN(media_id) AS keeper_media_id,
+               array_to_string(
+                   list_sort(list(media_id))[1:{MEMBERS_SAMPLE_CAP}], ',')
+                   AS members_sample_csv
+        FROM lbl GROUP BY cluster_id""",
+        1,
+    )
+    .replace(
+        "fd AS (SELECT DISTINCT doc_id, hi, lo FROM fh)",
+        f"""fd AS (SELECT DISTINCT doc_id, hi, lo FROM fh),
+        pr AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM fd a JOIN fd b
+              ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {VIDEO_SHARED_MIN}),
+        edges AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+        reach(u, l) AS (
+            SELECT DISTINCT doc_id, doc_id FROM fd
+            UNION
+            SELECT e.u, r.l FROM edges e JOIN reach r ON e.v = r.u),
+        lbl AS (
+            SELECT u AS media_id, MIN(l) AS cluster_id
+            FROM reach GROUP BY u)""",
+        1,
+    )
+)

@@ -1378,6 +1378,85 @@ def q_bpe_vocab_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: candidate vocab sizes for the trained-BPE OOV report
+OOV_REPORT_KS = (10, 50, 200)
+
+
+def q_bpe_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV report of the TRAINED tokenizer — the
+    multilingual-fairness readout after training, where
+    q_vocab_coverage sizes the vocab BEFORE training on raw
+    whitespace types: apply the persisted merge table
+    (q_bpe_vocab_persist's full save → catalog register → load →
+    literal-fold re-encode — the artifact round trip is in the checked
+    dataflow), count the POST-MERGE type distribution, rank types
+    globally (count DESC, token ASC — every k-boundary deterministic),
+    and publish per (lang, k ∈ OOV_REPORT_KS) the occurrences a top-k
+    vocabulary would map to <unk> plus the 6-dp OOV rate. A language
+    whose oov_rate stays high at production k is under-served by the
+    trained merges — the decision row next to q_bpe_compression's
+    ratio and q_vocab_coverage's pre-training curve.
+
+    Plan: the encoded stream's only corpus-sized exchanges are the
+    benched vocab_persist encode; type counts are ONE map-side-combined
+    aggregate to a vocab-bounded table (the global rank window runs on
+    that summary — the q_vocab_coverage stance), per-(lang, type)
+    counts are |langs|×|vocab|-bounded, and the 3-row k table expands
+    via a broadcast crossJoin. Oracle: the unrolled encode CTE chain +
+    the same rank/aggregate SQL — merges, artifact round trip, ranking
+    and rates all value-checked."""
+    stream = q_bpe_vocab_persist(spark, sf_dir)
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per_lang = (
+        stream.join(lang, "doc_id")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("lcnt"))
+        .localCheckpoint()  # vocab×langs-bounded: feeds rank + 3-k agg
+    )
+    ranked = (
+        per_lang.groupBy("tok")
+        .agg(F.sum("lcnt").alias("cnt"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+            ),
+        )
+        .select("tok", "rnk")
+    )
+    ks = spark.range(0, len(OOV_REPORT_KS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in OOV_REPORT_KS]),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("long")
+        .alias("vocab_size")
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_lang.join(ranked, "tok")
+        .crossJoin(F.broadcast(ks))
+        .groupBy("lang", "vocab_size")
+        .agg(
+            F.sum(
+                F.when(F.col("rnk") > F.col("vocab_size"), F.col("lcnt"))
+                .otherwise(F.lit(0))
+            ).alias("oov_occurrences"),
+            F.sum("lcnt").alias("total_occurrences"),
+        )
+        .select(
+            "lang",
+            "vocab_size",
+            "oov_occurrences",
+            "total_occurrences",
+            q6(
+                F.col("oov_occurrences")
+                / F.col("total_occurrences").cast("double")
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer COMPRESSION report — the number a tokenizer owner
     reads after training: per language, documents, whitespace-token
@@ -1857,6 +1936,7 @@ QUERIES = {
     "q_bpe_train_k": q_bpe_train_k,
     "q_bpe_encode": q_bpe_encode,
     "q_bpe_vocab_persist": q_bpe_vocab_persist,
+    "q_bpe_oov_report": q_bpe_oov_report,
     "q_bpe_compression": q_bpe_compression,
     "q_quality_token_curve": q_quality_token_curve,
     "q_quality_gate": q_quality_gate,
@@ -2733,6 +2813,38 @@ ORACLES["q_bpe_encode"] = (
 # EXACTLY — same oracle, so a save/register/load/re-encode drift reds
 # the driver on values, not just rows
 ORACLES["q_bpe_vocab_persist"] = ORACLES["q_bpe_encode"]
+
+# OOV report: the unrolled encode chain + global type rank + per-lang
+# per-k aggregation — merges, artifact round trip, ranking and rates
+# all value-checked from one chain
+ORACLES["q_bpe_oov_report"] = (
+    _BPE_ENCODE_CTES
+    + f"""
+        , lt AS (
+            SELECT d.lang, s.tok, COUNT(*) AS lcnt
+            FROM stream_{BPE_TRAIN_ROUNDS + 1} s
+                 JOIN documents d USING (doc_id)
+            GROUP BY 1, 2),
+        vr AS (
+            SELECT tok,
+                   ROW_NUMBER() OVER (ORDER BY SUM(lcnt) DESC, tok)
+                       AS rnk
+            FROM lt GROUP BY tok)
+        SELECT lt.lang, CAST(k.vocab_size AS BIGINT) AS vocab_size,
+               CAST(SUM(CASE WHEN vr.rnk > k.vocab_size
+                             THEN lt.lcnt ELSE 0 END) AS BIGINT)
+                   AS oov_occurrences,
+               CAST(SUM(lt.lcnt) AS BIGINT) AS total_occurrences,
+               FLOOR(SUM(CASE WHEN vr.rnk > k.vocab_size
+                              THEN lt.lcnt ELSE 0 END)
+                     / CAST(SUM(lt.lcnt) AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 AS oov_rate
+        FROM lt JOIN vr USING (tok)
+             CROSS JOIN (SELECT unnest({list(OOV_REPORT_KS)})
+                         AS vocab_size) k
+        GROUP BY 1, 2
+    """
+)
 
 # compression report: per-lang before/after token totals from the SAME
 # unrolled chain (stream_1 = pre-merge, stream_{k+1} = final); docs

@@ -28,6 +28,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from breweries_case_spark.io.reader import load_table
+from breweries_case_spark.io.rest_source import (
+    PII_EMAIL_RE as _PII_EMAIL_RE,
+    PII_PHONE_RE as _PII_PHONE_RE,
+    PII_SSN_RE as _PII_SSN_RE,
+)
 from breweries_case_spark.operators.pandas_ops import PACK_SEQ_LEN
 from breweries_case_spark.operators.sampling import (
     TOKEN_BUDGET_PER_SOURCE,
@@ -404,12 +409,107 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_scan(staged, "stage", ["order_key", "doc_id"])
 
 
+def q_curation_pipeline_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation composite WITH the privacy stage a production
+    pipeline runs between gating and packing:
+
+        quality gate → PII scrub of keeper text → curriculum staging
+        → concat-and-cut packing
+
+    The packed artifact must describe the text that actually trains —
+    i.e. the REDACTED stream — so this id's n_tokens (and therefore
+    every start_offset / example boundary downstream) is computed on
+    the scrubbed text, and each doc also publishes ``n_redactions``
+    (the per-doc audit count a privacy review sums). The documents
+    fixture is digit/email-free, so the PII carrier is a DETERMINISTIC
+    closed-form contact footer appended per doc (the ingest-join
+    story: every doc arrives with a contact line; an email always,
+    an SSN when doc_id % 3 = 0, a phone when doc_id % 2 = 0 — so
+    redaction counts VARY per doc and a scrub regression shifts real
+    offsets, not a constant). Stage semantics are THE registered
+    operators' via the shared-helper rule: q_quality_gate itself,
+    ``pii_scrub_expr`` (q_pii_scrub's exact chain — email → SSN →
+    phone), ``curriculum_stage_table`` over the survivors, and
+    ``concat_scan`` for the pack; drift in ANY unit reds this
+    composite. Oracle: the q_curation_pipeline chain (spliced, so the
+    shared prefix stays literally shared) with the footer + regex
+    chain regenerated closed-form — scrub, counts, and offsets all
+    value-checked.
+
+    Scale: the scrub is a codegen regexp_replace chain riding the
+    survivor scan (zero exchanges added — q_pii_scrub's plan shape);
+    everything else is the benched q_curation_pipeline topology."""
+    from breweries_case_spark.io.rest_source import pii_scrub_expr
+    from breweries_case_spark.operators.pandas_ops import concat_scan
+    from breweries_case_spark.operators.text import (
+        curriculum_stage_table,
+        q_quality_gate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+
+    # 1. quantile gate — the registered operator itself
+    gated = (
+        q_quality_gate(spark, sf_dir)
+        .select("doc_id", "quality_bin")
+        .localCheckpoint()
+    )
+
+    # 2. PII scrub of the survivors' text (+ the closed-form contact
+    # footer that carries the PII) — the registered scrub chain
+    four = F.format_string("%04d", (F.col("doc_id") % 10000).cast("int"))
+    footer = F.concat(
+        F.lit(" Contact: doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(", SSN 123-45-"), four),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(", tel 555-"), four),
+        ).otherwise(F.lit("")),
+        F.lit("."),
+    )
+    docs = d.select(
+        "doc_id",
+        pii_scrub_expr(F.concat(F.col("text"), footer)).alias("scrubbed"),
+    )
+
+    # 3. curriculum staging over the survivors; token counts on the
+    # SCRUBBED stream (what actually trains)
+    stages = curriculum_stage_table(gated)
+    staged = (
+        gated.join(F.broadcast(stages), "quality_bin")
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "stage",
+            F.md5(F.col("doc_id").cast("string")).alias("order_key"),
+            F.size(F.split(F.lower(F.trim(F.col("scrubbed"))), r"\s+"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.regexp_count(
+                F.col("scrubbed"),
+                F.lit(r"\[EMAIL\]|\[SSN\]|\[PHONE\]"),
+            )
+            .cast("long")
+            .alias("n_redactions"),
+        )
+    )
+
+    # 4. concat-and-cut pack per stage — the shared two-phase scan
+    return concat_scan(staged, "stage", ["order_key", "doc_id"])
+
+
 QUERIES = {
     "q_training_mix": q_training_mix,
     "q_mix_temperature": q_mix_temperature,
     "q_mix_epochs": q_mix_epochs,
     "q_training_mix_v2": q_training_mix_v2,
     "q_curation_pipeline": q_curation_pipeline,
+    "q_curation_pipeline_pii": q_curation_pipeline_pii,
 }
 
 ORACLES = {
@@ -678,3 +778,57 @@ ORACLES = {
         FROM sc
     """,
 }
+
+# PII-composite oracle: SPLICED from the base composite's chain (the
+# shared gate/stage/pack prefix stays literally shared, so base-oracle
+# drift propagates here) — only the staged CTE changes: the closed-form
+# contact footer is appended, the q_pii_scrub regex chain applied, and
+# n_tokens/n_redactions measured on the scrubbed stream.
+_PII_FOOTER_SQL = (
+    "' Contact: doc-' || d.doc_id || '@example.org' || "
+    "CASE WHEN d.doc_id % 3 = 0 THEN ', SSN 123-45-' || "
+    "printf('%04d', d.doc_id % 10000) ELSE '' END || "
+    "CASE WHEN d.doc_id % 2 = 0 THEN ', tel 555-' || "
+    "printf('%04d', d.doc_id % 10000) ELSE '' END || '.'"
+)
+_PII_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace("
+    f"d.text || {_PII_FOOTER_SQL}, "
+    f"'{_PII_EMAIL_RE}', '[EMAIL]', 'g'), "
+    f"'{_PII_SSN_RE}', '[SSN]', 'g'), "
+    f"'{_PII_PHONE_RE}', '[PHONE]', 'g')"
+)
+ORACLES["q_curation_pipeline_pii"] = (
+    ORACLES["q_curation_pipeline"]
+    .replace(
+        r"""staged AS MATERIALIZED (
+            SELECT k.doc_id, st.stage,
+                   md5(CAST(k.doc_id AS VARCHAR)) AS order_key,
+                   CAST(len(string_split_regex(lower(trim(d.text)),
+                                               '\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM kept k JOIN st USING (quality_bin)
+                 JOIN documents d USING (doc_id)),""",
+        rf"""scrub AS MATERIALIZED (
+            SELECT d.doc_id, {_PII_SCRUB_SQL} AS scrubbed
+            FROM documents d),
+        staged AS MATERIALIZED (
+            SELECT k.doc_id, st.stage,
+                   md5(CAST(k.doc_id AS VARCHAR)) AS order_key,
+                   CAST(len(string_split_regex(lower(trim(s.scrubbed)),
+                                               '\s+')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(len(regexp_extract_all(s.scrubbed,
+                       '\[EMAIL\]|\[SSN\]|\[PHONE\]')) AS BIGINT)
+                       AS n_redactions
+            FROM kept k JOIN st USING (quality_bin)
+                 JOIN scrub s USING (doc_id)),""",
+        1,
+    )
+    .replace(
+        "SELECT doc_id, stage, order_key, n_tokens, start_offset,",
+        "SELECT doc_id, stage, order_key, n_tokens, n_redactions,"
+        " start_offset,",
+        1,
+    )
+)

@@ -208,6 +208,9 @@ NESTED_LOOP_OK = {
     # 3-row vocab-size literal crossJoin onto the vocab-bounded count
     # table (the q_quality_gate cutoff pattern, one size bigger)
     "q_vocab_coverage",
+    # same 3-row k-table crossJoin, onto the |langs|x|vocab|-bounded
+    # post-merge type counts
+    "q_bpe_oov_report",
     "q_hybrid_search",  # BM25's scalars + a 1-row max-bm25 crossJoin
     # deliberate |customers| × SCD2_PROBE_POINTS(6) probe grid — the
     # broadcast side is a handful of dates, output-sized by definition
@@ -224,6 +227,8 @@ NESTED_LOOP_OK = {
     # tables (bounded by hash diversity, tens of rows at driver sfs) —
     # the certify-only quadratic, like the range-join ground truths
     "q_dedup_perceptual_capped",
+    # same ground-truth tier at the mechanism cap
+    "q_dedup_mechanism_cap",
 }
 
 
@@ -240,6 +245,10 @@ NESTED_LOOP_OK = {
 #: surface in final plans — the sweep still covers every live plan.
 GLOBAL_WINDOW_OK = {
     "q_quality_gate",
+    # global type rank over the vocab-bounded post-merge count summary
+    # (the vocab-coverage stance; here the rank is IN the final plan —
+    # only its per-(lang,tok) input is checkpointed)
+    "q_bpe_oov_report",
     "q_quality_token_curve",
     "q_curriculum_order",
     "q_training_mix_v2",
