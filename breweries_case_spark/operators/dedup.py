@@ -230,8 +230,11 @@ def containment_pairs(
     count directly (it IS the full intersection), and only pairs
     touching a hot (df > cap) gram take the full-inventory VERIFY
     recount (candidate-then-verify, the q_dedup_prefix_filter
-    topology) — so published containment values are exact everywhere
-    and the verify join is empty wherever the cap never engaged. The cap is NOT recall-free in general: a true pair
+    topology) — so published containment values are exact everywhere;
+    the recount's posting tables are pruned to the needs-pair docs via
+    broadcast semi-joins (r11), so an idle cap costs zero posting
+    shuffle and an engaged one shuffles only the hot-pair docs' grams.
+    The cap is NOT recall-free in general: a true pair
     whose shared grams ALL have df > df_cap posts no candidate — at
     corpus scale that regime is real (a dup cluster of k near-identical
     docs pushes every shared gram to df ≥ k), which is why the default
@@ -324,8 +327,24 @@ def containment_pairs(
         needs = cand.join(
             clean.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
         ).drop("rare_inter")
-        ga = sized.select(F.col("doc_id").alias("doc_a"), "gram")
-        gb = sized.select(F.col("doc_id").alias("doc_b"), "gram")
+        # r11: prune the full-inventory recount to the docs that
+        # actually need it via BROADCAST semi-joins on the needs-pair
+        # ids BEFORE the posting tables enter the join — without this
+        # the recount shuffled the ENTIRE posting inventory even when
+        # zero pairs touched a hot gram (the measured drag behind
+        # q_training_mix_v2's floor drift). Hot-pair docs are assumed
+        # ≪ corpus (they are by construction the docs sharing a
+        # hotter-than-cap gram with a candidate partner); if a corpus
+        # ever breaks that, drop the broadcast hint and this degrades
+        # to the r10 shuffle plan, never to wrong answers.
+        ids_a = needs.select(F.col("doc_a").alias("doc_id")).distinct()
+        ids_b = needs.select(F.col("doc_b").alias("doc_id")).distinct()
+        ga = sized.join(F.broadcast(ids_a), "doc_id", "left_semi").select(
+            F.col("doc_id").alias("doc_a"), "gram"
+        )
+        gb = sized.join(F.broadcast(ids_b), "doc_id", "left_semi").select(
+            F.col("doc_id").alias("doc_b"), "gram"
+        )
         verified = (
             needs.join(ga, "doc_a")
             .join(gb, ["doc_b", "gram"])
@@ -405,8 +424,11 @@ def q_dedup_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every candidate bucket is ≤ DF_CAP² rows by construction —
     the Σ_gram df² quadratic of the ground-truth tier cannot occur; the
     price is one df aggregate + a semi-join + the verify join, all
-    equi-joins on (lang, gram) / (doc, gram). This is the plan you run
-    at 100×."""
+    equi-joins on (lang, gram) / (doc, gram). r11: the verify recount
+    is pruned to the needs-pair docs via broadcast semi-joins before
+    the posting tables enter the join (see ``containment_pairs``) — an
+    empty hot set now costs zero posting shuffle. This is the plan you
+    run at 100×."""
     return containment_pairs(
         _docs_with_gram_rows(spark, sf_dir), capped=True
     ).select("doc_a", "doc_b", "lang", "containment")

@@ -304,14 +304,23 @@ def q_training_mix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors (the composition order is itself an optimization — gate
     first shrinks the join's input; measured −36% candidates for −25%
     docs, SURVEY §6); stage 3 is one aggregate + broadcast join. No
-    stage shuffles the corpus more than once per key."""
+    stage shuffles the corpus more than once per key. The stage
+    HAND-OFF frames are checkpointed (r11): without them the gate's
+    histogram subplan re-executed inside the gram build, the epoch
+    aggregate, AND the output join (3×), and the survivor scan twice —
+    the measured source of this composite's 3× floor drift; kept_ids
+    is |survivors| ids and clean's projection is |survivors| short
+    rows, so both pins are value-bounded."""
     from breweries_case_spark.operators.dedup import _docs_with_gram_rows
     from breweries_case_spark.operators.text import q_quality_gate
 
     d = load_table(spark, sf_dir, "documents")
 
-    # 1. quantile gate — the registered operator itself
-    kept_ids = q_quality_gate(spark, sf_dir).select("doc_id")
+    # 1. quantile gate — the registered operator itself (checkpointed:
+    # consumed by the survivor scan AND the gram build)
+    kept_ids = (
+        q_quality_gate(spark, sf_dir).select("doc_id").localCheckpoint()
+    )
     surv = d.join(kept_ids, "doc_id", "left_semi")
 
     # 2. containment dedup among survivors — the shared df-capped
@@ -326,7 +335,12 @@ def q_training_mix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.greatest(F.col("doc_a"), F.col("doc_b")))
         .alias("doc_id")
     ).distinct()
-    clean = surv.join(dropped, "doc_id", "left_anti")
+    # checkpointed: the epoch aggregate and the output join both read it
+    clean = (
+        surv.select("doc_id", "lang", "source", "text")
+        .join(dropped, "doc_id", "left_anti")
+        .localCheckpoint()
+    )
 
     # 3. epoch mix over the CLEANED corpus — the shared q_mix_epochs
     # helpers
