@@ -262,6 +262,16 @@ EXTENDED = [
     # q_dedup_perceptual_capped (certificate: the near ids' own stages
     # re-counted)
     "q_curation_pipeline",
+    # r11: the privacy-stage composite (gate → PII scrub → curriculum →
+    # pack) — benched NEXT TO q_curation_pipeline so the scrub stage's
+    # marginal cost stays measured (it should ride the survivor scan);
+    # and the video-tier cluster composition (set collapse → capped
+    # pair plan → CC → bounded output). The other r11 ids reuse benched
+    # shapes and stay out: q_bpe_oov_report (the benched vocab_persist
+    # loop + vocab-bounded aggregates), q_dedup_mechanism_cap
+    # (certificate, per the r5 keep-certificates-out rule)
+    "q_curation_pipeline_pii",
+    "q_dedup_video_clusters",
 ]
 
 
