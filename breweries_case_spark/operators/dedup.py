@@ -324,9 +324,17 @@ def containment_pairs(
                 / 1e6
             ).alias("containment"),
         )
-        needs = cand.join(
-            clean.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
-        ).drop("rare_inter")
+        # checkpointed: consumed by the verify probe AND both broadcast
+        # prune sides — without the pin each broadcast subtree would
+        # replay the anti-join chain (and its shuffles) independently.
+        # Bounded: ⊆ cand, and empty whenever the cap never engaged.
+        needs = (
+            cand.join(
+                clean.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+            )
+            .drop("rare_inter")
+            .localCheckpoint()
+        )
         # r11: prune the full-inventory recount to the docs that
         # actually need it via BROADCAST semi-joins on the needs-pair
         # ids BEFORE the posting tables enter the join — without this
@@ -337,8 +345,10 @@ def containment_pairs(
         # hotter-than-cap gram with a candidate partner); if a corpus
         # ever breaks that, drop the broadcast hint and this degrades
         # to the r10 shuffle plan, never to wrong answers.
-        ids_a = needs.select(F.col("doc_a").alias("doc_id")).distinct()
-        ids_b = needs.select(F.col("doc_b").alias("doc_id")).distinct()
+        # no .distinct() on the broadcast sides: the semi join dedups,
+        # and a distinct here would cost a shuffle each
+        ids_a = needs.select(F.col("doc_a").alias("doc_id"))
+        ids_b = needs.select(F.col("doc_b").alias("doc_id"))
         ga = sized.join(F.broadcast(ids_a), "doc_id", "left_semi").select(
             F.col("doc_id").alias("doc_a"), "gram"
         )
