@@ -1321,6 +1321,18 @@ def q_dedup_video_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse and the df cap lose nothing on driver data. Scale: set
     grouping is one media-keyed aggregate of ~frames-per-video rows;
     everything downstream operates on DISTINCT fingerprint sets."""
+    return perceptual_cluster_output(
+        video_cluster_assignment(spark, sf_dir)
+    )
+
+
+def video_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (media_id, label) total assignment behind
+    q_dedup_video_clusters — identical-set collapse → representative
+    pair plan (``video_shared_pairs``) → min-label components → one
+    set-keyed label join; factored so the keeper-policy id
+    (q_dedup_video_keeper) provably elects inside the SAME clusters
+    the cluster id publishes."""
     from breweries_case_spark.operators.dedup import connected_components
 
     fp = video_fingerprints(spark, sf_dir).localCheckpoint()
@@ -1352,10 +1364,57 @@ def q_dedup_video_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = connected_components(
         pairs, assign.select(F.col("rep").alias("node")).distinct()
     )
-    labeled = assign.join(
+    return assign.join(
         comps, F.col("rep") == F.col("node")
     ).select("media_id", "label")
-    return perceptual_cluster_output(labeled)
+
+
+def q_dedup_video_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-PRIORITY keeper election on the VIDEO clusters —
+    q_dedup_keeper_priority's policy (curated > web first, size then
+    id as tiebreaks) applied to the perceptual surface: when the same
+    clip is mirrored across feeds, keep the curated copy, not
+    whichever upload happens to carry the smallest id. media_id is
+    the originating doc_id, so the feed tier comes from
+    documents.source through the SAME ``_source_priority`` helper
+    (explicit try_cast/COALESCE null handling in both engines) and
+    the size tiebreak from n_chars. One row per cluster (cluster_id,
+    cluster_size, keeper_media_id, keeper_source, keeper_priority);
+    singletons keep themselves — a total cluster table.
+
+    Plan: the factored ``video_cluster_assignment`` (the registered
+    cluster id's exact components) + one documents join + ONE
+    cluster-keyed rank window — the q_dedup_keeper_priority topology,
+    value-bounded partitions. Oracle: the video-clusters recursive
+    fixpoint + the priority-ordered window, so membership, sizes,
+    tiers AND the election are all value-checked."""
+    from breweries_case_spark.operators.dedup import _source_priority
+
+    labeled = video_cluster_assignment(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "n_chars", "source"
+    )
+    member = labeled.join(docs, "media_id").withColumn(
+        "prio", _source_priority(F.col("source"))
+    )
+    w = Window.partitionBy("label")
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            "prio", F.col("n_chars").desc(), F.col("media_id").asc()
+        )
+    )
+    return (
+        member.withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            F.col("media_id").alias("keeper_media_id"),
+            F.col("source").alias("keeper_source"),
+            F.col("prio").alias("keeper_priority"),
+        )
+    )
 
 
 #: incremental shard selector — media_id % 20 == 0 (the dedup family's
@@ -1479,6 +1538,114 @@ def q_dedup_media_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shard.select("media_id")
+        .join(ex, "media_id", "left")
+        .join(nr, "media_id", "left")
+        .select(
+            "media_id",
+            F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+        )
+    )
+
+
+def q_dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIDEO dedup — q_dedup_media_incremental's probe
+    discipline on the fingerprint-SET surface: classify a new video
+    shard (media_id % 20 == 0, the family's deterministic daily
+    delivery) against the stored corpus WITHOUT re-pairing it. Tiers:
+
+    1. **exact** — the shard video's FULL distinct fingerprint set
+       equals a corpus video's set (groupBy/join on the sorted array
+       itself, exact — the re-upload/re-container shape;
+       q_dedup_video_clusters' collapse key used as a probe key).
+       At scale the corpus side is the stored per-video set table,
+       probed with O(shard) rows.
+    2. **near** — the shard's distinct fingerprints (tiny) BROADCAST-
+       semi-prune the df ≤ FP_DF_CAP corpus postings before any
+       candidate forms (corpus-side work O(shard), the
+       q_dedup_incremental discipline), then candidate (shard, corpus)
+       video pairs verify their shared count against the FULL corpus
+       inventory of the candidate videos — published thresholds exact,
+       ≥ VIDEO_SHARED_MIN.
+
+    Output one row per shard video: verdict 'exact_dup' / 'near_dup'
+    / 'new' with dup_of = the smallest matching corpus media_id
+    (exact precedence, NULL for 'new'; near candidates legitimately
+    include identical-set videos — they share everything — so the
+    near tier needs no exclusion, precedence handles it). Oracle:
+    brute-force closed-form SQL over the same split (uncapped — a
+    driver red is cap/probe recall loss, not a verify bug). At 100 TB
+    the set table and the fingerprint postings are the incremental
+    state: built once, appended per shard, per-day cost O(shard)."""
+    fp = video_fingerprints(spark, sf_dir).localCheckpoint()
+    is_shard = F.col("media_id") % _MEDIA_SHARD_MOD == 0
+    shard_fp = fp.filter(is_shard).localCheckpoint()
+    corp_fp = fp.filter(~is_shard).localCheckpoint()
+
+    def _sets(f: DataFrame) -> DataFrame:
+        return f.groupBy("media_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct("hash_hi", "hash_lo"))
+            ).alias("fps")
+        )
+
+    ex = (
+        _sets(shard_fp)
+        .join(
+            _sets(corp_fp).select(
+                "fps", F.col("media_id").alias("cid")
+            ),
+            "fps",
+        )
+        .groupBy("media_id")
+        .agg(F.min("cid").alias("exact_dup_of"))
+    )
+    # near: shard fingerprint keys broadcast-prune the capped corpus
+    # postings; only colliding corpus rows enter the candidate join
+    rare_corp = corp_fp.join(
+        corp_fp.groupBy("hash_hi", "hash_lo")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= FP_DF_CAP)
+        .select("hash_hi", "hash_lo"),
+        ["hash_hi", "hash_lo"],
+        "left_semi",
+    )
+    probe_keys = shard_fp.select("hash_hi", "hash_lo").distinct()
+    hits = rare_corp.join(
+        F.broadcast(probe_keys), ["hash_hi", "hash_lo"], "left_semi"
+    )
+    cand = (
+        shard_fp.join(
+            hits.select(
+                F.col("media_id").alias("cid"), "hash_hi", "hash_lo"
+            ),
+            ["hash_hi", "hash_lo"],
+        )
+        .select("media_id", "cid")
+        .distinct()
+    )
+    # verify against the FULL inventories of the candidate videos so
+    # the threshold sees exact shared counts even where the cap pruned
+    nr = (
+        cand.join(shard_fp, "media_id")
+        .join(
+            corp_fp.select(
+                F.col("media_id").alias("cid"), "hash_hi", "hash_lo"
+            ),
+            ["cid", "hash_hi", "hash_lo"],
+        )
+        .groupBy("media_id", "cid")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= VIDEO_SHARED_MIN)
+        .groupBy("media_id")
+        .agg(F.min("cid").alias("near_dup_of"))
+    )
+    return (
+        shard_fp.select("media_id")
+        .distinct()
         .join(ex, "media_id", "left")
         .join(nr, "media_id", "left")
         .select(
@@ -1888,6 +2055,8 @@ QUERIES = {
     "q_dedup_image_clusters": q_dedup_image_clusters,
     "q_dedup_video_clusters": q_dedup_video_clusters,
     "q_dedup_mechanism_cap": q_dedup_mechanism_cap,
+    "q_dedup_video_incremental": q_dedup_video_incremental,
+    "q_dedup_video_keeper": q_dedup_video_keeper,
     "q_dedup_media_incremental": q_dedup_media_incremental,
     "q_dedup_media_rate": q_dedup_media_rate,
 }
@@ -2678,3 +2847,92 @@ ORACLES["q_dedup_video_clusters"] = (
         1,
     )
 )
+
+# incremental video classifier: brute-force closed-form over the same
+# shard split — identical-set probe via sorted string-key lists, near
+# tier as the uncapped shared-count join with exact precedence
+ORACLES["q_dedup_video_incremental"] = (
+    ORACLES["q_dedup_video_frames"]
+    .replace(
+        f"""SELECT media_id_a, media_id_b, shared_frames FROM (
+            SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+                   COUNT(*) AS shared_frames
+            FROM fd a JOIN fd b
+              ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        WHERE shared_frames >= {VIDEO_SHARED_MIN}""",
+        """SELECT s.doc_id AS media_id,
+               CASE WHEN ex.dup_exact IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.dup_near IS NOT NULL THEN 'near_dup'
+                    ELSE 'new' END AS verdict,
+               COALESCE(ex.dup_exact, nr.dup_near) AS dup_of
+        FROM (SELECT DISTINCT doc_id FROM shard) s
+        LEFT JOIN ex USING (doc_id)
+        LEFT JOIN nr USING (doc_id)""",
+        1,
+    )
+    .replace(
+        "fd AS (SELECT DISTINCT doc_id, hi, lo FROM fh)",
+        f"""fd AS (SELECT DISTINCT doc_id, hi, lo FROM fh),
+        shard AS (SELECT * FROM fd WHERE doc_id % 20 = 0),
+        corp AS (SELECT * FROM fd WHERE doc_id % 20 <> 0),
+        skeys AS (
+            SELECT doc_id,
+                   list_sort(list(hi::VARCHAR || ':' || lo::VARCHAR)) AS k
+            FROM shard GROUP BY doc_id),
+        ckeys AS (
+            SELECT doc_id,
+                   list_sort(list(hi::VARCHAR || ':' || lo::VARCHAR)) AS k
+            FROM corp GROUP BY doc_id),
+        ex AS (
+            SELECT s.doc_id, MIN(c.doc_id) AS dup_exact
+            FROM skeys s JOIN ckeys c ON s.k = c.k GROUP BY 1),
+        nrp AS (
+            SELECT a.doc_id AS sid, b.doc_id AS cid
+            FROM shard a JOIN corp b ON a.hi = b.hi AND a.lo = b.lo
+            GROUP BY 1, 2 HAVING COUNT(*) >= {VIDEO_SHARED_MIN}),
+        nr AS (SELECT sid AS doc_id, MIN(cid) AS dup_near
+               FROM nrp GROUP BY 1)""",
+        1,
+    )
+)
+
+# video keeper: the SAME recursive fixpoint as the cluster oracle, with
+# the q_dedup_keeper_priority election window on top — tiers via the
+# TRY_CAST/COALESCE form mirrored by _source_priority
+def _video_keeper_oracle() -> str:
+    from breweries_case_spark.operators.dedup import CURATED_SOURCE_MAX
+
+    return ORACLES["q_dedup_video_clusters"].replace(
+        f"""SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               MIN(media_id) AS keeper_media_id,
+               array_to_string(
+                   list_sort(list(media_id))[1:{MEMBERS_SAMPLE_CAP}], ',')
+                   AS members_sample_csv
+        FROM lbl GROUP BY cluster_id""",
+        f""", pm AS (
+            SELECT l.cluster_id, l.media_id, d.n_chars, d.source,
+                   CASE WHEN COALESCE(
+                            TRY_CAST(substr(d.source, 4, 10) AS INT)
+                                < {CURATED_SOURCE_MAX}, FALSE)
+                        THEN 0 ELSE 1 END AS prio,
+                   COUNT(*) OVER (PARTITION BY l.cluster_id)
+                       AS cluster_size
+            FROM lbl l JOIN documents d ON d.doc_id = l.media_id),
+        pk AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY prio ASC, n_chars DESC, media_id ASC)
+                       AS prk
+            FROM pm)
+        SELECT cluster_id, cluster_size, media_id AS keeper_media_id,
+               source AS keeper_source,
+               CAST(prio AS BIGINT) AS keeper_priority
+        FROM pk WHERE prk = 1""",
+        1,
+    )
+
+
+ORACLES["q_dedup_video_keeper"] = _video_keeper_oracle()

@@ -40,6 +40,7 @@ from breweries_case_spark.operators.sampling import (
 )
 from breweries_case_spark.operators.dedup import (
     CONTAINMENT_THRESHOLD,
+    _CLUSTERS_CTES,
     containment_pairs,
 )
 from breweries_case_spark.operators.text import (
@@ -423,6 +424,96 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_scan(staged, "stage", ["order_key", "doc_id"])
 
 
+def pii_footer_expr():
+    """The deterministic closed-form PII contact footer appended per
+    doc (the ingest-join story: every doc arrives with a contact
+    line): an email always, an SSN when doc_id % 3 = 0, a phone when
+    doc_id % 2 = 0 — shared by q_curation_pipeline_pii and
+    q_dedup_keeper_pii so the redaction-count semantics cannot drift
+    between the composite and the keeper policy; the oracles
+    regenerate it via `_PII_FOOTER_SQL`."""
+    four = F.format_string("%04d", (F.col("doc_id") % 10000).cast("int"))
+    return F.concat(
+        F.lit(" Contact: doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(", SSN 123-45-"), four),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(", tel 555-"), four),
+        ).otherwise(F.lit("")),
+        F.lit("."),
+    )
+
+
+def q_dedup_keeper_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIVACY-AWARE cluster keeper — the joint dedup × PII policy:
+    inside each exact-Jaccard near-dup cluster (q_dedup_clusters'
+    components) elect the copy with the FEWEST redactions first
+    (n_redactions ASC — ship the cleanest mirror of a page, not
+    whichever copy happens to embed contact lines), quality
+    (n_chars DESC) then doc_id as tiebreaks. n_redactions is counted
+    on the scrubbed text + the shared closed-form contact footer
+    (``pii_footer_expr`` — q_curation_pipeline_pii's carrier, so
+    counts vary per doc and both engines derive them exactly).
+    Output one row per cluster (cluster_id, cluster_size,
+    keeper_doc_id, keeper_redactions); singletons keep themselves —
+    a total cluster table.
+
+    Plan: the shared pair source + min-label components, one
+    documents join carrying the scrub-count expression (codegen
+    regexp chain riding the join — no extra exchange), ONE
+    cluster-keyed rank window — q_dedup_keeper_priority's topology
+    with the privacy ORDER BY. Oracle: the clusters recursive-CTE
+    fixpoint + the same footer/regex counts + the same window."""
+    from breweries_case_spark.operators.dedup import (
+        connected_components,
+        q_dedup_ngram_jaccard,
+    )
+    from breweries_case_spark.io.rest_source import pii_scrub_expr
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    comps = connected_components(
+        pairs, docs.select(F.col("doc_id").alias("node"))
+    )
+    n_red = (
+        F.regexp_count(
+            pii_scrub_expr(F.concat(F.col("text"), pii_footer_expr())),
+            F.lit(r"\[EMAIL\]|\[SSN\]|\[PHONE\]"),
+        )
+        .cast("long")
+        .alias("n_redactions")
+    )
+    member = comps.join(docs, comps["node"] == docs["doc_id"]).select(
+        "doc_id", "n_chars", "label", n_red
+    )
+    w = Window.partitionBy("label")
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            "n_redactions", F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        member.withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_redactions").alias("keeper_redactions"),
+        )
+    )
+
+
 def q_curation_pipeline_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation composite WITH the privacy stage a production
     pipeline runs between gating and packing:
@@ -471,24 +562,11 @@ def q_curation_pipeline_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 2. PII scrub of the survivors' text (+ the closed-form contact
     # footer that carries the PII) — the registered scrub chain
-    four = F.format_string("%04d", (F.col("doc_id") % 10000).cast("int"))
-    footer = F.concat(
-        F.lit(" Contact: doc-"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.org"),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.lit(", SSN 123-45-"), four),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 2 == 0,
-            F.concat(F.lit(", tel 555-"), four),
-        ).otherwise(F.lit("")),
-        F.lit("."),
-    )
     docs = d.select(
         "doc_id",
-        pii_scrub_expr(F.concat(F.col("text"), footer)).alias("scrubbed"),
+        pii_scrub_expr(
+            F.concat(F.col("text"), pii_footer_expr())
+        ).alias("scrubbed"),
     )
 
     # 3. curriculum staging over the survivors; token counts on the
@@ -524,6 +602,7 @@ QUERIES = {
     "q_training_mix_v2": q_training_mix_v2,
     "q_curation_pipeline": q_curation_pipeline,
     "q_curation_pipeline_pii": q_curation_pipeline_pii,
+    "q_dedup_keeper_pii": q_dedup_keeper_pii,
 }
 
 ORACLES = {
@@ -812,6 +891,32 @@ _PII_SCRUB_SQL = (
     f"'{_PII_SSN_RE}', '[SSN]', 'g'), "
     f"'{_PII_PHONE_RE}', '[PHONE]', 'g')"
 )
+# privacy-aware keeper: the q_dedup_clusters fixpoint + the SAME
+# footer/scrub counting as the composite oracle + the election window
+ORACLES["q_dedup_keeper_pii"] = (
+    _CLUSTERS_CTES
+    + rf"""
+        , pm AS (
+            SELECT l.cluster_id, d.doc_id, d.n_chars,
+                   CAST(len(regexp_extract_all({_PII_SCRUB_SQL},
+                       '\[EMAIL\]|\[SSN\]|\[PHONE\]')) AS BIGINT)
+                       AS n_redactions,
+                   COUNT(*) OVER (PARTITION BY l.cluster_id)
+                       AS cluster_size
+            FROM labels l JOIN documents d USING (doc_id)),
+        pk AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_redactions ASC, n_chars DESC,
+                                doc_id ASC) AS prk
+            FROM pm)
+        SELECT cluster_id, cluster_size, doc_id AS keeper_doc_id,
+               n_redactions AS keeper_redactions
+        FROM pk WHERE prk = 1
+    """
+)
+
 ORACLES["q_curation_pipeline_pii"] = (
     ORACLES["q_curation_pipeline"]
     .replace(

@@ -336,6 +336,116 @@ def test_short_doc_simhash_tier_recall_split(spark, sf_dir):
     assert n_short < n_docs
 
 
+# --------------------------------------------------- video incremental
+
+
+def test_video_incremental_matches_bruteforce(spark, sf_dir):
+    """Recompute the shard classification in plain Python from the
+    fingerprint inventory: exact = identical set, near = >= shared-min
+    overlap, exact precedence, min-corpus-id dup_of."""
+    from breweries_case_spark.operators.multimodal import (
+        _MEDIA_SHARD_MOD,
+        VIDEO_SHARED_MIN,
+        q_dedup_video_incremental,
+        video_fingerprints,
+    )
+
+    fp = video_fingerprints(spark, sf_dir).collect()
+    sets: dict = {}
+    for r in fp:
+        sets.setdefault(r.media_id, set()).add((r.hash_hi, r.hash_lo))
+    shard = {m for m in sets if m % _MEDIA_SHARD_MOD == 0}
+    corpus = {m for m in sets if m % _MEDIA_SHARD_MOD != 0}
+    expect = {}
+    for s in shard:
+        ex = sorted(c for c in corpus if sets[c] == sets[s])
+        nr = sorted(
+            c
+            for c in corpus
+            if len(sets[c] & sets[s]) >= VIDEO_SHARED_MIN
+        )
+        if ex:
+            expect[s] = ("exact_dup", ex[0])
+        elif nr:
+            expect[s] = ("near_dup", nr[0])
+        else:
+            expect[s] = ("new", None)
+    got = {
+        r.media_id: (r.verdict, r.dup_of)
+        for r in q_dedup_video_incremental(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# --------------------------------------------------------- keeper ids
+
+
+def test_video_keeper_consistent_with_clusters(spark, sf_dir):
+    """Same clusters as q_dedup_video_clusters (ids + sizes), keeper
+    tier 0 only for srcN < 5 sources, and the keeper beats every
+    SAMPLED member under the (prio, n_chars DESC, id) order."""
+    from breweries_case_spark.io.reader import load_table
+    from breweries_case_spark.operators.multimodal import (
+        q_dedup_video_clusters,
+        q_dedup_video_keeper,
+    )
+
+    clusters = {
+        c.cluster_id: c
+        for c in q_dedup_video_clusters(spark, sf_dir).collect()
+    }
+    keepers = {
+        k.cluster_id: k for k in q_dedup_video_keeper(spark, sf_dir).collect()
+    }
+    assert set(clusters) == set(keepers)
+    meta = {
+        r.doc_id: r
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "source")
+        .collect()
+    }
+    for cid, k in keepers.items():
+        assert k.cluster_size == clusters[cid].cluster_size
+        tier = 0 if int(k.keeper_source[3:]) < 5 else 1
+        assert k.keeper_priority == tier
+        kk = (
+            k.keeper_priority,
+            -meta[k.keeper_media_id].n_chars,
+            k.keeper_media_id,
+        )
+        for m in map(int, clusters[cid].members_sample_csv.split(",")):
+            mt = 0 if int(meta[m].source[3:]) < 5 else 1
+            assert kk <= (mt, -meta[m].n_chars, m)
+
+
+def test_keeper_pii_prefers_fewest_redactions(spark, sf_dir):
+    """Same cluster ids/sizes as q_dedup_clusters; keeper_redactions
+    follows the closed footer form (1 + %3 + %2 on digit-free text)
+    and is minimal within its cluster."""
+    from breweries_case_spark.operators.dedup import q_dedup_clusters
+    from breweries_case_spark.operators.training_mix import (
+        q_dedup_keeper_pii,
+    )
+
+    base = {
+        c.cluster_id: c for c in q_dedup_clusters(spark, sf_dir).collect()
+    }
+    got = {
+        k.cluster_id: k for k in q_dedup_keeper_pii(spark, sf_dir).collect()
+    }
+    assert set(base) == set(got)
+
+    def red(doc_id):
+        return 1 + (doc_id % 3 == 0) + (doc_id % 2 == 0)
+
+    for cid, k in got.items():
+        assert k.cluster_size == base[cid].cluster_size
+        assert k.keeper_redactions == red(k.keeper_doc_id)
+        members = [int(x) for x in base[cid].members_csv.split(",")]
+        assert k.keeper_doc_id in members
+        assert k.keeper_redactions == min(red(m) for m in members)
+
+
 # ------------------------------------------------------ layout invariance
 
 
@@ -353,6 +463,9 @@ def test_round11_layout_invariance(spark, sf_dir):
         "q_curation_pipeline_pii",
         "q_bpe_oov_report",
         "q_dedup_mechanism_cap",
+        "q_dedup_video_incremental",
+        "q_dedup_video_keeper",
+        "q_dedup_keeper_pii",
     ]
     base = {
         qid: sorted(tuple(r) for r in qs[qid](spark, sf_dir).collect())
