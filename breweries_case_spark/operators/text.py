@@ -1254,48 +1254,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bpe_vocab_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge-table PERSISTENCE + re-encode — the tokenizer
-    artifact lifecycle a training pipeline actually runs: train once,
-    SAVE the merge table, then every encode job LOADS the artifact and
-    applies the recorded merges (never retrains). Three phases:
-
-    1. **Train**: the q_bpe_train_k count→merge loop verbatim (one
-       vocabulary-bounded exchange per round, 1-row guarded winner
-       join, JVM greedy fold, localCheckpoint between rounds), also
-       collecting each round's winning pair.
-    2. **Persist**: the (round, left_tok, right_tok) merge table —
-       BPE_TRAIN_ROUNDS rows — written as a parquet artifact and
-       registered through the session catalog (DDL over a LOCATION,
-       the io/catalog.py bootstrap stance), then READ BACK via
-       ``spark.table``: the artifact round-trip is part of the checked
-       dataflow, not a side effect. The artifact path AND table name
-       are namespaced by the Spark application id
-       (``tokenizer.bpe_merges_<appId>``), so concurrent runs in
-       separate sessions (a parallel bench/test session sharing the
-       warehouse/staging dir) never race each other's DROP/overwrite;
-       within one session the query stays idempotent (same name, an
-       overwrite + CREATE OR REPLACE of its own artifact).
-    3. **Re-encode from the artifact**: the loaded rules (a k-row
-       bounded artifact — collected like any tokenizer load) are
-       chained as LITERAL folds over the raw corpus — k higher-order
-       folds in ONE narrow select, ZERO exchanges for the whole encode
-       (cheaper than training's per-round plan: this is exactly why
-       tokenizers persist their merges) — then one posexplode.
-
-    Output (doc_id, pos, tok) — identical to q_bpe_encode by
-    construction; the oracle IS q_bpe_encode's unrolled CTE chain, so
-    the driver value-checks that save → register → load → re-encode
-    reproduces the trained encode exactly (a serialization or ordering
-    bug in the artifact reds the driver)."""
-    from breweries_case_spark.io.rest_source import _staging_dir
-
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
-    cur = d.select("doc_id", toks.alias("t"))
+def bpe_train_rounds(cur: DataFrame):
+    """The q_bpe_train_k count→merge loop over a prepared (doc_id, t)
+    token frame, returning ``(folded_frame, winners)`` where winners is
+    one 1-row (round, left_tok, right_tok) frame per round — factored
+    from q_bpe_vocab_persist so the drift report trains its "old"
+    tokenizer on a sub-corpus with PROVABLY the same loop (one
+    vocabulary-bounded exchange per round, 1-row guarded winner join —
+    the empty-round identity-fold guard included — JVM greedy fold,
+    localCheckpoint between rounds)."""
     winners = []
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
         ln = F.greatest(F.size("t") - 1, F.lit(0))
@@ -1342,6 +1309,52 @@ def q_bpe_vocab_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    return cur, winners
+
+
+def q_bpe_vocab_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table PERSISTENCE + re-encode — the tokenizer
+    artifact lifecycle a training pipeline actually runs: train once,
+    SAVE the merge table, then every encode job LOADS the artifact and
+    applies the recorded merges (never retrains). Three phases:
+
+    1. **Train**: the q_bpe_train_k count→merge loop (the shared
+       ``bpe_train_rounds`` helper — one vocabulary-bounded exchange
+       per round, 1-row guarded winner join, JVM greedy fold,
+       localCheckpoint between rounds), collecting each round's
+       winning pair.
+    2. **Persist**: the (round, left_tok, right_tok) merge table —
+       BPE_TRAIN_ROUNDS rows — written as a parquet artifact and
+       registered through the session catalog (DDL over a LOCATION,
+       the io/catalog.py bootstrap stance), then READ BACK via
+       ``spark.table``: the artifact round-trip is part of the checked
+       dataflow, not a side effect. The artifact path AND table name
+       are namespaced by the Spark application id
+       (``tokenizer.bpe_merges_<appId>``), so concurrent runs in
+       separate sessions (a parallel bench/test session sharing the
+       warehouse/staging dir) never race each other's DROP/overwrite;
+       within one session the query stays idempotent (same name, an
+       overwrite + CREATE OR REPLACE of its own artifact).
+    3. **Re-encode from the artifact**: the loaded rules (a k-row
+       bounded artifact — collected like any tokenizer load) are
+       chained as LITERAL folds over the raw corpus — k higher-order
+       folds in ONE narrow select, ZERO exchanges for the whole encode
+       (cheaper than training's per-round plan: this is exactly why
+       tokenizers persist their merges) — then one posexplode.
+
+    Output (doc_id, pos, tok) — identical to q_bpe_encode by
+    construction; the oracle IS q_bpe_encode's unrolled CTE chain, so
+    the driver value-checks that save → register → load → re-encode
+    reproduces the trained encode exactly (a serialization or ordering
+    bug in the artifact reds the driver)."""
+    from breweries_case_spark.io.rest_source import _staging_dir
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    _, winners = bpe_train_rounds(d.select("doc_id", toks.alias("t")))
     merges = winners[0]
     for w in winners[1:]:
         merges = merges.unionByName(w)
@@ -1453,6 +1466,90 @@ def q_bpe_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("oov_occurrences")
                 / F.col("total_occurrences").cast("double")
             ).alias("oov_rate"),
+        )
+    )
+
+
+#: "old corpus" selector for the tokenizer drift report — the half the
+#: previous training run saw
+BPE_DRIFT_MOD = 2
+
+
+def q_bpe_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer DRIFT (rot) report — the audit a tokenizer owner runs
+    when the corpus moves under a frozen vocabulary: train the k-merge
+    table on the OLD corpus (doc_id % BPE_DRIFT_MOD == 0 — the half a
+    previous run saw), apply those FROZEN merges to the CURRENT full
+    corpus as literal folds (the persisted-artifact re-encode path —
+    zero exchanges), train FRESH merges on the full corpus, and
+    publish per language: docs, tokens under the frozen old merges,
+    tokens under fresh merges, and the 6-dp drift ratio
+    (old/new — how much compression the stale vocabulary forfeits; a
+    language whose ratio grows round-over-round is drifting away from
+    the frozen tokenizer and drives the retrain decision, next to
+    q_bpe_compression's absolute ratio and q_bpe_oov_report's OOV
+    curve).
+
+    Both trainings run the SHARED ``bpe_train_rounds`` loop (factored
+    from q_bpe_vocab_persist), so the drift numbers describe the real
+    registered tokenizer, not a reimplementation; the old rules are a
+    k-row collected artifact (exactly what a tokenizer load is) chained
+    as literal folds in ONE narrow select. Docs with zero whitespace
+    tokens never enter either stream (the q_bpe_compression inner-join
+    convention). Oracle: THREE unrolled CTE chains — the old-half
+    training chain, an apply chain whose per-round winner is READ FROM
+    the old chain (frozen merges applied to the full corpus), and the
+    standard fresh chain — re-aggregated per lang; integer sums exact,
+    one IEEE division + half-up 6-dp.
+
+    Scale: two benched train loops (vocabulary-bounded exchanges) + a
+    fold-only re-encode + two |langs|-bounded aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = d.select("doc_id", "lang", toks.alias("t")).filter(
+        F.size("t") > 0
+    )
+    _, old_winners = bpe_train_rounds(
+        base.filter(F.col("doc_id") % BPE_DRIFT_MOD == 0).select(
+            "doc_id", "t"
+        )
+    )
+    merges = old_winners[0]
+    for w in old_winners[1:]:
+        merges = merges.unionByName(w)
+    rules = sorted(merges.collect(), key=lambda r: r["round"])
+    old_expr = F.col("t")
+    for r in rules:
+        old_expr = bpe_merge_fold(
+            old_expr, F.lit(r["left_tok"]), F.lit(r["right_tok"])
+        )
+    old_counts = base.select(
+        "doc_id", "lang", F.size(old_expr).cast("long").alias("c_old")
+    )
+    new_cur, _ = bpe_train_rounds(base.select("doc_id", "t"))
+    new_counts = new_cur.select(
+        "doc_id", F.size("t").cast("long").alias("c_new")
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        old_counts.join(new_counts, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("c_old").alias("tokens_old"),
+            F.sum("c_new").alias("tokens_new"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "tokens_old",
+            "tokens_new",
+            q6(
+                F.col("tokens_old") / F.col("tokens_new").cast("double")
+            ).alias("drift_ratio"),
         )
     )
 
@@ -1937,6 +2034,7 @@ QUERIES = {
     "q_bpe_encode": q_bpe_encode,
     "q_bpe_vocab_persist": q_bpe_vocab_persist,
     "q_bpe_oov_report": q_bpe_oov_report,
+    "q_bpe_drift_report": q_bpe_drift_report,
     "q_bpe_compression": q_bpe_compression,
     "q_quality_token_curve": q_quality_token_curve,
     "q_quality_gate": q_quality_gate,
@@ -2813,6 +2911,95 @@ ORACLES["q_bpe_encode"] = (
 # EXACTLY — same oracle, so a save/register/load/re-encode drift reds
 # the driver on values, not just rows
 ORACLES["q_bpe_vocab_persist"] = ORACLES["q_bpe_encode"]
+
+def _bpe_round_ctes_pfx(i: int, pfx: str, win_ref: str | None = None) -> str:
+    """One unrolled merge round over ``{pfx}stream_{i}`` — the
+    _bpe_round_ctes machinery with a name prefix, and optionally the
+    winner READ FROM another chain's CTE (``win_ref``) instead of
+    counted from this stream: that is exactly "apply a frozen merge
+    table", the drift report's old-tokenizer branch."""
+    win = win_ref or f"{pfx}win_{i}"
+    win_cte = (
+        ""
+        if win_ref
+        else f"""
+        {pfx}win_{i} AS (
+            SELECT tok AS left_tok, nxt AS right_tok, COUNT(*) AS pair_count
+            FROM {pfx}adj_{i} WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1),"""
+    )
+    return f"""
+        {pfx}adj_{i} AS (
+            SELECT doc_id, pos, tok,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM {pfx}stream_{i}),{win_cte}
+        {pfx}mt_{i} AS (
+            SELECT a.doc_id, a.pos, a.tok, a.nxt,
+                   COALESCE(a.tok = w.left_tok AND a.nxt = w.right_tok,
+                            FALSE) AS mt
+            FROM {pfx}adj_{i} a CROSS JOIN {win} w),
+        {pfx}grp_{i} AS (
+            SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY doc_id, mt
+                                               ORDER BY pos) AS grp
+            FROM {pfx}mt_{i}),
+        {pfx}fl_{i} AS (
+            SELECT doc_id, pos, tok, nxt,
+                   mt AND (ROW_NUMBER() OVER (PARTITION BY doc_id, mt, grp
+                                              ORDER BY pos) % 2 = 1)
+                       AS merged_at
+            FROM {pfx}grp_{i}),
+        {pfx}nx_{i} AS (
+            SELECT doc_id, pos, tok, nxt, merged_at,
+                   lag(merged_at, 1, FALSE)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS consumed
+            FROM {pfx}fl_{i}),
+        {pfx}stream_{i + 1} AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS pos,
+                   CASE WHEN merged_at THEN tok || ' ' || nxt
+                        ELSE tok END AS tok
+            FROM {pfx}nx_{i} WHERE NOT consumed)"""
+
+
+# drift report: THREE chains in one WITH list — the old-half training
+# chain (own winners), the apply chain whose per-round winner is READ
+# FROM the old chain (frozen merges over the full corpus), and the
+# standard fresh chain (_BPE_ENCODE_CTES) — re-aggregated per lang
+ORACLES["q_bpe_drift_report"] = (
+    _BPE_ENCODE_CTES
+    + f"""
+        , hstream_1 AS (
+            SELECT doc_id, pos, tok FROM stream_1
+            WHERE doc_id % {BPE_DRIFT_MOD} = 0),"""
+    + ",".join(
+        _bpe_round_ctes_pfx(i, "h") for i in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    + """
+        , astream_1 AS (SELECT doc_id, pos, tok FROM stream_1),"""
+    + ",".join(
+        _bpe_round_ctes_pfx(i, "a", win_ref=f"hwin_{i}")
+        for i in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    + f"""
+        , c_old AS (
+            SELECT doc_id, COUNT(*) AS c_old
+            FROM astream_{BPE_TRAIN_ROUNDS + 1} GROUP BY 1),
+        c_new AS (
+            SELECT doc_id, COUNT(*) AS c_new
+            FROM stream_{BPE_TRAIN_ROUNDS + 1} GROUP BY 1)
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c_old) AS BIGINT) AS tokens_old,
+               CAST(SUM(c_new) AS BIGINT) AS tokens_new,
+               FLOOR(SUM(c_old) / CAST(SUM(c_new) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS drift_ratio
+        FROM documents d
+             JOIN c_old USING (doc_id)
+             JOIN c_new USING (doc_id)
+        GROUP BY d.lang
+    """
+)
 
 # OOV report: the unrolled encode chain + global type rank + per-lang
 # per-k aggregation — merges, artifact round trip, ranking and rates

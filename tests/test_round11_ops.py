@@ -216,6 +216,95 @@ def test_bpe_oov_report_matches_python_recount(spark, sf_dir):
         assert r.oov_rate == math.floor(oov / tot * 1e6 + 0.5) / 1e6
 
 
+# ---------------------------------------------------------- drift report
+
+
+def test_bpe_drift_report_python_recount(spark, sf_dir):
+    """Recompute the drift report in plain Python: greedy BPE on the
+    old half, frozen-merge application to the full corpus, fresh BPE
+    on the full corpus — per-lang sums and 6-dp ratios must match."""
+    import math
+
+    from breweries_case_spark.io.reader import load_table
+    from breweries_case_spark.operators.text import (
+        BPE_DRIFT_MOD,
+        BPE_TRAIN_ROUNDS,
+        q_bpe_drift_report,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    toks = {
+        r.doc_id: [t for t in r.text.strip().lower().split() if t]
+        for r in docs
+    }
+    toks = {k: v for k, v in toks.items() if v}
+    lang = {r.doc_id: r.lang for r in docs}
+
+    def train(corpus):
+        cur = {k: list(v) for k, v in corpus.items()}
+        merges = []
+        for _ in range(BPE_TRAIN_ROUNDS):
+            counts: dict = {}
+            for t in cur.values():
+                for a, b in zip(t, t[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:
+                break
+            (l, r), _c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((l, r))
+            for k, t in cur.items():
+                out, i = [], 0
+                while i < len(t):
+                    if i + 1 < len(t) and t[i] == l and t[i + 1] == r:
+                        out.append(l + " " + r)
+                        i += 2
+                    else:
+                        out.append(t[i])
+                        i += 1
+                cur[k] = out
+        return cur, merges
+
+    def apply(corpus, merges):
+        cur = {k: list(v) for k, v in corpus.items()}
+        for l, r in merges:
+            for k, t in cur.items():
+                out, i = [], 0
+                while i < len(t):
+                    if i + 1 < len(t) and t[i] == l and t[i + 1] == r:
+                        out.append(l + " " + r)
+                        i += 2
+                    else:
+                        out.append(t[i])
+                        i += 1
+                cur[k] = out
+        return cur
+
+    _, old_merges = train(
+        {k: v for k, v in toks.items() if k % BPE_DRIFT_MOD == 0}
+    )
+    old_applied = apply(toks, old_merges)
+    fresh, _ = train(toks)
+    want: dict = {}
+    for k in toks:
+        lg = lang[k]
+        d = want.setdefault(lg, [0, 0, 0])
+        d[0] += 1
+        d[1] += len(old_applied[k])
+        d[2] += len(fresh[k])
+    got = q_bpe_drift_report(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, o, nw = want[r.lang]
+        assert (r.n_docs, r.tokens_old, r.tokens_new) == (n, o, nw), r.lang
+        assert r.drift_ratio == math.floor(o / nw * 1e6 + 0.5) / 1e6
+
+
 # -------------------------------------------------------- mechanism cap
 
 
@@ -466,6 +555,7 @@ def test_round11_layout_invariance(spark, sf_dir):
         "q_dedup_video_incremental",
         "q_dedup_video_keeper",
         "q_dedup_keeper_pii",
+        "q_bpe_drift_report",
     ]
     base = {
         qid: sorted(tuple(r) for r in qs[qid](spark, sf_dir).collect())
