@@ -1250,18 +1250,28 @@ def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form hash CTEs + an all-pairs edge set + the recursive-CTE
     fixpoint over MEDIA — the q_dedup_clusters oracle pattern, which
     also proves the hash-level factoring loses nothing."""
+    return perceptual_cluster_output(
+        hash_cluster_assignment(
+            image_hashes(spark, sf_dir).select(
+                "media_id",
+                F.col("ahash_hi").alias("hash_hi"),
+                F.col("ahash_lo").alias("hash_lo"),
+            )
+        )
+    )
+
+
+def hash_cluster_assignment(hashes: DataFrame) -> DataFrame:
+    """(media_id, hash_hi, hash_lo) → the (media_id, label) total
+    assignment via distinct-hash-graph components — the body of
+    q_dedup_image_clusters, factored so the audio tier and the
+    cross-modal table (q_dedup_media_clusters) run the SAME
+    machinery: one representative (min media) per distinct hash,
+    capped tier-2 edges between hash values, min-label components,
+    one hash-keyed label join."""
     from breweries_case_spark.operators.dedup import connected_components
 
-    h = (
-        image_hashes(spark, sf_dir)
-        .select(
-            "media_id",
-            F.col("ahash_hi").alias("hash_hi"),
-            F.col("ahash_lo").alias("hash_lo"),
-        )
-        .localCheckpoint()
-    )
-    # one representative (min media) per distinct hash
+    h = hashes.localCheckpoint()
     reps = h.groupBy("hash_hi", "hash_lo").agg(
         F.min("media_id").alias("rep")
     ).localCheckpoint()
@@ -1280,12 +1290,63 @@ def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = connected_components(
         edges.select("u", "v"), reps.select(F.col("rep").alias("node"))
     )
-    labeled = (
+    return (
         h.join(reps, ["hash_hi", "hash_lo"])
         .join(comps, F.col("rep") == F.col("node"))
         .select("media_id", "label")
     )
-    return perceptual_cluster_output(labeled)
+
+
+def q_dedup_media_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL cluster table — ONE media→cluster assignment
+    spanning every modality, the table a multimodal curation pipeline
+    actually materializes (the per-modality cluster ids are its
+    views): image and audio run the shared distinct-hash-graph
+    machinery (``hash_cluster_assignment`` — the audio tier gains
+    cluster granularity here), video the identical-set collapse
+    (``video_cluster_assignment``), and the three bounded cluster
+    tables union under a modality key. media_id is doc_id, and the
+    fixture's modality split (doc_id % 3) makes cluster ids globally
+    unique — the modality column is the dashboard key, not a
+    disambiguator. Output (modality, cluster_id, cluster_size,
+    keeper_media_id, members_sample_csv), every column bounded per
+    row (the shared `perceptual_cluster_output`).
+
+    Oracle: the three closed-form hash families + THREE recursive
+    reach fixpoints in one WITH list, union'd with the same
+    modality-from-id mapping — each modality's factoring is proven
+    lossless exactly as in its per-modality twin. Scale: three
+    independent hash-diversity-bounded component problems; nothing
+    crosses modalities (a cross-modal edge is semantically undefined
+    for these fingerprints)."""
+    img = perceptual_cluster_output(
+        hash_cluster_assignment(
+            image_hashes(spark, sf_dir).select(
+                "media_id",
+                F.col("ahash_hi").alias("hash_hi"),
+                F.col("ahash_lo").alias("hash_lo"),
+            )
+        )
+    ).withColumn("modality", F.lit("image"))
+    aud = perceptual_cluster_output(
+        hash_cluster_assignment(
+            audio_hashes(spark, sf_dir).select(
+                "media_id",
+                F.col("dhash_hi").alias("hash_hi"),
+                F.col("dhash_lo").alias("hash_lo"),
+            )
+        )
+    ).withColumn("modality", F.lit("audio"))
+    vid = perceptual_cluster_output(
+        video_cluster_assignment(spark, sf_dir)
+    ).withColumn("modality", F.lit("video"))
+    return img.unionByName(aud).unionByName(vid).select(
+        "modality",
+        "cluster_id",
+        "cluster_size",
+        "keeper_media_id",
+        "members_sample_csv",
+    )
 
 
 def q_dedup_video_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2057,6 +2118,7 @@ QUERIES = {
     "q_dedup_mechanism_cap": q_dedup_mechanism_cap,
     "q_dedup_video_incremental": q_dedup_video_incremental,
     "q_dedup_video_keeper": q_dedup_video_keeper,
+    "q_dedup_media_clusters": q_dedup_media_clusters,
     "q_dedup_media_incremental": q_dedup_media_incremental,
     "q_dedup_media_rate": q_dedup_media_rate,
 }
@@ -2936,3 +2998,119 @@ def _video_keeper_oracle() -> str:
 
 
 ORACLES["q_dedup_video_keeper"] = _video_keeper_oracle()
+
+# cross-modal cluster table: the three closed-form hash families +
+# THREE recursive reach fixpoints in one WITH list, union'd under the
+# modality-from-id mapping — each modality's Spark-side factoring
+# (hash graph / set collapse) proven lossless exactly as in its
+# per-modality twin
+ORACLES["q_dedup_media_clusters"] = f"""
+        WITH RECURSIVE img AS (
+            SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+            SELECT doc_id, k,
+                   ((k % 8) * 31 + doc_id) % 256
+                   + ((k // 8) * 57 + doc_id) % 256
+                   + ((k % 8) * (k // 8) + doc_id) % 256 AS gray3
+            FROM img, unnest(generate_series(0, 63)) AS s(k)),
+        tot AS (
+            SELECT doc_id, SUM(gray3) AS total FROM px GROUP BY doc_id),
+        iah AS (
+            SELECT p.doc_id,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM px p JOIN tot USING (doc_id) GROUP BY p.doc_id),
+        ie0 AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM iah a JOIN iah b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  <= {IMG_HAMMING_MAX}),
+        ie AS (SELECT u, v FROM ie0 UNION SELECT v, u FROM ie0),
+        ir(u, l) AS (
+            SELECT doc_id, doc_id FROM iah
+            UNION
+            SELECT e.u, r.l FROM ie e JOIN ir r ON e.v = r.u),
+        il AS (SELECT u AS media_id, MIN(l) AS cluster_id
+               FROM ir GROUP BY u),
+        aud AS (
+            SELECT doc_id, doc_id % 50 + 2 AS period,
+                   LEAST(n_chars, 400) AS n
+            FROM documents WHERE doc_id % 3 = 1),
+        abits AS (
+            SELECT doc_id, k,
+                   CASE WHEN k + 1 <= n - 1 AND (k + 1) % period <> 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM aud, unnest(generate_series(0, 63)) AS s(k)),
+        adh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN bit = 1 AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN bit = 1 AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM abits GROUP BY doc_id),
+        ae0 AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM adh a JOIN adh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  <= {IMG_HAMMING_MAX}),
+        ae AS (SELECT u, v FROM ae0 UNION SELECT v, u FROM ae0),
+        ar(u, l) AS (
+            SELECT doc_id, doc_id FROM adh
+            UNION
+            SELECT e.u, r.l FROM ae e JOIN ar r ON e.v = r.u),
+        al AS (SELECT u AS media_id, MIN(l) AS cluster_id
+               FROM ar GROUP BY u),
+        vid AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        fpx AS (
+            SELECT doc_id, f, k,
+                   ((k % 8) * 31 + doc_id + f) % 256
+                   + ((k // 8) * 57 + doc_id) % 256
+                   + ((k % 8) * (k // 8) + doc_id + f) % 256 AS gray3
+            FROM vid,
+                 unnest([0, 250, 500, 750]) AS ff(f),
+                 unnest(generate_series(0, 63)) AS s(k)),
+        ftot AS (
+            SELECT doc_id, f, SUM(gray3) AS total
+            FROM fpx GROUP BY 1, 2),
+        fh AS (
+            SELECT p.doc_id, p.f,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k >= 32
+                                 THEN (CAST(1 AS BIGINT) << (k - 32))
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(SUM(CASE WHEN gray3 * 64 > total AND k < 32
+                                 THEN (CAST(1 AS BIGINT) << k)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM fpx p JOIN ftot USING (doc_id, f) GROUP BY 1, 2),
+        fd AS (SELECT DISTINCT doc_id, hi, lo FROM fh),
+        vp AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM fd a JOIN fd b
+              ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= {VIDEO_SHARED_MIN}),
+        ve AS (SELECT u, v FROM vp UNION SELECT v, u FROM vp),
+        vr(u, l) AS (
+            SELECT DISTINCT doc_id, doc_id FROM fd
+            UNION
+            SELECT e.u, r.l FROM ve e JOIN vr r ON e.v = r.u),
+        vl AS (SELECT u AS media_id, MIN(l) AS cluster_id
+               FROM vr GROUP BY u),
+        allx AS (
+            SELECT 'image' AS modality, media_id, cluster_id FROM il
+            UNION ALL
+            SELECT 'audio', media_id, cluster_id FROM al
+            UNION ALL
+            SELECT 'video', media_id, cluster_id FROM vl)
+        SELECT modality, cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               MIN(media_id) AS keeper_media_id,
+               array_to_string(
+                   list_sort(list(media_id))[1:{MEMBERS_SAMPLE_CAP}], ',')
+                   AS members_sample_csv
+        FROM allx GROUP BY 1, 2
+    """

@@ -216,6 +216,54 @@ def test_bpe_oov_report_matches_python_recount(spark, sf_dir):
         assert r.oov_rate == math.floor(oov / tot * 1e6 + 0.5) / 1e6
 
 
+# ----------------------------------------------------- cross-modal table
+
+
+def test_media_clusters_union_of_modalities(spark, sf_dir):
+    """The cross-modal table is exactly the union of the per-modality
+    cluster views: image rows equal q_dedup_image_clusters, video rows
+    equal q_dedup_video_clusters, and modalities match the doc_id % 3
+    fixture mapping."""
+    from breweries_case_spark.operators.multimodal import (
+        q_dedup_image_clusters,
+        q_dedup_media_clusters,
+        q_dedup_video_clusters,
+    )
+
+    allrows = q_dedup_media_clusters(spark, sf_dir).collect()
+    mod_of = {0: "image", 1: "audio", 2: "video"}
+    for r in allrows:
+        assert r.modality == mod_of[r.cluster_id % 3]
+    img = {
+        tuple(r)
+        for r in q_dedup_image_clusters(spark, sf_dir).collect()
+    }
+    vid = {
+        tuple(r)
+        for r in q_dedup_video_clusters(spark, sf_dir).collect()
+    }
+    got_img = {
+        (r.cluster_id, r.cluster_size, r.keeper_media_id, r.members_sample_csv)
+        for r in allrows
+        if r.modality == "image"
+    }
+    got_vid = {
+        (r.cluster_id, r.cluster_size, r.keeper_media_id, r.members_sample_csv)
+        for r in allrows
+        if r.modality == "video"
+    }
+    assert got_img == img
+    assert got_vid == vid
+    # audio tier: total assignment over all audio media
+    from breweries_case_spark.operators.multimodal import audio_hashes
+
+    n_audio = audio_hashes(spark, sf_dir).count()
+    assert (
+        sum(r.cluster_size for r in allrows if r.modality == "audio")
+        == n_audio
+    )
+
+
 # ---------------------------------------------------------- drift report
 
 
@@ -556,6 +604,7 @@ def test_round11_layout_invariance(spark, sf_dir):
         "q_dedup_video_keeper",
         "q_dedup_keeper_pii",
         "q_bpe_drift_report",
+        "q_dedup_media_clusters",
     ]
     base = {
         qid: sorted(tuple(r) for r in qs[qid](spark, sf_dir).collect())
