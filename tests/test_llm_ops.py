@@ -50,6 +50,75 @@ def test_minhash_precision_against_exact(spark, sf_dir):
         assert recall >= 0.8, f"minhash recall {recall} over {len(exact)} pairs"
 
 
+def test_lsh_two_tier_matches_single_join_and_bounds_flood(spark, sf_dir):
+    """r12 scale fix: ``lsh_candidates``' two-tier form (identical-signature
+    collapse + df-capped distinct-signature banding) must
+
+    (a) reproduce EXACTLY the r11 single-join candidate set when uncapped
+        AND at the production cap (lossless on this data) — on the real
+        corpus plus a synthetic 30-copy exact-dup flood;
+    (b) collapse the flood to ONE banded row per signature: the max band
+        df over DISTINCT signatures stays below the production cap even
+        though 30 copies share every band bucket;
+    (c) keep the flood's pairs in the candidate set at ANY cap — tier 1
+        pairs identical signatures before banding, so even band_df_cap=0
+        (no tier-2 buckets at all) retains all C(30,2) within-flood pairs.
+    """
+    from breweries_case_spark.operators.dedup import (
+        LSH_BAND_DF_CAP,
+        _docs_with_hashed_shingles,
+        _lsh_banded,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    sh = _docs_with_hashed_shingles(spark, sf_dir)
+    # synthetic mirror flood: 30 extra copies of the largest-id doc's
+    # shingle set, ids above the real corpus
+    top = sh.orderBy(F.col("doc_id").desc()).limit(1)
+    flood = top.crossJoin(
+        spark.range(1, 31).select((F.col("id") + 10_000_000).alias("new_id"))
+    ).select(F.col("new_id").alias("doc_id"), "lang", "sh")
+    docs = sh.unionByName(flood).localCheckpoint()
+    sigs = minhash_signatures(docs).localCheckpoint()
+
+    banded = _lsh_banded(sigs)
+    a, b = banded.alias("a"), banded.alias("b")
+    single = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    want = _pairset(single)
+    assert _pairset(lsh_candidates(sigs, band_df_cap=1 << 62)) == want  # (a)
+    assert _pairset(lsh_candidates(sigs)) == want  # production cap lossless
+
+    mh_cols = [f"mh{i}" for i in range(16)]
+    dist = sigs.select(*mh_cols).distinct().withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    max_df = (
+        _lsh_banded(dist)
+        .groupBy("band_idx", "band_hash")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_df <= LSH_BAND_DF_CAP  # (b)
+
+    flood_ids = {r.doc_id for r in flood.select("doc_id").collect()}
+    zero_cap = _pairset(lsh_candidates(sigs, band_df_cap=0))
+    flood_pairs = {
+        (x, y) for x in flood_ids for y in flood_ids if x < y
+    }
+    assert flood_pairs <= zero_cap  # (c)
+
+
 def test_levenshtein_bounded_equals_exact(spark, sf_dir):
     """The candidate-verified (minhash ∪ simhash) form must reproduce the
     exact length-bin-blocked output row for row — the blockers are
