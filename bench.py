@@ -266,12 +266,24 @@ EXTENDED = [
     # pack) — benched NEXT TO q_curation_pipeline so the scrub stage's
     # marginal cost stays measured (it should ride the survivor scan);
     # and the video-tier cluster composition (set collapse → capped
-    # pair plan → CC → bounded output). The other r11 ids reuse benched
-    # shapes and stay out: q_bpe_oov_report (the benched vocab_persist
-    # loop + vocab-bounded aggregates), q_dedup_mechanism_cap
-    # (certificate, per the r5 keep-certificates-out rule)
+    # pair plan → CC → bounded output)
     "q_curation_pipeline_pii",
     "q_dedup_video_clusters",
+    # r12 (verdict+ADVICE): every floor-less id gets a floor — the rest
+    # of the r11 wave enters the suite instead of a reuse rationale.
+    # q_bpe_drift_report runs TWO full train loops + a fold-only
+    # re-encode (strictly heavier than the benched single-loop
+    # vocab_persist); q_bpe_oov_report adds vocab-bounded aggregates on
+    # top of the persist loop; the incremental/keeper/cross-modal ids
+    # each compose benched stages but had no recorded floor. Only
+    # q_dedup_mechanism_cap and q_dedup_lsh_mechanism_cap stay out
+    # (certificates, per the r5 keep-certificates-out rule).
+    "q_bpe_oov_report",
+    "q_bpe_drift_report",
+    "q_dedup_media_clusters",
+    "q_dedup_video_incremental",
+    "q_dedup_video_keeper",
+    "q_dedup_keeper_pii",
 ]
 
 
@@ -427,9 +439,14 @@ def main() -> None:
     )
     per_query: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    # one warm-up scan so JVM/codegen startup isn't billed to the first query
-    if names:
-        _materialize(qs[names[0]](spark, SF_DIR))
+    # warm-up: JVM/codegen/parquet-reader startup must not be billed to
+    # the first measured slots. r12 (verdict): warming only names[0] left
+    # q_flagship AND q_tpch_q1 tripping the judge's 2x drift guard two
+    # rounds running on first-slot JIT alone (driver artifacts 2.1-2.3x
+    # floor; isolated best-of-3 re-measures 0.77x/1.00x) — warm the first
+    # TWO ids, unmeasured, so the measured loop starts on a hot JVM.
+    for name in names[:2]:
+        _materialize(qs[name](spark, SF_DIR))
 
     import gc
 

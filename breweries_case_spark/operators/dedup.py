@@ -207,6 +207,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: minimum containment of the smaller doc for a subset-duplicate pair
 CONTAINMENT_THRESHOLD = 0.8
 
+#: size gate (needs-pair rows) for the verify-recount broadcast hint —
+#: ≤ 1M pair rows ⟹ ≤ 2M doc ids ≈ 16 MB per broadcast side, safely
+#: inside executor/driver budgets; above it the recount falls back to
+#: the shuffle semi-join plan instead of risking a broadcast OOM
+_NEEDS_BROADCAST_MAX = 1_000_000
+
 
 def containment_pairs(
     grams: DataFrame, capped: bool = True, df_cap: int | None = None
@@ -336,23 +342,28 @@ def containment_pairs(
             .localCheckpoint()
         )
         # r11: prune the full-inventory recount to the docs that
-        # actually need it via BROADCAST semi-joins on the needs-pair
-        # ids BEFORE the posting tables enter the join — without this
-        # the recount shuffled the ENTIRE posting inventory even when
-        # zero pairs touched a hot gram (the measured drag behind
-        # q_training_mix_v2's floor drift). Hot-pair docs are assumed
-        # ≪ corpus (they are by construction the docs sharing a
-        # hotter-than-cap gram with a candidate partner); if a corpus
-        # ever breaks that, drop the broadcast hint and this degrades
-        # to the r10 shuffle plan, never to wrong answers.
+        # actually need it via semi-joins on the needs-pair ids BEFORE
+        # the posting tables enter the join — without this the recount
+        # shuffled the ENTIRE posting inventory even when zero pairs
+        # touched a hot gram (the measured drag behind
+        # q_training_mix_v2's floor drift). Hot-pair docs are usually
+        # ≪ corpus (by construction: docs sharing a hotter-than-cap
+        # gram with a candidate partner), so the id sets broadcast —
+        # but an explicit F.broadcast hint does NOT degrade at runtime
+        # (r12, ADVICE): a dup-heavy corpus whose needs set outgrew the
+        # driver would fail the job outright, so the hint is size-gated
+        # on a cheap count of the already-checkpointed needs frame and
+        # falls back to the r10 shuffle semi-join plan above the gate.
         # no .distinct() on the broadcast sides: the semi join dedups,
         # and a distinct here would cost a shuffle each
         ids_a = needs.select(F.col("doc_a").alias("doc_id"))
         ids_b = needs.select(F.col("doc_b").alias("doc_id"))
-        ga = sized.join(F.broadcast(ids_a), "doc_id", "left_semi").select(
+        if needs.count() <= _NEEDS_BROADCAST_MAX:
+            ids_a, ids_b = F.broadcast(ids_a), F.broadcast(ids_b)
+        ga = sized.join(ids_a, "doc_id", "left_semi").select(
             F.col("doc_id").alias("doc_a"), "gram"
         )
-        gb = sized.join(F.broadcast(ids_b), "doc_id", "left_semi").select(
+        gb = sized.join(ids_b, "doc_id", "left_semi").select(
             F.col("doc_id").alias("doc_b"), "gram"
         )
         verified = (
@@ -437,8 +448,10 @@ def q_dedup_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins on (lang, gram) / (doc, gram). r11: the verify recount
     is pruned to the needs-pair docs via broadcast semi-joins before
     the posting tables enter the join (see ``containment_pairs``) — an
-    empty hot set now costs zero posting shuffle. This is the plan you
-    run at 100×."""
+    empty hot set now costs zero posting shuffle; r12 size-gates that
+    broadcast hint (_NEEDS_BROADCAST_MAX) so an oversized needs set
+    falls back to the shuffle plan instead of failing the job. This is
+    the plan you run at 100×."""
     return containment_pairs(
         _docs_with_gram_rows(spark, sf_dir), capped=True
     ).select("doc_a", "doc_b", "lang", "containment")

@@ -16,6 +16,7 @@ at 100 TB these pipeline into the scan stage."""
 from __future__ import annotations
 
 import re
+import shutil
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1373,6 +1374,14 @@ def q_bpe_vocab_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(table).collect(),
         key=lambda r: r["round"],
     )
+    # r12 (ADVICE): the round trip is complete once the rules are
+    # collected — drop the appId-namespaced catalog entry (and its
+    # staging artifact) so a persistent metastore doesn't accumulate one
+    # stale table per run, each with a dangling LOCATION once the
+    # staging dir is reaped. The re-encode below uses only the collected
+    # LITERAL rules, never the table.
+    spark.sql("DROP TABLE IF EXISTS " + table)
+    shutil.rmtree(path, ignore_errors=True)
     enc_t = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
         lambda x: x != F.lit(""),
@@ -2935,10 +2944,17 @@ def _bpe_round_ctes_pfx(i: int, pfx: str, win_ref: str | None = None) -> str:
                    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
             FROM {pfx}stream_{i}),{win_cte}
         {pfx}mt_{i} AS (
+            -- LEFT JOIN ON TRUE, not CROSS JOIN (r12, ADVICE): if a
+            -- training round on the half corpus finds zero adjacent
+            -- pairs its winner CTE is empty, and a cross join would
+            -- annihilate the stream; the left join keeps every row with
+            -- NULL winner columns and the COALESCE makes the round an
+            -- identity pass — mirroring the Spark side's left-join +
+            -- null->keep guard.
             SELECT a.doc_id, a.pos, a.tok, a.nxt,
                    COALESCE(a.tok = w.left_tok AND a.nxt = w.right_tok,
                             FALSE) AS mt
-            FROM {pfx}adj_{i} a CROSS JOIN {win} w),
+            FROM {pfx}adj_{i} a LEFT JOIN {win} w ON TRUE),
         {pfx}grp_{i} AS (
             SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY doc_id, mt
                                                ORDER BY pos) AS grp

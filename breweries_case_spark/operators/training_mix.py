@@ -541,9 +541,10 @@ def q_curation_pipeline_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain regenerated closed-form — scrub, counts, and offsets all
     value-checked.
 
-    Scale: the scrub is a codegen regexp_replace chain riding the
-    survivor scan (zero exchanges added — q_pii_scrub's plan shape);
-    everything else is the benched q_curation_pipeline topology."""
+    Scale: the scrub is a codegen regexp_replace chain over the
+    survivor-pruned scan (left_semi against the gated ids, r12 — the
+    chain runs on kept docs only); everything else is the benched
+    q_curation_pipeline topology."""
     from breweries_case_spark.io.rest_source import pii_scrub_expr
     from breweries_case_spark.operators.pandas_ops import concat_scan
     from breweries_case_spark.operators.text import (
@@ -561,8 +562,14 @@ def q_curation_pipeline_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 2. PII scrub of the survivors' text (+ the closed-form contact
-    # footer that carries the PII) — the registered scrub chain
-    docs = d.select(
+    # footer that carries the PII) — the registered scrub chain. r12
+    # (ADVICE): the scrub projection runs AFTER a left_semi prune of
+    # documents against the gate survivors — Catalyst won't push the
+    # later inner join's filter into this side on its own, so without
+    # the prune the 3-regex chain also ran over culled docs (parity was
+    # unaffected; only the plan shape was wrong). The q_training_mix_v2
+    # survivor pattern.
+    docs = d.join(gated.select("doc_id"), "doc_id", "left_semi").select(
         "doc_id",
         pii_scrub_expr(
             F.concat(F.col("text"), pii_footer_expr())

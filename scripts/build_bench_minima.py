@@ -20,11 +20,35 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parents[1]
 BENCH_SF = 0.1
 
+#: deliberate plan changes: qid -> unix committer time of the commit that
+#: landed the new plan. Floors are per-PLAN (r11/r12 verdicts): a sample
+#: recorded before this time measured an ABANDONED plan and must not seed
+#: the floor — min-over-history can't otherwise forget a faster plan that
+#: no longer exists. Blob sources are dated by their commit time,
+#: BENCH_r{N}.json snapshots by the commit that last touched them, and
+#: the working-tree BENCH_FULL.json is always current.
+FLOOR_RESETS = {
+    # r11: containment verify-recount prune + needs-frame pin (3ca51fb);
+    # training-mix stage hand-off checkpoints (3980fe2)
+    "q_training_mix_v2": 1786871205,
+    "q_dedup_containment_blocked": 1786871205,
+    # r12: two-tier capped LSH candidates + exact-dup pre-collapse
+    # (cd22cec) — every id whose MinHash leg changed plans
+    "q_dedup_minhash": 1786892378,
+    "q_dedup_levenshtein_bounded": 1786892378,
+    "q_dedup_clusters_bounded": 1786892378,
+}
+
 
 def main() -> None:
     minima: dict[str, dict] = {}
 
-    def offer(qid: str, sec: float, source: str) -> None:
+    def offer(
+        qid: str, sec: float, source: str, recorded_at: float | None
+    ) -> None:
+        reset = FLOOR_RESETS.get(qid)
+        if reset is not None and recorded_at is not None and recorded_at < reset:
+            return  # pre-plan-change sample: not this plan's floor
         cur = minima.get(qid)
         if cur is None or sec < cur["min_sec"]:
             minima[qid] = {"min_sec": sec, "source": source}
@@ -34,7 +58,16 @@ def main() -> None:
     # committed blob of it alongside the working-tree files
     import subprocess
 
-    docs: list[tuple[str, dict]] = []
+    def _commit_time(args: list[str]) -> float | None:
+        out = subprocess.run(
+            ["git", "-C", str(ROOT)] + args, capture_output=True, text=True
+        ).stdout.strip()
+        try:
+            return float(out.splitlines()[0])
+        except (ValueError, IndexError):
+            return None
+
+    docs: list[tuple[str, dict, float | None]] = []
     revs = subprocess.run(
         ["git", "-C", str(ROOT), "rev-list", "HEAD", "--", "BENCH_FULL.json"],
         capture_output=True,
@@ -47,7 +80,13 @@ def main() -> None:
             text=True,
         ).stdout
         try:
-            docs.append((f"BENCH_FULL@{rev[:7]}", json.loads(blob)))
+            docs.append(
+                (
+                    f"BENCH_FULL@{rev[:7]}",
+                    json.loads(blob),
+                    _commit_time(["show", "-s", "--format=%ct", rev]),
+                )
+            )
         except ValueError:
             continue
 
@@ -55,10 +94,17 @@ def main() -> None:
     n_sources = len(sources) + len(docs)
     for f in sources:
         try:
-            docs.append((f.stem, json.loads(f.read_text())))
+            doc = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
-    for stem, doc in docs:
+        if f.name == "BENCH_FULL.json":
+            recorded = None  # working tree: always the current plan
+        else:
+            recorded = _commit_time(
+                ["log", "-1", "--format=%ct", "--", f.name]
+            )
+        docs.append((f.stem, doc, recorded))
+    for stem, doc, recorded in docs:
         if doc.get("sf") != BENCH_SF:
             continue
         # driver round snapshots wrap the bench stdout JSON in "parsed"
@@ -66,11 +112,11 @@ def main() -> None:
             doc = doc["parsed"]
         for qid, sec in doc.get("queries", {}).items():
             if isinstance(sec, (int, float)):
-                offer(qid, float(sec), stem)
+                offer(qid, float(sec), stem, recorded)
         for qid, ss in doc.get("samples_min_second", {}).items():
             for sec in ss if isinstance(ss, list) else []:
                 if isinstance(sec, (int, float)):
-                    offer(qid, float(sec), stem)
+                    offer(qid, float(sec), stem, recorded)
 
     out = ROOT / "BENCH_MINIMA.json"
     out.write_text(
