@@ -284,6 +284,13 @@ EXTENDED = [
     "q_dedup_video_incremental",
     "q_dedup_video_keeper",
     "q_dedup_keeper_pii",
+    # r12 wave: the incremental cluster maintainer (probe + O(shard)
+    # CC), the quality-weighted epoch mix (gate + two broadcasts + scan
+    # arithmetic), and the contamination-drift rollup. The r12
+    # certificate (q_dedup_lsh_mechanism_cap) stays out per the r5 rule.
+    "q_dedup_cluster_incremental",
+    "q_mix_epochs_quality",
+    "q_decontaminate_drift",
 ]
 
 

@@ -1612,6 +1612,193 @@ def q_dedup_media_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CLUSTER maintainer (r12 queue) — the missing step
+    between q_dedup_media_incremental's per-item verdicts and the
+    cluster table: assign a new image shard (media_id % 20 == 0) to the
+    EXISTING perceptual clusters, or mint new cluster ids, WITHOUT
+    recomputing the corpus CC fixpoint. The trick is contraction: a
+    stored corpus cluster is already connected, so it enters the update
+    as ONE node (its label); the update graph is
+
+        nodes  = shard media ∪ the corpus cluster labels the shard
+                 touches (O(shard) by the probe discipline)
+        edges  = shard→cluster probe hits (exact-hash tier + the
+                 BAND_DF_CAP banded probe, q_dedup_media_incremental's
+                 machinery, mapped hash→stored label) ∪ intra-shard
+                 near edges (the shard's own distinct-hash graph —
+                 same-hash members hook to a rep, reps connect via
+                 ``hash_near_pairs`` over the shard's distinct hashes)
+
+    and ONE min-label CC over that tiny graph yields exactly the
+    full-recompute fixpoint restricted to shard-touched components:
+    corpus labels are their clusters' minima, every combined-graph path
+    between corpus media crosses shard hashes only through probe-hit
+    labels, so min(component of contracted graph) = min(media of the
+    recomputed component). Per-day cost is O(shard); the corpus
+    assignment is the stored state (computed here once as the
+    baseline — at scale it is loaded, the pipelines/incremental.py
+    discipline).
+
+    Output: one row per shard image — (media_id, cluster_id = the
+    post-update fixpoint label, verdict): 'attached' (joined exactly
+    one existing cluster), 'merged' (its arrival bridged ≥ 2 formerly
+    separate corpus clusters — the maintainer's hard case, handled
+    without touching corpus rows beyond the probed labels), or 'new'
+    (no corpus contact; label minted from the shard component's min
+    id). Oracle: brute-force closed-form aHash SQL with TWO recursive
+    fixpoints — corpus-only (the stored state) and corpus+shard (the
+    ground truth) — so label equality proves the contraction loses
+    nothing and the verdicts audit the corpus-cluster count per
+    component. A driver red is probe/cap recall loss, not CC logic."""
+    h = (
+        image_hashes(spark, sf_dir)
+        .select(
+            "media_id",
+            F.col("ahash_hi").alias("hash_hi"),
+            F.col("ahash_lo").alias("hash_lo"),
+        )
+        .localCheckpoint()
+    )
+    is_shard = F.col("media_id") % _MEDIA_SHARD_MOD == 0
+    shard = h.filter(is_shard).localCheckpoint()
+    corpus = h.filter(~is_shard)
+    corpus_assign = hash_cluster_assignment(corpus).localCheckpoint()
+    # the stored index: one row per corpus DISTINCT hash with its
+    # cluster label (all media sharing a hash share a cluster, so min
+    # is just a deterministic pick)
+    hash_label = (
+        corpus.join(corpus_assign, "media_id")
+        .groupBy("hash_hi", "hash_lo")
+        .agg(F.min("label").alias("clabel"))
+        .localCheckpoint()
+    )
+    sdist = shard.select("hash_hi", "hash_lo").distinct().localCheckpoint()
+
+    # --- shard→corpus probe: exact tier + banded near tier ---
+    exact = sdist.join(hash_label, ["hash_hi", "hash_lo"]).select(
+        "hash_hi", "hash_lo", "clabel"
+    )
+
+    def _bands(dist: DataFrame) -> DataFrame:
+        return dist.select(
+            "hash_hi",
+            "hash_lo",
+            F.explode(F.array(*_band_structs(_HASH_BANDS))).alias("b"),
+        ).select(
+            "hash_hi",
+            "hash_lo",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_val").alias("band_val"),
+        )
+
+    sbands = _bands(sdist).localCheckpoint()
+    cbands = _bands(hash_label.select("hash_hi", "hash_lo"))
+    rare = (
+        cbands.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= BAND_DF_CAP)
+        .select("band_idx", "band_val")
+    )
+    probe = cbands.join(rare, ["band_idx", "band_val"], "left_semi").join(
+        F.broadcast(sbands.select("band_idx", "band_val").distinct()),
+        ["band_idx", "band_val"],
+        "left_semi",
+    )
+    hamming = F.bit_count(
+        F.col("a.hash_hi").bitwiseXOR(F.col("b.hash_hi"))
+    ) + F.bit_count(F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo")))
+    near = (
+        sbands.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .filter(hamming.between(1, IMG_HAMMING_MAX))
+        .select(
+            F.col("a.hash_hi").alias("hash_hi"),
+            F.col("a.hash_lo").alias("hash_lo"),
+            F.col("b.hash_hi").alias("c_hi"),
+            F.col("b.hash_lo").alias("c_lo"),
+        )
+        .distinct()
+        .join(
+            hash_label.select(
+                F.col("hash_hi").alias("c_hi"),
+                F.col("hash_lo").alias("c_lo"),
+                "clabel",
+            ),
+            ["c_hi", "c_lo"],
+        )
+        .select("hash_hi", "hash_lo", "clabel")
+    )
+    touched = exact.unionByName(near).distinct().localCheckpoint()
+
+    # --- the tiny update graph ---
+    e_corpus = shard.join(touched, ["hash_hi", "hash_lo"]).select(
+        F.col("media_id").alias("u"), F.col("clabel").alias("v")
+    )
+    sreps = (
+        shard.groupBy("hash_hi", "hash_lo")
+        .agg(F.min("media_id").alias("rep"))
+        .localCheckpoint()
+    )
+    e_same = (
+        shard.join(sreps, ["hash_hi", "hash_lo"])
+        .filter(F.col("media_id") != F.col("rep"))
+        .select(F.col("media_id").alias("u"), F.col("rep").alias("v"))
+    )
+    near_ss = hash_near_pairs(sdist)
+    e_shard = (
+        near_ss.join(
+            sreps.select(
+                F.col("hash_hi").alias("hi_a"),
+                F.col("hash_lo").alias("lo_a"),
+                F.col("rep").alias("u"),
+            ),
+            ["hi_a", "lo_a"],
+        )
+        .join(
+            sreps.select(
+                F.col("hash_hi").alias("hi_b"),
+                F.col("hash_lo").alias("lo_b"),
+                F.col("rep").alias("v"),
+            ),
+            ["hi_b", "lo_b"],
+        )
+        .select("u", "v")
+    )
+    from breweries_case_spark.operators.dedup import connected_components
+
+    edges = e_corpus.unionByName(e_same).unionByName(e_shard)
+    nodes = (
+        shard.select(F.col("media_id").alias("node"))
+        .union(touched.select(F.col("clabel").alias("node")))
+        .distinct()
+    )
+    comps = connected_components(edges, nodes)
+    lab_nodes = touched.select(F.col("clabel").alias("node")).distinct()
+    comp_corpus = (
+        comps.join(lab_nodes, "node")
+        .groupBy("label")
+        .agg(F.countDistinct("node").alias("n_corpus"))
+    )
+    return (
+        shard.select("media_id")
+        .join(comps.withColumnRenamed("node", "media_id"), "media_id")
+        .join(comp_corpus, "label", "left")
+        .select(
+            "media_id",
+            F.col("label").alias("cluster_id"),
+            F.when(F.coalesce(F.col("n_corpus"), F.lit(0)) == 0, F.lit("new"))
+            .when(F.col("n_corpus") == 1, F.lit("attached"))
+            .otherwise(F.lit("merged"))
+            .alias("verdict"),
+        )
+    )
+
+
 def q_dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental VIDEO dedup — q_dedup_media_incremental's probe
     discipline on the fingerprint-SET surface: classify a new video
@@ -2120,6 +2307,7 @@ QUERIES = {
     "q_dedup_video_keeper": q_dedup_video_keeper,
     "q_dedup_media_clusters": q_dedup_media_clusters,
     "q_dedup_media_incremental": q_dedup_media_incremental,
+    "q_dedup_cluster_incremental": q_dedup_cluster_incremental,
     "q_dedup_media_rate": q_dedup_media_rate,
 }
 
@@ -2472,6 +2660,57 @@ ORACLES["q_dedup_media_incremental"] = (
 # cluster resolution over the perceptual pairs: closed-form hash CTEs +
 # all-pairs edges + the recursive reach fixpoint (the q_dedup_clusters
 # oracle pattern over media); WITH RECURSIVE spliced onto the shared CTE
+# incremental cluster maintainer: closed-form aHashes + TWO recursive
+# fixpoints — corpus-only (the stored state) and corpus+shard (ground
+# truth). Label equality proves the contraction (corpus clusters enter
+# the update as one node) loses nothing; verdicts audit how many stored
+# clusters each updated component contains.
+ORACLES["q_dedup_cluster_incremental"] = (
+    _IMAGE_HASH_CTES.replace("WITH img", "WITH RECURSIVE img", 1)
+    + f"""
+        , co4 AS (
+            SELECT media_id, ahash_hi AS hi, ahash_lo AS lo FROM ah
+            WHERE media_id % {_MEDIA_SHARD_MOD} <> 0),
+        ce0 AS (
+            SELECT a.media_id AS u, b.media_id AS v
+            FROM co4 a JOIN co4 b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  <= {IMG_HAMMING_MAX}),
+        ce AS (SELECT u, v FROM ce0 UNION SELECT v, u FROM ce0),
+        creach(u, l) AS (
+            SELECT media_id, media_id FROM co4
+            UNION
+            SELECT e.u, r.l FROM ce e JOIN creach r ON e.v = r.u),
+        clbl AS (
+            SELECT u AS media_id, MIN(l) AS clabel FROM creach GROUP BY u),
+        fe0 AS (
+            SELECT a.media_id AS u, b.media_id AS v
+            FROM ah a JOIN ah b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+                  + bit_count(xor(a.ahash_lo, b.ahash_lo))
+                  <= {IMG_HAMMING_MAX}),
+        fe AS (SELECT u, v FROM fe0 UNION SELECT v, u FROM fe0),
+        freach(u, l) AS (
+            SELECT media_id, media_id FROM ah
+            UNION
+            SELECT e.u, r.l FROM fe e JOIN freach r ON e.v = r.u),
+        flbl AS (
+            SELECT u AS media_id, MIN(l) AS cluster_id
+            FROM freach GROUP BY u),
+        cc AS (
+            SELECT f.cluster_id, COUNT(DISTINCT c.clabel) AS n_corpus
+            FROM flbl f JOIN clbl c USING (media_id)
+            GROUP BY f.cluster_id)
+        SELECT f.media_id, f.cluster_id,
+               CASE WHEN cc.n_corpus IS NULL THEN 'new'
+                    WHEN cc.n_corpus = 1 THEN 'attached'
+                    ELSE 'merged' END AS verdict
+        FROM flbl f
+        LEFT JOIN cc USING (cluster_id)
+        WHERE f.media_id % {_MEDIA_SHARD_MOD} = 0
+    """
+)
+
 ORACLES["q_dedup_image_clusters"] = (
     _IMAGE_HASH_CTES.replace("WITH img", "WITH RECURSIVE img", 1)
     + f"""

@@ -271,6 +271,87 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-DRIFT report (r12 queue): decontaminate two corpus
+    halves against the SAME benchmark and diff the per-lang hit rates —
+    the q_bpe_drift_report two-population pattern applied to
+    q_decontaminate. A crawl whose even snapshot shows a materially
+    higher benchmark-collision rate than its odd twin is leaking eval
+    text into new deliveries (or a snapshot was drawn from a mirror of
+    the eval suite) — the monitoring row a decontamination stage
+    publishes next to its drop counts. Halves are deterministic
+    (doc_id parity over the non-benchmark corpus); the benchmark set
+    and the 3-gram collision rule are EXACTLY q_decontaminate's
+    (``_ngram_rows``, BENCHMARK_MOD), so this id drifts iff the
+    registered decontaminator would.
+
+    Output: one row per lang — doc and contaminated-doc counts plus
+    6-dp hit rates per half, and rate_drift = rate_even − rate_odd
+    (signed, 6-dp re-quantized).
+
+    Plan: ONE gram stream feeds the benchmark-distinct and both
+    halves' contamination probes (benchmark grams broadcast — an eval
+    suite is KBs at any corpus size); the per-(lang, half) rollup is a
+    single map-side-combined aggregate after a conditional split, so
+    the whole report adds one |langs|-bounded exchange on top of
+    q_decontaminate's own topology. Zero-doc halves publish rate 0
+    (guarded division, mirrored in the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    grams = _ngram_rows(d, 3)
+    bench_grams = (
+        grams.filter(F.col("doc_id") % BENCHMARK_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    even = F.col("doc_id") % 2 == 0
+    per = (
+        d.filter(~is_bench)
+        .select("doc_id", "lang")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum(even.cast("long")).alias("docs_even"),
+            F.sum((even & F.col("hit").isNotNull()).cast("long")).alias(
+                "hits_even"
+            ),
+            F.sum((~even).cast("long")).alias("docs_odd"),
+            F.sum(((~even) & F.col("hit").isNotNull()).cast("long")).alias(
+                "hits_odd"
+            ),
+        )
+    )
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def rate(hits, docs):
+        return F.when(
+            F.col(docs) > 0,
+            q6(F.col(hits).cast("double") / F.col(docs).cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    return per.select(
+        "lang",
+        "docs_even",
+        "hits_even",
+        rate("hits_even", "docs_even").alias("rate_even"),
+        "docs_odd",
+        "hits_odd",
+        rate("hits_odd", "docs_odd").alias("rate_odd"),
+        q6(
+            rate("hits_even", "docs_even") - rate("hits_odd", "docs_odd")
+        ).alias("rate_drift"),
+    )
+
+
 def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram language-model fluency score per document:
     for each bigram occurrence (w1, w2), the conditional probability
@@ -2062,6 +2143,7 @@ QUERIES = {
     "q_pandas_udf_textlen": q_pandas_udf_textlen,
     "q_quality_repetition": q_quality_repetition,
     "q_decontaminate": q_decontaminate,
+    "q_decontaminate_drift": q_decontaminate_drift,
     "q_ngram_lm_score": q_ngram_lm_score,
     "q_doc_ngram_topk": q_doc_ngram_topk,
     "q_dup_span_fraction": q_dup_span_fraction,
@@ -2650,6 +2732,57 @@ ORACLES = {
         SELECT doc_id, lang, source FROM documents
         WHERE doc_id % 97 <> 0
           AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    # drift report: q_decontaminate's bench/bad CTEs verbatim, the
+    # non-bench corpus split by doc_id parity, rates 6-dp FLOOR-rounded
+    # with the zero-doc guard mirrored from the Spark side
+    "q_decontaminate_drift": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS tk
+            FROM documents),
+        tg AS (
+            SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+            FROM t, unnest(generate_series(1, len(tk) - 2)) AS s(i)),
+        bench AS (SELECT DISTINCT g FROM tg WHERE doc_id % 97 = 0),
+        bad AS (
+            SELECT DISTINCT doc_id FROM tg
+            WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)),
+        per AS (
+            SELECT d.lang,
+                   CAST(SUM(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_even,
+                   CAST(SUM(CASE WHEN d.doc_id % 2 = 0
+                                  AND bad.doc_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS hits_even,
+                   CAST(SUM(CASE WHEN d.doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_odd,
+                   CAST(SUM(CASE WHEN d.doc_id % 2 <> 0
+                                  AND bad.doc_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS hits_odd
+            FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id
+            WHERE d.doc_id % 97 <> 0
+            GROUP BY d.lang),
+        r AS (
+            SELECT *,
+                   CASE WHEN docs_even > 0
+                        THEN FLOOR(CAST(hits_even AS DOUBLE)
+                                   / CAST(docs_even AS DOUBLE)
+                                   * 1000000.0 + 0.5) / 1000000.0
+                        ELSE 0.0 END AS rate_even,
+                   CASE WHEN docs_odd > 0
+                        THEN FLOOR(CAST(hits_odd AS DOUBLE)
+                                   / CAST(docs_odd AS DOUBLE)
+                                   * 1000000.0 + 0.5) / 1000000.0
+                        ELSE 0.0 END AS rate_odd
+            FROM per)
+        SELECT lang, docs_even, hits_even, rate_even,
+               docs_odd, hits_odd, rate_odd,
+               FLOOR((rate_even - rate_odd) * 1000000.0 + 0.5)
+                   / 1000000.0 AS rate_drift
+        FROM r
     """,
     "q_dup_span_fraction": r"""
         WITH t AS (

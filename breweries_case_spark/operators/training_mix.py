@@ -271,6 +271,75 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_epochs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-WEIGHTED epoch mix (r12 queue): the q_mix_epochs source
+    plan with per-doc epoch counts MODULATED by the quality gate's
+    curriculum tier — the mix a curation pipeline actually trains on,
+    where a small curated source is still repeated but its weakest
+    quartile is not repeated as hard as its cleanest. Composition is
+    the shared-helper rule end to end: stage 1 is q_quality_gate
+    itself; the (quality_bin → stage) assignment is
+    ``curriculum_stage_table`` over the SURVIVOR histogram (stage 0 =
+    cleanest quartile, q_curation_pipeline's hand-off); per-source
+    epochs are ``epoch_table`` over the survivors (upsampling weights
+    reflect what survives the gate, the q_training_mix_v2 stance); and
+    the fractional-epoch selector is ``n_copies_expr``, unchanged.
+
+    The modulation: e_doc = e_source · (S − stage)/S with
+    S = CURRICULUM_STAGES — multipliers 1.0 / 0.75 / 0.5 / 0.25 by
+    quartile, all exact binary fractions, so e_doc is ONE extra IEEE
+    multiply on both engines (the q_mix_epochs float discipline
+    holds bit-for-bit). A doc whose e_doc falls below 1 keeps a
+    deterministic md5-selected e_doc-fraction chance of its single
+    copy — quality-weighted SAMPLING, not just repetition damping.
+
+    Output: one row per gate survivor (doc_id, source, stage,
+    eq6 = e_doc at 6 dp, n_copies).
+
+    Plan: the gate's histogram jobs + ONE survivor-corpus token
+    aggregate (epoch_table's only exchange); stages and epochs re-enter
+    as |bins|- and |sources|-row broadcasts; n_copies is scan-side
+    arithmetic. Nothing new shuffles at 100 TB beyond q_mix_epochs'
+    own topology. Oracle: the q_curation_pipeline gate+stage CTE chain
+    (spliced with source/text carried through) + q_mix_epochs' epoch
+    CTEs over the survivors + the same CASE selector."""
+    from breweries_case_spark.operators.text import (
+        curriculum_stage_table,
+        q_quality_gate,
+    )
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    gated = (
+        q_quality_gate(spark, sf_dir)
+        .select("doc_id", "quality_bin")
+        .localCheckpoint()
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    surv = d.join(gated, "doc_id")
+    ep = epoch_table(surv)
+    stages = curriculum_stage_table(gated)
+    mult = (
+        F.lit(float(CURRICULUM_STAGES)) - F.col("stage").cast("double")
+    ) / F.lit(float(CURRICULUM_STAGES))
+    return (
+        surv.select("doc_id", "source", "quality_bin")
+        .join(F.broadcast(stages), "quality_bin")
+        .join(F.broadcast(ep), "source")
+        .withColumn("e", F.col("e") * mult)
+        .select(
+            "doc_id",
+            "source",
+            "stage",
+            q6(F.col("e")).alias("eq6"),
+            n_copies_expr().alias("n_copies"),
+        )
+    )
+
+
 def q_training_mix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-generation curation composite, chaining the round-8 wave
     end to end the way q_training_mix chained the exact tier:
@@ -606,6 +675,7 @@ QUERIES = {
     "q_training_mix": q_training_mix,
     "q_mix_temperature": q_mix_temperature,
     "q_mix_epochs": q_mix_epochs,
+    "q_mix_epochs_quality": q_mix_epochs_quality,
     "q_training_mix_v2": q_training_mix_v2,
     "q_curation_pipeline": q_curation_pipeline,
     "q_curation_pipeline_pii": q_curation_pipeline_pii,
@@ -716,6 +786,82 @@ ORACLES = {
                CAST(i AS BIGINT) AS copy_idx, n_copies
         FROM assigned,
              unnest(generate_series(0, n_copies - 1)) AS s(i)
+    """,
+    # quality-weighted epochs: gate CTE = q_quality_gate's oracle
+    # (source/text carried through), stage CTE = the curriculum
+    # assignment over the SURVIVOR histogram, epoch CTE = q_mix_epochs'
+    # over the survivors, modulated e = e·(S−stage)/S with exact binary
+    # fraction multipliers — one chain, any hand-off drift reds it
+    "q_mix_epochs_quality": rf"""
+        WITH b AS MATERIALIZED (
+            SELECT doc_id, source,
+                   CAST(FLOOR((
+                       len(regexp_extract_all(text,
+                               '\b(the|a|of|is|and|to|in)\b'))
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.5
+                       + len(regexp_extract_all(text, '[^\w\s]'))
+                           / length(text) * -0.25
+                       + length(text)
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.05) * {QG_SCALE}) AS BIGINT)
+                       AS quality_bin,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tok
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) > 0
+              AND length(text) > 0),
+        h AS (SELECT quality_bin, COUNT(*) AS c FROM b GROUP BY 1),
+        cw AS (
+            SELECT quality_bin,
+                   SUM(c) OVER (ORDER BY quality_bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(c) OVER () AS total
+            FROM h),
+        cut AS (
+            SELECT MAX(quality_bin) AS cutoff_bin
+            FROM cw
+            WHERE cum <= FLOOR(total * {QG_DROP_PCT} / 100.0)),
+        kept AS MATERIALIZED (
+            SELECT doc_id, source, quality_bin, n_tok
+            FROM b, cut
+            WHERE cut.cutoff_bin IS NULL
+               OR quality_bin > cut.cutoff_bin),
+        kh AS (SELECT quality_bin, COUNT(*) AS c FROM kept GROUP BY 1),
+        st AS (
+            SELECT quality_bin,
+                   CAST(LEAST({CURRICULUM_STAGES - 1},
+                              FLOOR((SUM(c) OVER (ORDER BY quality_bin DESC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - 1)
+                                    * {CURRICULUM_STAGES}
+                                    / SUM(c) OVER ())) AS BIGINT) AS stage
+            FROM kh),
+        per AS (
+            SELECT source, CAST(SUM(n_tok) AS BIGINT) AS toks
+            FROM kept GROUP BY source),
+        z AS (SELECT MAX(toks) AS mx FROM per),
+        ep AS (
+            SELECT source,
+                   LEAST({MIX_MAX_EPOCHS},
+                         CAST(mx AS DOUBLE) / CAST(toks AS DOUBLE)) AS e
+            FROM per CROSS JOIN z),
+        modded AS (
+            SELECT k.doc_id, k.source, st.stage,
+                   ep.e * (CAST({CURRICULUM_STAGES} - st.stage AS DOUBLE)
+                           / {CURRICULUM_STAGES}) AS e
+            FROM kept k JOIN st USING (quality_bin)
+                 JOIN ep USING (source))
+        SELECT doc_id, source, stage,
+               FLOOR(e * 1000000.0 + 0.5) / 1000000.0 AS eq6,
+               CAST(FLOOR(e) AS BIGINT)
+               + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, {_EPOCH_HEX_CHARS})
+                      < lpad(lower(to_hex(CAST(FLOOR(
+                            (e - FLOOR(e)) * 256.0) AS BIGINT))),
+                            {_EPOCH_HEX_CHARS}, '0')
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM modded
     """,
     # v2 composite: gate CTE = q_quality_gate's oracle, containment
     # pair CTE = q_dedup_containment's (on gate survivors), epoch CTE =
