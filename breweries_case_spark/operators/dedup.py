@@ -1857,6 +1857,20 @@ def q_dedup_clusters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     here means a J ≥ 0.5 pair escaped BOTH blockers — a recall metric, not
     a verify/CC bug (see q_dedup_levenshtein_bounded)."""
     d = spread(load_table(spark, sf_dir, "documents"))
+    comps = bounded_component_assignment(d)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return _clusters_output(comps, docs)
+
+
+def bounded_component_assignment(d: DataFrame) -> DataFrame:
+    """The q_dedup_clusters_bounded engine over ANY documents frame
+    (doc_id, lang, text): (lang, md5) pre-collapse → MinHash-LSH ∪
+    SimHash blockers over representatives → exact hashed-shingle
+    Jaccard verify → alternating-star components → member expansion.
+    Returns the TOTAL (node, label) assignment (label = component
+    minimum; singletons label themselves). Factored (r12) so the
+    incremental text-cluster maintainer can build its stored corpus
+    state with provably THE flagship pipeline's semantics."""
     tagged = d.select(
         "doc_id",
         "lang",
@@ -1922,13 +1936,11 @@ def q_dedup_clusters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_comps = connected_components_star(
         pairs, base.select(F.col("doc_id").alias("node"))
     )
-    comps = (
+    return (
         members.select("doc_id", "rep")
         .join(rep_comps.withColumnRenamed("node", "rep"), "rep")
         .select(F.col("doc_id").alias("node"), "label")
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return _clusters_output(comps, docs)
 
 
 # --- X2g: incremental corpus dedup (new shard vs deduped corpus) ------------
@@ -2063,6 +2075,150 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_text_cluster_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental TEXT-cluster maintainer (r12) — the
+    q_dedup_cluster_incremental contraction on the flagship text
+    surface: assign a new document shard (doc_id % 20 == 0) to the
+    EXISTING near-dup clusters or mint new ids WITHOUT recomputing the
+    corpus CC fixpoint. The stored state is the flagship pipeline's own
+    assignment over the corpus (``bounded_component_assignment`` — at
+    100 TB this table is loaded, not recomputed; here built once as the
+    baseline). The update graph contracts every stored cluster to its
+    label node:
+
+        nodes = shard docs ∪ touched corpus labels
+        edges = verified shard↔corpus pairs (the q_dedup_incremental
+                LSH bucket probe — shard band keys broadcast-semi the
+                corpus bucket table, candidates verified with exact
+                same-lang hashed-shingle Jaccard ≥ 0.5 — mapped
+                doc → stored label) ∪ verified intra-shard pairs
+                (MinHash ∪ SimHash restricted to the shard, the
+                flagship blocker pair, then the same verify)
+
+    and one O(shard) min-label CC reproduces the full-recompute
+    fixpoint restricted to shard-touched components: corpus labels are
+    their clusters' minima, and every combined-graph path between
+    corpus docs crosses the shard only through probe-verified edges.
+    Identical-text arrivals need no separate exact tier — identical
+    shingle sets share every LSH band, so the probe already pairs them.
+
+    Output: one row per shard doc — (doc_id, cluster_id = the
+    post-update fixpoint label, verdict 'attached'/'merged'/'new').
+    Oracle: the exact 3-gram Jaccard pair CTEs + TWO recursive
+    fixpoints (corpus-only stored state, full corpus+shard ground
+    truth) — label equality proves the contraction loses nothing; a
+    driver red is blocker/probe recall loss (the flagship's
+    driver-red contract), not CC logic."""
+    is_shard = F.col("doc_id") % _SHARD_MOD == 0
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    corpus_assign = bounded_component_assignment(
+        d.filter(~is_shard)
+    ).localCheckpoint()
+
+    # one shingle build over corpus ∪ shard feeds the probe signatures
+    # and every verification join
+    sh_docs = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint()
+    banded = _lsh_banded(
+        minhash_signatures(sh_docs).localCheckpoint()
+    ).localCheckpoint()
+    _, cand = incremental_near_candidates(banded, is_shard)
+    a = sh_docs.select(
+        F.col("doc_id").alias("shard_id"),
+        F.col("lang").alias("lang_s"),
+        F.col("sh").alias("sh_s"),
+    )
+    b = sh_docs.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("lang").alias("lang_c"),
+        F.col("sh").alias("sh_c"),
+    )
+    inter_sc = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_c")))
+    union_sc = F.size(F.col("sh_s")) + F.size(F.col("sh_c")) - inter_sc
+    jac_sc = F.when(
+        union_sc > 0,
+        F.round(inter_sc.cast("double") / union_sc.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    e_corpus = (
+        cand.join(a, "shard_id")
+        .join(b, "corpus_id")
+        .filter(
+            (F.col("lang_s") == F.col("lang_c"))
+            & (jac_sc >= F.lit(JACCARD_THRESHOLD))
+        )
+        .join(
+            corpus_assign.withColumnRenamed("node", "corpus_id"), "corpus_id"
+        )
+        .select(F.col("shard_id").alias("u"), F.col("label").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # intra-shard verified pairs — the flagship blocker pair restricted
+    # to the shard (shard-sized work by construction)
+    shard_sh = sh_docs.filter(is_shard).localCheckpoint()
+    mh = lsh_candidates(minhash_signatures(shard_sh).localCheckpoint())
+    sim = simhash_pairs(
+        _simhash_signatures_from_token_hashes(
+            _docs_with_token_hashes(spark, sf_dir).filter(is_shard)
+        )
+    ).select("doc_a", "doc_b")
+    sa = shard_sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    sb = shard_sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    inter_ss = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union_ss = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter_ss
+    jac_ss = F.when(
+        union_ss > 0,
+        F.round(inter_ss.cast("double") / union_ss.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    e_shard = (
+        mh.union(sim)
+        .distinct()
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (jac_ss >= F.lit(JACCARD_THRESHOLD))
+        )
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+
+    edges = e_corpus.unionByName(e_shard)
+    shard_ids = d.filter(is_shard).select(F.col("doc_id").alias("node"))
+    nodes = shard_ids.union(e_corpus.select(F.col("v").alias("node"))).distinct()
+    comps = connected_components(edges, nodes)
+    lab_nodes = e_corpus.select(F.col("v").alias("node")).distinct()
+    comp_corpus = (
+        comps.join(lab_nodes, "node")
+        .groupBy("label")
+        .agg(F.countDistinct("node").alias("n_corpus"))
+    )
+    return (
+        shard_ids.withColumnRenamed("node", "doc_id")
+        .join(comps.withColumnRenamed("node", "doc_id"), "doc_id")
+        .join(comp_corpus, "label", "left")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.when(F.coalesce(F.col("n_corpus"), F.lit(0)) == 0, F.lit("new"))
+            .when(F.col("n_corpus") == 1, F.lit("attached"))
+            .otherwise(F.lit("merged"))
+            .alias("verdict"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2085,6 +2241,7 @@ QUERIES = {
     "q_dedup_clusters_bounded": q_dedup_clusters_bounded,
     "q_dedup_filtered_corpus": q_dedup_filtered_corpus,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_dedup_text_cluster_incremental": q_dedup_text_cluster_incremental,
 }
 
 # exact containment ground truth — shared verbatim by the uncapped
@@ -2421,4 +2578,44 @@ ORACLES = {
     # q_dedup_simhash / q_dedup_minhash: rows-only (xxhash64 is Spark-side;
     # LSH recall is probabilistic). Precision of minhash is pinned by a unit
     # test against q_dedup_ngram_jaccard's exact output.
+    # incremental text-cluster maintainer: the exact pair CTEs + TWO
+    # recursive fixpoints — corpus-only (the stored state) and full
+    # (ground truth); label equality proves the label-contraction loses
+    # nothing, verdicts audit stored-cluster counts per component
+    "q_dedup_text_cluster_incremental": _NGRAM_JACCARD_CTES.replace(
+        "WITH sh", "WITH RECURSIVE sh", 1
+    )
+    + """
+        , cedges AS (
+            SELECT doc_a AS u, doc_b AS v FROM true_pairs
+            WHERE doc_a % 20 <> 0 AND doc_b % 20 <> 0
+            UNION
+            SELECT doc_b, doc_a FROM true_pairs
+            WHERE doc_a % 20 <> 0 AND doc_b % 20 <> 0),
+        creach(u, l) AS (
+            SELECT doc_id, doc_id FROM documents WHERE doc_id % 20 <> 0
+            UNION
+            SELECT e.u, r.l FROM cedges e JOIN creach r ON e.v = r.u),
+        clbl AS (SELECT u AS doc_id, MIN(l) AS clabel FROM creach GROUP BY u),
+        fedges AS (
+            SELECT doc_a AS u, doc_b AS v FROM true_pairs
+            UNION SELECT doc_b, doc_a FROM true_pairs),
+        freach(u, l) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.u, r.l FROM fedges e JOIN freach r ON e.v = r.u),
+        flbl AS (
+            SELECT u AS doc_id, MIN(l) AS cluster_id FROM freach GROUP BY u),
+        cc AS (
+            SELECT f.cluster_id, COUNT(DISTINCT c.clabel) AS n_corpus
+            FROM flbl f JOIN clbl c USING (doc_id)
+            GROUP BY f.cluster_id)
+        SELECT f.doc_id, f.cluster_id,
+               CASE WHEN cc.n_corpus IS NULL THEN 'new'
+                    WHEN cc.n_corpus = 1 THEN 'attached'
+                    ELSE 'merged' END AS verdict
+        FROM flbl f
+        LEFT JOIN cc USING (cluster_id)
+        WHERE f.doc_id % 20 = 0
+    """,
 }

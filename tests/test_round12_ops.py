@@ -82,6 +82,37 @@ def test_cluster_incremental_corpus_work_is_shard_bounded(spark, sf_dir):
     )
 
 
+def test_text_cluster_incremental_matches_full_recompute(spark, sf_dir):
+    """Same contract as the image maintainer, on the flagship text
+    surface: shard labels must equal the from-scratch bounded-pipeline
+    assignment over corpus+shard; verdict 'new' components contain no
+    corpus docs, others at least one. Also pins the O(shard) claim:
+    touched corpus clusters ≤ shard size."""
+    from breweries_case_spark.io.reader import load_table, spread
+    from breweries_case_spark.operators.dedup import (
+        _SHARD_MOD,
+        bounded_component_assignment,
+        q_dedup_text_cluster_incremental,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    full = {r.node: r.label for r in bounded_component_assignment(d).collect()}
+    out = q_dedup_text_cluster_incremental(spark, sf_dir).collect()
+    assert out, "shard is empty — fixture assumption broken"
+    corpus_by_label: dict[int, int] = {}
+    for doc, lbl in full.items():
+        if doc % _SHARD_MOD != 0:
+            corpus_by_label[lbl] = corpus_by_label.get(lbl, 0) + 1
+    for r in out:
+        assert full[r.doc_id] == r.cluster_id, r
+        n = corpus_by_label.get(r.cluster_id, 0)
+        assert (n == 0) == (r.verdict == "new"), r
+    touched = len({r.cluster_id for r in out if r.verdict != "new"})
+    assert touched <= len(out)
+
+
 # ------------------------------------------------ quality-weighted epochs
 
 
@@ -187,6 +218,7 @@ def test_round12_layout_invariance(spark, sf_dir):
     ids = [
         "q_dedup_lsh_mechanism_cap",
         "q_dedup_cluster_incremental",
+        "q_dedup_text_cluster_incremental",
         "q_mix_epochs_quality",
         "q_decontaminate_drift",
         "q_dedup_clusters_bounded",
