@@ -223,6 +223,9 @@ NESTED_LOOP_OK = {
     # composite inherits q_quality_gate's 1-row cutoff crossJoin and
     # q_mix_epochs' 1-row largest-source crossJoin
     "q_training_mix_v2",
+    # same two inherited 1-row scalar crossJoins (gate cutoff +
+    # largest-source), r12 quality-weighted variant
+    "q_mix_epochs_quality",
     # certificate's ground-truth tier: all-pairs over the DISTINCT-hash
     # tables (bounded by hash diversity, tens of rows at driver sfs) —
     # the certify-only quadratic, like the range-join ground truths
@@ -252,6 +255,10 @@ GLOBAL_WINDOW_OK = {
     "q_quality_token_curve",
     "q_curriculum_order",
     "q_training_mix_v2",
+    # curriculum_stage_table's DESC cumulative window over the
+    # value-bounded survivor bin histogram (the q_curriculum_order
+    # shape) sits in the final plan — r12 quality-weighted epochs
+    "q_mix_epochs_quality",
     "q_skew_profile",
     "q_pareto_frontier",
 }
