@@ -1871,29 +1871,42 @@ def bounded_component_assignment(d: DataFrame) -> DataFrame:
     minimum; singletons label themselves). Factored (r12) so the
     incremental text-cluster maintainer can build its stored corpus
     state with provably THE flagship pipeline's semantics."""
-    tagged = d.select(
+    # rep-tagging runs over a LEAN projection (doc_id, lang, fp, n_tok)
+    # — the group-key window shuffles ~50-byte rows, never token-hash
+    # arrays — and only the surviving representatives are tokenized and
+    # hashed (a second scan of the narrow documents columns costs less
+    # than dragging th64 through the exchange, and dup members skip
+    # tokenization entirely; token count is the split length, identical
+    # to size(th64))
+    lean = d.select(
         "doc_id",
         "lang",
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
-        F.transform(_norm_tokens(F.col("text")), lambda t: F.xxhash64(t)).alias(
-            "th64"
-        ),
+        F.size(_norm_tokens(F.col("text"))).alias("n_tok"),
     )
     # group key: (lang, fingerprint) for docs with ≥ 3 tokens (nonempty
     # shingle set ⟹ within-group J = 1 ⟹ genuinely mergeable edges);
     # sub-3-token docs stay singletons (see docstring)
     gk = F.when(
-        F.size("th64") >= 3, F.concat_ws("|", "lang", "fp")
+        F.col("n_tok") >= 3, F.concat_ws("|", "lang", "fp")
     ).otherwise(F.concat_ws("|", F.lit("@solo"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("gk")
     members = (
-        tagged.select("doc_id", "lang", "th64", gk.alias("gk"))
+        lean.select("doc_id", gk.alias("gk"))
         .withColumn("rep", F.min("doc_id").over(w))
+        .select("doc_id", "rep")
         .localCheckpoint()
     )
+    rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
     base = (
-        members.filter(F.col("doc_id") == F.col("rep"))
-        .select("doc_id", "lang", "th64")
+        d.join(rep_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            F.transform(
+                _norm_tokens(F.col("text")), lambda t: F.xxhash64(t)
+            ).alias("th64"),
+        )
         .localCheckpoint()
     )
     # shingles feed the MinHash signatures AND both sides of the

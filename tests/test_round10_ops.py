@@ -184,9 +184,11 @@ def test_bpe_empty_round_guard(spark, tmp_path):
 
 def test_bpe_vocab_persist_roundtrip(spark, sf_dir):
     """save → catalog register → load → re-encode reproduces the
-    trained encode EXACTLY, and the artifact is a real catalog table."""
+    trained encode EXACTLY, and (r12 ADVICE) the appId-namespaced
+    catalog entry is DROPPED once the rules are collected — a
+    persistent metastore accumulates no stale tables with dangling
+    LOCATIONs."""
     from breweries_case_spark.operators.text import (
-        BPE_TRAIN_ROUNDS,
         q_bpe_encode,
         q_bpe_vocab_persist,
     )
@@ -197,11 +199,12 @@ def test_bpe_vocab_persist_roundtrip(spark, sf_dir):
     b = q_bpe_encode(spark, sf_dir)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
     run_ns = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
-    art = spark.table(f"tokenizer.bpe_merges_{run_ns}")
-    assert art.count() == BPE_TRAIN_ROUNDS
-    assert {r["round"] for r in art.collect()} == set(
-        range(1, BPE_TRAIN_ROUNDS + 1)
-    )
+    leftover = [
+        t.name
+        for t in spark.catalog.listTables("tokenizer")
+        if t.name == f"bpe_merges_{run_ns}"
+    ]
+    assert leftover == [], leftover
 
 
 # ------------------------------------------------------------------- PII
