@@ -290,8 +290,11 @@ EXTENDED = [
     # certificate (q_dedup_lsh_mechanism_cap) stays out per the r5 rule.
     "q_dedup_cluster_incremental",
     "q_dedup_text_cluster_incremental",
+    "q_dedup_video_cluster_incremental",
     "q_mix_epochs_quality",
     "q_decontaminate_drift",
+    "q_sample_token_budget_quality",
+    "q_contamination_by_source",
 ]
 
 

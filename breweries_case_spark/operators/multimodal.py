@@ -1394,9 +1394,18 @@ def video_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-keyed label join; factored so the keeper-policy id
     (q_dedup_video_keeper) provably elects inside the SAME clusters
     the cluster id publishes."""
+    return video_cluster_assignment_from(
+        video_fingerprints(spark, sf_dir).localCheckpoint()
+    )
+
+
+def video_cluster_assignment_from(fp: DataFrame) -> DataFrame:
+    """``video_cluster_assignment`` over ANY prepared fingerprint
+    inventory (media_id, hash_hi, hash_lo) — factored (r12) so the
+    incremental video-cluster maintainer builds its stored corpus
+    state with provably the registered cluster id's semantics."""
     from breweries_case_spark.operators.dedup import connected_components
 
-    fp = video_fingerprints(spark, sf_dir).localCheckpoint()
     sets = fp.groupBy("media_id").agg(
         F.sort_array(
             F.collect_list(F.struct("hash_hi", "hash_lo"))
@@ -1786,6 +1795,121 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shard.select("media_id")
+        .join(comps.withColumnRenamed("node", "media_id"), "media_id")
+        .join(comp_corpus, "label", "left")
+        .select(
+            "media_id",
+            F.col("label").alias("cluster_id"),
+            F.when(F.coalesce(F.col("n_corpus"), F.lit(0)) == 0, F.lit("new"))
+            .when(F.col("n_corpus") == 1, F.lit("attached"))
+            .otherwise(F.lit("merged"))
+            .alias("verdict"),
+        )
+    )
+
+
+def q_dedup_video_cluster_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental VIDEO-cluster maintainer (r12) — completes the
+    maintainer family (image: q_dedup_cluster_incremental, text:
+    dedup.q_dedup_text_cluster_incremental) on the shared-frame
+    relation: assign a new video shard (media_id % 20 == 0) to the
+    EXISTING video clusters or mint new ids WITHOUT recomputing the
+    corpus CC fixpoint. Stored state =
+    ``video_cluster_assignment_from`` over the corpus inventory (the
+    registered cluster id's exact semantics; at scale a loaded table).
+    Update graph:
+
+        nodes = fingerprinted shard videos ∪ touched corpus labels
+        edges = shard↔corpus pairs sharing ≥ VIDEO_SHARED_MIN
+                fingerprints — candidates from the shard's distinct
+                fingerprint keys BROADCAST-semi-pruning the
+                FP_DF_CAP-capped corpus postings (corpus work
+                O(shard), q_dedup_video_incremental's probe), verified
+                by recounting against the candidates' FULL inventories
+                — mapped video → stored label; ∪ intra-shard
+                ``video_shared_pairs`` (shard-sized)
+
+    then one O(shard) min-label CC. The contraction is exact for the
+    same reason as the image/text maintainers: corpus labels are their
+    clusters' minima and every combined-graph path between corpus
+    videos crosses the shard only through probe-verified edges (the
+    shared-frame predicate is a pairwise function of the two
+    inventories, so corpus↔corpus edges are already inside the stored
+    clusters). Output one row per fingerprinted shard video —
+    (media_id, cluster_id, verdict 'attached'/'merged'/'new').
+    Oracle: the closed-form frame-hash CTEs + TWO recursive fixpoints
+    (corpus-only, corpus+shard) over the uncapped shared-count
+    relation; a driver red is probe/cap recall loss, not CC logic."""
+    from breweries_case_spark.operators.dedup import connected_components
+
+    fp = video_fingerprints(spark, sf_dir).localCheckpoint()
+    is_shard = F.col("media_id") % _MEDIA_SHARD_MOD == 0
+    shard_fp = fp.filter(is_shard).localCheckpoint()
+    corpus_fp = fp.filter(~is_shard).localCheckpoint()
+    state = video_cluster_assignment_from(corpus_fp).localCheckpoint()
+
+    # shard→corpus probe: shard fingerprint keys prune the df-capped
+    # corpus postings before any candidate forms
+    rare = (
+        corpus_fp.groupBy("hash_hi", "hash_lo")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= FP_DF_CAP)
+        .select("hash_hi", "hash_lo")
+    )
+    probe = corpus_fp.join(rare, ["hash_hi", "hash_lo"], "left_semi").join(
+        F.broadcast(shard_fp.select("hash_hi", "hash_lo").distinct()),
+        ["hash_hi", "hash_lo"],
+        "left_semi",
+    )
+    cand = (
+        shard_fp.alias("s")
+        .join(
+            probe.alias("c"),
+            (F.col("s.hash_hi") == F.col("c.hash_hi"))
+            & (F.col("s.hash_lo") == F.col("c.hash_lo")),
+        )
+        .select(
+            F.col("s.media_id").alias("shard_id"),
+            F.col("c.media_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    # verify: recount shared fingerprints against the FULL inventories
+    # of the candidate videos (published thresholds exact under the cap)
+    fa = shard_fp.select(
+        F.col("media_id").alias("shard_id"), "hash_hi", "hash_lo"
+    )
+    fb = corpus_fp.select(
+        F.col("media_id").alias("corpus_id"), "hash_hi", "hash_lo"
+    )
+    e_corpus = (
+        cand.join(fa, "shard_id")
+        .join(fb, ["corpus_id", "hash_hi", "hash_lo"])
+        .groupBy("shard_id", "corpus_id")
+        .agg(F.count("*").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= VIDEO_SHARED_MIN)
+        .join(state.withColumnRenamed("media_id", "corpus_id"), "corpus_id")
+        .select(F.col("shard_id").alias("u"), F.col("label").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e_shard = video_shared_pairs(shard_fp).select(
+        F.col("media_id_a").alias("u"), F.col("media_id_b").alias("v")
+    )
+    edges = e_corpus.unionByName(e_shard)
+    shard_ids = shard_fp.select(F.col("media_id").alias("node")).distinct()
+    nodes = shard_ids.union(e_corpus.select(F.col("v").alias("node"))).distinct()
+    comps = connected_components(edges, nodes)
+    lab_nodes = e_corpus.select(F.col("v").alias("node")).distinct()
+    comp_corpus = (
+        comps.join(lab_nodes, "node")
+        .groupBy("label")
+        .agg(F.countDistinct("node").alias("n_corpus"))
+    )
+    return (
+        shard_ids.withColumnRenamed("node", "media_id")
         .join(comps.withColumnRenamed("node", "media_id"), "media_id")
         .join(comp_corpus, "label", "left")
         .select(
@@ -2308,6 +2432,7 @@ QUERIES = {
     "q_dedup_media_clusters": q_dedup_media_clusters,
     "q_dedup_media_incremental": q_dedup_media_incremental,
     "q_dedup_cluster_incremental": q_dedup_cluster_incremental,
+    "q_dedup_video_cluster_incremental": q_dedup_video_cluster_incremental,
     "q_dedup_media_rate": q_dedup_media_rate,
 }
 
@@ -3145,6 +3270,68 @@ ORACLES["q_dedup_video_clusters"] = (
         lbl AS (
             SELECT u AS media_id, MIN(l) AS cluster_id
             FROM reach GROUP BY u)""",
+        1,
+    )
+)
+
+# incremental video-cluster maintainer: closed-form frame hashes + TWO
+# recursive fixpoints over the uncapped shared-count relation —
+# corpus-only (the stored state) and corpus+shard (ground truth); label
+# equality proves the label contraction loses nothing
+ORACLES["q_dedup_video_cluster_incremental"] = (
+    ORACLES["q_dedup_video_frames"]
+    .replace("WITH vid", "WITH RECURSIVE vid", 1)
+    .replace(
+        f"""SELECT media_id_a, media_id_b, shared_frames FROM (
+            SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+                   COUNT(*) AS shared_frames
+            FROM fd a JOIN fd b
+              ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        WHERE shared_frames >= {VIDEO_SHARED_MIN}""",
+        f"""SELECT f.doc_id AS media_id, f.cluster_id,
+               CASE WHEN cc.n_corpus IS NULL THEN 'new'
+                    WHEN cc.n_corpus = 1 THEN 'attached'
+                    ELSE 'merged' END AS verdict
+        FROM flbl f
+        LEFT JOIN cc USING (cluster_id)
+        WHERE f.doc_id % {_MEDIA_SHARD_MOD} = 0""",
+        1,
+    )
+    .replace(
+        "fd AS (SELECT DISTINCT doc_id, hi, lo FROM fh)",
+        f"""fd AS (SELECT DISTINCT doc_id, hi, lo FROM fh),
+        cfd AS (SELECT * FROM fd WHERE doc_id % {_MEDIA_SHARD_MOD} <> 0),
+        cpr AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM cfd a JOIN cfd b
+              ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {VIDEO_SHARED_MIN}),
+        cedges AS (SELECT u, v FROM cpr UNION SELECT v, u FROM cpr),
+        creach(u, l) AS (
+            SELECT DISTINCT doc_id, doc_id FROM cfd
+            UNION
+            SELECT e.u, r.l FROM cedges e JOIN creach r ON e.v = r.u),
+        clbl AS (SELECT u AS doc_id, MIN(l) AS clabel FROM creach GROUP BY u),
+        fpr AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM fd a JOIN fd b
+              ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {VIDEO_SHARED_MIN}),
+        fedges AS (SELECT u, v FROM fpr UNION SELECT v, u FROM fpr),
+        freach(u, l) AS (
+            SELECT DISTINCT doc_id, doc_id FROM fd
+            UNION
+            SELECT e.u, r.l FROM fedges e JOIN freach r ON e.v = r.u),
+        flbl AS (
+            SELECT u AS doc_id, MIN(l) AS cluster_id
+            FROM freach GROUP BY u),
+        cc AS (
+            SELECT f.cluster_id, COUNT(DISTINCT c.clabel) AS n_corpus
+            FROM flbl f JOIN clbl c USING (doc_id)
+            GROUP BY f.cluster_id)""",
         1,
     )
 )

@@ -232,6 +232,50 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_token_budget_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUALITY-ORDERED token-budget mixing (r12, the
+    q_mix_epochs_quality pattern on the sampling surface): when a
+    source exceeds its token budget, drop its WORST documents, not a
+    hash-random prefix — the budget window consumes each source in
+    (quality_bin DESC, md5, doc_id) order, so the kept set is the
+    highest-quality prefix that fits and the md5 key only breaks ties
+    INSIDE a bin (still layout/retry-invariant). Quality bins are THE
+    gate's (``gate_scored`` — the shared raw-score binning expression),
+    so a scoring change flows into this sampler by construction;
+    the gate's empty-doc exclusion applies (undefined ratios can't be
+    ranked).
+
+    Output: one kept row per doc (doc_id, source, quality_bin,
+    ws_tokens, cum_tokens).
+
+    Plan: q_sample_token_budget's exact topology — one shuffle on
+    source, one running-sum window, narrow filter — plus the scoring
+    projection riding the scan (regex codegen, no extra exchange);
+    same giant-source salting note applies at 100 TB. Oracle: the
+    gate's scoring CTE + the same ordered window."""
+    from breweries_case_spark.operators.text import gate_scored
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = gate_scored(d).select("doc_id", "quality_bin")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    wo = (
+        Window.partitionBy("source")
+        .orderBy(
+            F.col("quality_bin").desc(), _md5_key(F.col("doc_id")), "doc_id"
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "source", ntok.alias("ws_tokens"))
+        .join(scored, "doc_id")
+        .withColumn("cum_tokens", F.sum("ws_tokens").over(wo))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "quality_bin", "ws_tokens", "cum_tokens")
+    )
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data profile of documents (row count, null count, exact
     distinct count) in ONE aggregate pass — the pre-flight data-quality
@@ -922,6 +966,7 @@ QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_profile_drift": q_profile_drift,
     "q_sample_token_budget": q_sample_token_budget,
+    "q_sample_token_budget_quality": q_sample_token_budget_quality,
     "q_sample_weighted": q_sample_weighted,
     "q_split_train_val_test": q_split_train_val_test,
     "q_split_leakage_safe": q_split_leakage_safe,
@@ -1209,6 +1254,39 @@ ORACLES = {
                                   ROWS UNBOUNDED PRECEDING)
                         AS BIGINT) AS cum_tokens
             FROM documents)
+        WHERE cum_tokens <= 20000
+    """,
+    # quality-ordered budget: the gate's scoring CTE (raw-score FLOOR
+    # binning, empty-doc exclusion) + the same per-source running-sum
+    # window, ordered quality DESC with the md5 key breaking ties
+    # inside a bin
+    "q_sample_token_budget_quality": r"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(FLOOR((
+                       len(regexp_extract_all(text,
+                               '\b(the|a|of|is|and|to|in)\b'))
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.5
+                       + len(regexp_extract_all(text, '[^\w\s]'))
+                           / length(text) * -0.25
+                       + length(text)
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.05) * 1000) AS BIGINT) AS quality_bin
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) > 0
+              AND length(text) > 0)
+        SELECT doc_id, source, quality_bin, ws_tokens, cum_tokens FROM (
+            SELECT d.doc_id, d.source, b.quality_bin,
+                   len(string_split_regex(trim(d.text), '\s+')) AS ws_tokens,
+                   CAST(SUM(len(string_split_regex(trim(d.text), '\s+')))
+                            OVER (PARTITION BY d.source
+                                  ORDER BY b.quality_bin DESC,
+                                           md5(CAST(d.doc_id AS VARCHAR)),
+                                           d.doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_tokens
+            FROM documents d JOIN b USING (doc_id))
         WHERE cum_tokens <= 20000
     """,
     "q_sample_weighted": f"""

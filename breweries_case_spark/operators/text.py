@@ -352,6 +352,64 @@ def q_decontaminate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE contamination report (r12): q_decontaminate's
+    benchmark-collision rule re-aggregated by delivery — the table a
+    curation team reads to find WHICH feeds leak eval text (a mirror
+    of the benchmark shows up here as one source with an outlier
+    rate), where q_decontaminate_drift watches the rate over time.
+    Same grams, same benchmark set, same collision rule
+    (``_ngram_rows``, BENCHMARK_MOD) — this id drifts iff the
+    registered decontaminator would.
+
+    Output: one row per source — n_docs (non-benchmark), n_contaminated,
+    and the 6-dp contamination rate (guarded division).
+
+    Plan: the q_decontaminate topology (one gram stream, broadcast
+    benchmark grams, contaminated-id distinct) + ONE
+    |sources|-bounded rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    grams = _ngram_rows(d, 3)
+    bench_grams = (
+        grams.filter(F.col("doc_id") % BENCHMARK_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per = (
+        d.filter(~is_bench)
+        .select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("hit").isNotNull().cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+    )
+    rate = F.when(
+        F.col("n_docs") > 0,
+        F.floor(
+            F.col("n_contaminated").cast("double")
+            / F.col("n_docs").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        "source", "n_docs", "n_contaminated", rate.alias("contamination_rate")
+    )
+
+
 def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram language-model fluency score per document:
     for each bigram occurrence (w1, w2), the conditional probability
@@ -2144,6 +2202,7 @@ QUERIES = {
     "q_quality_repetition": q_quality_repetition,
     "q_decontaminate": q_decontaminate,
     "q_decontaminate_drift": q_decontaminate_drift,
+    "q_contamination_by_source": q_contamination_by_source,
     "q_ngram_lm_score": q_ngram_lm_score,
     "q_doc_ngram_topk": q_doc_ngram_topk,
     "q_dup_span_fraction": q_dup_span_fraction,
@@ -2783,6 +2842,37 @@ ORACLES = {
                FLOOR((rate_even - rate_odd) * 1000000.0 + 0.5)
                    / 1000000.0 AS rate_drift
         FROM r
+    """,
+    # per-source contamination: q_decontaminate's bench/bad CTEs
+    # verbatim, rolled up by source with the guarded 6-dp rate
+    "q_contamination_by_source": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS tk
+            FROM documents),
+        tg AS (
+            SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+            FROM t, unnest(generate_series(1, len(tk) - 2)) AS s(i)),
+        bench AS (SELECT DISTINCT g FROM tg WHERE doc_id % 97 = 0),
+        bad AS (
+            SELECT DISTINCT doc_id FROM tg
+            WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)),
+        per AS (
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN bad.doc_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated
+            FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id
+            WHERE d.doc_id % 97 <> 0
+            GROUP BY d.source)
+        SELECT source, n_docs, n_contaminated,
+               CASE WHEN n_docs > 0
+                    THEN FLOOR(CAST(n_contaminated AS DOUBLE)
+                               / CAST(n_docs AS DOUBLE)
+                               * 1000000.0 + 0.5) / 1000000.0
+                    ELSE 0.0 END AS contamination_rate
+        FROM per
     """,
     "q_dup_span_fraction": r"""
         WITH t AS (

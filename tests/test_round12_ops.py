@@ -113,6 +113,32 @@ def test_text_cluster_incremental_matches_full_recompute(spark, sf_dir):
     assert touched <= len(out)
 
 
+def test_video_cluster_incremental_matches_full_recompute(spark, sf_dir):
+    """Same contract on the shared-frame relation: shard labels equal
+    the from-scratch video_cluster_assignment over corpus+shard; 'new'
+    components contain no corpus videos, others at least one."""
+    from breweries_case_spark.operators.multimodal import (
+        _MEDIA_SHARD_MOD,
+        q_dedup_video_cluster_incremental,
+        video_cluster_assignment,
+    )
+
+    full = {
+        r.media_id: r.label
+        for r in video_cluster_assignment(spark, sf_dir).collect()
+    }
+    out = q_dedup_video_cluster_incremental(spark, sf_dir).collect()
+    assert out, "video shard is empty — fixture assumption broken"
+    corpus_by_label: dict[int, int] = {}
+    for m, lbl in full.items():
+        if m % _MEDIA_SHARD_MOD != 0:
+            corpus_by_label[lbl] = corpus_by_label.get(lbl, 0) + 1
+    for r in out:
+        assert full[r.media_id] == r.cluster_id, r
+        n = corpus_by_label.get(r.cluster_id, 0)
+        assert (n == 0) == (r.verdict == "new"), r
+
+
 # ------------------------------------------------ quality-weighted epochs
 
 
@@ -219,8 +245,11 @@ def test_round12_layout_invariance(spark, sf_dir):
         "q_dedup_lsh_mechanism_cap",
         "q_dedup_cluster_incremental",
         "q_dedup_text_cluster_incremental",
+        "q_dedup_video_cluster_incremental",
         "q_mix_epochs_quality",
         "q_decontaminate_drift",
+        "q_sample_token_budget_quality",
+        "q_contamination_by_source",
         "q_dedup_clusters_bounded",
     ]
     base = {
