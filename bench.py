@@ -289,6 +289,7 @@ EXTENDED = [
     # arithmetic), and the contamination-drift rollup. The r12
     # certificate (q_dedup_lsh_mechanism_cap) stays out per the r5 rule.
     "q_dedup_cluster_incremental",
+    "q_dedup_cluster_chain",
     "q_dedup_text_cluster_incremental",
     "q_dedup_video_cluster_incremental",
     "q_mix_epochs_quality",

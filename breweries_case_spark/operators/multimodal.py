@@ -1673,11 +1673,25 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = h.filter(is_shard).localCheckpoint()
     corpus = h.filter(~is_shard)
     corpus_assign = hash_cluster_assignment(corpus).localCheckpoint()
+    out, _, _ = _hash_cluster_update(corpus, corpus_assign, shard)
+    return out
+
+
+def _hash_cluster_update(
+    corpus: DataFrame, state: DataFrame, shard: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """ONE maintainer step (the q_dedup_cluster_incremental body,
+    factored r12 so the multi-day chain can iterate it): (corpus
+    media_id/hash frame, its (media_id, label) state, shard frame) →
+    (``out`` = shard verdict rows, ``comps`` = the contracted update
+    graph's (node, label) assignment, ``lab_nodes`` = the touched
+    stored labels) — comps + lab_nodes are what the caller needs to
+    EVOLVE the state (remap touched labels, append shard rows)."""
     # the stored index: one row per corpus DISTINCT hash with its
     # cluster label (all media sharing a hash share a cluster, so min
     # is just a deterministic pick)
     hash_label = (
-        corpus.join(corpus_assign, "media_id")
+        corpus.join(state, "media_id")
         .groupBy("hash_hi", "hash_lo")
         .agg(F.min("label").alias("clabel"))
         .localCheckpoint()
@@ -1793,8 +1807,9 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.countDistinct("node").alias("n_corpus"))
     )
-    return (
+    out = (
         shard.select("media_id")
+        .distinct()
         .join(comps.withColumnRenamed("node", "media_id"), "media_id")
         .join(comp_corpus, "label", "left")
         .select(
@@ -1804,6 +1819,94 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("n_corpus") == 1, F.lit("attached"))
             .otherwise(F.lit("merged"))
             .alias("verdict"),
+        )
+    )
+    return out, comps, lab_nodes
+
+
+def q_dedup_cluster_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-DAY incremental maintainer chain (r12) — the state-EVOLUTION
+    property no single-shard id pins: day 1's update must leave behind
+    a state that day 2 can update to the exact full-recompute fixpoint.
+    Deterministic deliveries: day 1 = media_id % 40 == 0, day 2 =
+    media_id % 40 == 20 (together the family's % 20 shard); corpus =
+    the rest. The chain:
+
+        state0 = stored corpus clusters (``hash_cluster_assignment``)
+        day 1:  ``_hash_cluster_update``(corpus, state0, shard1) →
+                verdicts1 + the contracted components; state1 = corpus
+                rows with TOUCHED labels remapped through the update
+                graph + shard1 rows (untouched clusters keep their
+                label — by definition they have no edge to the shard)
+        day 2:  ``_hash_cluster_update``(corpus ∪ shard1, state1,
+                shard2) → verdicts2; shard1's FINAL labels remap once
+                more through day 2's touched map (two clusters can
+                only merge later through a future shard — which then
+                touches both, so the remap is always complete)
+
+    Output: one row per shard media — (media_id, day, cluster_id =
+    the FINAL post-day-2 label, verdict = that doc's own-day verdict
+    against the state its delivery probed). Oracle: THREE recursive
+    fixpoints (corpus-only, corpus+shard1, full) — final labels must
+    equal the full fixpoint and each day's verdicts must audit the
+    PREVIOUS state's cluster counts, so a drift anywhere in the
+    probe → contract → remap → append cycle reds the driver. Per-day
+    cost is O(shard_d); state maintenance is the touched-label remap
+    (O(touched)) plus the shard append — never a corpus rewrite."""
+    h = (
+        image_hashes(spark, sf_dir)
+        .select(
+            "media_id",
+            F.col("ahash_hi").alias("hash_hi"),
+            F.col("ahash_lo").alias("hash_lo"),
+        )
+        .localCheckpoint()
+    )
+    s1 = h.filter(F.col("media_id") % 40 == 0).localCheckpoint()
+    s2 = h.filter(F.col("media_id") % 40 == 20).localCheckpoint()
+    corpus = h.filter(F.col("media_id") % _MEDIA_SHARD_MOD != 0)
+    state0 = hash_cluster_assignment(corpus).localCheckpoint()
+
+    out1, comps1, labs1 = _hash_cluster_update(corpus, state0, s1)
+    out1 = out1.localCheckpoint()
+    remap1 = (
+        comps1.join(labs1, "node")
+        .select(F.col("node").alias("label0"), F.col("label").alias("newl"))
+        .localCheckpoint()
+    )
+    state1 = (
+        state0.join(remap1, F.col("label") == F.col("label0"), "left")
+        .select("media_id", F.coalesce("newl", "label").alias("label"))
+        .unionByName(
+            out1.select("media_id", F.col("cluster_id").alias("label"))
+        )
+        .localCheckpoint()
+    )
+
+    out2, comps2, labs2 = _hash_cluster_update(
+        corpus.unionByName(s1), state1, s2
+    )
+    remap2 = (
+        comps2.join(labs2, "node")
+        .select(F.col("node").alias("label0"), F.col("label").alias("newl"))
+        .localCheckpoint()
+    )
+    s1_final = (
+        out1.withColumnRenamed("cluster_id", "label")
+        .join(remap2, F.col("label") == F.col("label0"), "left")
+        .select(
+            "media_id",
+            F.lit(1).cast("long").alias("day"),
+            F.coalesce("newl", "label").alias("cluster_id"),
+            "verdict",
+        )
+    )
+    return s1_final.unionByName(
+        out2.select(
+            "media_id",
+            F.lit(2).cast("long").alias("day"),
+            "cluster_id",
+            "verdict",
         )
     )
 
@@ -2432,6 +2535,7 @@ QUERIES = {
     "q_dedup_media_clusters": q_dedup_media_clusters,
     "q_dedup_media_incremental": q_dedup_media_incremental,
     "q_dedup_cluster_incremental": q_dedup_cluster_incremental,
+    "q_dedup_cluster_chain": q_dedup_cluster_chain,
     "q_dedup_video_cluster_incremental": q_dedup_video_cluster_incremental,
     "q_dedup_media_rate": q_dedup_media_rate,
 }
@@ -2833,6 +2937,83 @@ ORACLES["q_dedup_cluster_incremental"] = (
         FROM flbl f
         LEFT JOIN cc USING (cluster_id)
         WHERE f.media_id % {_MEDIA_SHARD_MOD} = 0
+    """
+)
+
+# two-day maintainer chain: THREE recursive fixpoints — corpus-only
+# (state0), corpus+shard1 (state1 ground truth) and full (final labels)
+# — plus per-day verdict audits against the PREVIOUS state's clusters
+ORACLES["q_dedup_cluster_chain"] = (
+    _IMAGE_HASH_CTES.replace("WITH img", "WITH RECURSIVE img", 1)
+    + f"""
+        , co5 AS (
+            SELECT media_id, ahash_hi AS hi, ahash_lo AS lo FROM ah
+            WHERE media_id % {_MEDIA_SHARD_MOD} <> 0),
+        c15 AS (
+            SELECT media_id, ahash_hi AS hi, ahash_lo AS lo FROM ah
+            WHERE media_id % 40 <> 20),
+        ce5 AS (
+            SELECT a.media_id AS u, b.media_id AS v
+            FROM co5 a JOIN co5 b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  <= {IMG_HAMMING_MAX}),
+        ced AS (SELECT u, v FROM ce5 UNION SELECT v, u FROM ce5),
+        cre(u, l) AS (
+            SELECT media_id, media_id FROM co5
+            UNION
+            SELECT e.u, r.l FROM ced e JOIN cre r ON e.v = r.u),
+        cl5 AS (SELECT u AS media_id, MIN(l) AS clabel FROM cre GROUP BY u),
+        e15 AS (
+            SELECT a.media_id AS u, b.media_id AS v
+            FROM c15 a JOIN c15 b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                  <= {IMG_HAMMING_MAX}),
+        ed1 AS (SELECT u, v FROM e15 UNION SELECT v, u FROM e15),
+        re1(u, l) AS (
+            SELECT media_id, media_id FROM c15
+            UNION
+            SELECT e.u, r.l FROM ed1 e JOIN re1 r ON e.v = r.u),
+        l15 AS (SELECT u AS media_id, MIN(l) AS l1 FROM re1 GROUP BY u),
+        fe5 AS (
+            SELECT a.media_id AS u, b.media_id AS v
+            FROM ah a JOIN ah b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+                  + bit_count(xor(a.ahash_lo, b.ahash_lo))
+                  <= {IMG_HAMMING_MAX}),
+        fed5 AS (SELECT u, v FROM fe5 UNION SELECT v, u FROM fe5),
+        fre5(u, l) AS (
+            SELECT media_id, media_id FROM ah
+            UNION
+            SELECT e.u, r.l FROM fed5 e JOIN fre5 r ON e.v = r.u),
+        fl5 AS (
+            SELECT u AS media_id, MIN(l) AS cluster_id
+            FROM fre5 GROUP BY u),
+        cc1 AS (
+            SELECT l.l1 AS comp, COUNT(DISTINCT c.clabel) AS n_prev
+            FROM l15 l JOIN cl5 c USING (media_id)
+            GROUP BY l.l1),
+        cc2 AS (
+            SELECT f.cluster_id AS comp, COUNT(DISTINCT l.l1) AS n_prev
+            FROM fl5 f JOIN l15 l USING (media_id)
+            GROUP BY f.cluster_id)
+        SELECT s.media_id, CAST(1 AS BIGINT) AS day, f.cluster_id,
+               CASE WHEN cc1.n_prev IS NULL THEN 'new'
+                    WHEN cc1.n_prev = 1 THEN 'attached'
+                    ELSE 'merged' END AS verdict
+        FROM ah s
+             JOIN l15 l ON l.media_id = s.media_id
+             JOIN fl5 f ON f.media_id = s.media_id
+             LEFT JOIN cc1 ON cc1.comp = l.l1
+        WHERE s.media_id % 40 = 0
+        UNION ALL
+        SELECT s.media_id, CAST(2 AS BIGINT) AS day, f.cluster_id,
+               CASE WHEN cc2.n_prev IS NULL THEN 'new'
+                    WHEN cc2.n_prev = 1 THEN 'attached'
+                    ELSE 'merged' END AS verdict
+        FROM ah s
+             JOIN fl5 f ON f.media_id = s.media_id
+             LEFT JOIN cc2 ON cc2.comp = f.cluster_id
+        WHERE s.media_id % 40 = 20
     """
 )
 

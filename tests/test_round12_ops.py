@@ -113,6 +113,31 @@ def test_text_cluster_incremental_matches_full_recompute(spark, sf_dir):
     assert touched <= len(out)
 
 
+def test_cluster_chain_final_labels_match_full_recompute(spark, sf_dir):
+    """The two-day chain's FINAL labels (after day 2's remap of day 1's
+    rows) must equal the from-scratch assignment over ALL media, for
+    every shard doc of both days — the state-evolution property."""
+    from breweries_case_spark.operators.multimodal import (
+        _MEDIA_SHARD_MOD,
+        hash_cluster_assignment,
+        image_hashes,
+        q_dedup_cluster_chain,
+    )
+
+    h = image_hashes(spark, sf_dir).select(
+        "media_id",
+        F.col("ahash_hi").alias("hash_hi"),
+        F.col("ahash_lo").alias("hash_lo"),
+    )
+    full = {r.media_id: r.label for r in hash_cluster_assignment(h).collect()}
+    out = q_dedup_cluster_chain(spark, sf_dir).collect()
+    shard_ids = {m for m in full if m % _MEDIA_SHARD_MOD == 0}
+    assert {r.media_id for r in out} == shard_ids
+    for r in out:
+        assert full[r.media_id] == r.cluster_id, r
+        assert r.day == (1 if r.media_id % 40 == 0 else 2), r
+
+
 def test_video_cluster_incremental_matches_full_recompute(spark, sf_dir):
     """Same contract on the shared-frame relation: shard labels equal
     the from-scratch video_cluster_assignment over corpus+shard; 'new'
@@ -244,6 +269,7 @@ def test_round12_layout_invariance(spark, sf_dir):
     ids = [
         "q_dedup_lsh_mechanism_cap",
         "q_dedup_cluster_incremental",
+        "q_dedup_cluster_chain",
         "q_dedup_text_cluster_incremental",
         "q_dedup_video_cluster_incremental",
         "q_mix_epochs_quality",
