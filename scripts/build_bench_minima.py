@@ -40,19 +40,46 @@ FLOOR_RESETS = {
 }
 
 
-def main() -> None:
+def collect_minima(
+    docs: list[tuple[str, dict, float | None]],
+    resets: dict[str, float] | None = None,
+) -> dict[str, dict]:
+    """Pure floor computation over (source_name, bench_doc,
+    recorded_at_unix_or_None) triples — factored from main() so the
+    FLOOR_RESETS semantics are unit-testable (tests/test_bench_minima.py):
+    a sample dated BEFORE its id's reset time measured an abandoned plan
+    and never seeds the floor; undated samples (the working tree) are
+    always the current plan."""
+    resets = FLOOR_RESETS if resets is None else resets
     minima: dict[str, dict] = {}
 
     def offer(
         qid: str, sec: float, source: str, recorded_at: float | None
     ) -> None:
-        reset = FLOOR_RESETS.get(qid)
+        reset = resets.get(qid)
         if reset is not None and recorded_at is not None and recorded_at < reset:
             return  # pre-plan-change sample: not this plan's floor
         cur = minima.get(qid)
         if cur is None or sec < cur["min_sec"]:
             minima[qid] = {"min_sec": sec, "source": source}
 
+    for stem, doc, recorded in docs:
+        if doc.get("sf") != BENCH_SF:
+            continue
+        # driver round snapshots wrap the bench stdout JSON in "parsed"
+        if isinstance(doc.get("parsed"), dict):
+            doc = doc["parsed"]
+        for qid, sec in doc.get("queries", {}).items():
+            if isinstance(sec, (int, float)):
+                offer(qid, float(sec), stem, recorded)
+        for qid, ss in doc.get("samples_min_second", {}).items():
+            for sec in ss if isinstance(ss, list) else []:
+                if isinstance(sec, (int, float)):
+                    offer(qid, float(sec), stem, recorded)
+    return minima
+
+
+def main() -> None:
     # BENCH_FULL.json is overwritten every bench run, so its older
     # (per-round) versions only survive in git history — read every
     # committed blob of it alongside the working-tree files
@@ -104,19 +131,7 @@ def main() -> None:
                 ["log", "-1", "--format=%ct", "--", f.name]
             )
         docs.append((f.stem, doc, recorded))
-    for stem, doc, recorded in docs:
-        if doc.get("sf") != BENCH_SF:
-            continue
-        # driver round snapshots wrap the bench stdout JSON in "parsed"
-        if isinstance(doc.get("parsed"), dict):
-            doc = doc["parsed"]
-        for qid, sec in doc.get("queries", {}).items():
-            if isinstance(sec, (int, float)):
-                offer(qid, float(sec), stem, recorded)
-        for qid, ss in doc.get("samples_min_second", {}).items():
-            for sec in ss if isinstance(ss, list) else []:
-                if isinstance(sec, (int, float)):
-                    offer(qid, float(sec), stem, recorded)
+    minima = collect_minima(docs)
 
     out = ROOT / "BENCH_MINIMA.json"
     out.write_text(
