@@ -452,13 +452,19 @@ def main() -> None:
     per_query: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     # warm-up: JVM/codegen/parquet-reader startup must not be billed to
-    # the first measured slots. r12 (verdict): warming only names[0] left
-    # q_flagship AND q_tpch_q1 tripping the judge's 2x drift guard two
-    # rounds running on first-slot JIT alone (driver artifacts 2.1-2.3x
-    # floor; isolated best-of-3 re-measures 0.77x/1.00x) — warm the first
-    # TWO ids, unmeasured, so the measured loop starts on a hot JVM.
-    for name in names[:2]:
-        _materialize(qs[name](spark, SF_DIR))
+    # the first measured slots. r12 warmed the first TWO ids unmeasured,
+    # which fixed the first-slot JIT skew but benched q_flagship/q_tpch_q1
+    # as hot SECOND runs while every other id measured cold (r12 ADVICE:
+    # an asymmetry that deflates those two floors vs the suite). r13:
+    # NEUTRAL warmup — one full scan+count of every parquet table in the
+    # SF dir (warms the JVM, codegen, and parquet footers for ALL ids
+    # equally) plus one sentinel-shaped range job, so every measured slot
+    # sees the same starting conditions. FLOOR_RESETS re-seeds the two
+    # formerly hot-floored ids at this commit.
+    for fname in sorted(os.listdir(SF_DIR)):
+        if fname.endswith(".parquet"):
+            spark.read.parquet(os.path.join(SF_DIR, fname)).count()
+    _sentinel_time(spark)
 
     import gc
 

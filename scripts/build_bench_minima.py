@@ -24,9 +24,9 @@ BENCH_SF = 0.1
 #: landed the new plan. Floors are per-PLAN (r11/r12 verdicts): a sample
 #: recorded before this time measured an ABANDONED plan and must not seed
 #: the floor — min-over-history can't otherwise forget a faster plan that
-#: no longer exists. Blob sources are dated by their commit time,
-#: BENCH_r{N}.json snapshots by the commit that last touched them, and
-#: the working-tree BENCH_FULL.json is always current.
+#: no longer exists. Blob sources are dated by their commit time; clean
+#: working-tree files by the commit that last touched them; dirty or
+#: untracked working-tree files are undated (always current plan).
 FLOOR_RESETS = {
     # r11: containment verify-recount prune + needs-frame pin (3ca51fb);
     # training-mix stage hand-off checkpoints (3980fe2)
@@ -37,6 +37,12 @@ FLOOR_RESETS = {
     "q_dedup_minhash": 1786892378,
     "q_dedup_levenshtein_bounded": 1786892378,
     "q_dedup_clusters_bounded": 1786892378,
+    # r13: neutral bench warmup — the two formerly warmed-first ids were
+    # benched as hot SECOND runs through r12, so their floors measure a
+    # different protocol, not a different plan; re-seed under the
+    # symmetric cold-slot conditions every other id always had
+    "q_flagship": 1786915867,
+    "q_tpch_q1": 1786915867,
 }
 
 
@@ -124,12 +130,24 @@ def main() -> None:
             doc = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
-        if f.name == "BENCH_FULL.json":
-            recorded = None  # working tree: always the current plan
-        else:
-            recorded = _commit_time(
-                ["log", "-1", "--format=%ct", "--", f.name]
-            )
+        # one dating rule for every working-tree source (r12 ADVICE): a
+        # file with UNCOMMITTED edits is current-plan data wearing an old
+        # commit date — fresh post-plan-change measurements written into a
+        # previously committed snapshot must not be excluded by
+        # FLOOR_RESETS, so dirty (or untracked) files are undated. A CLEAN
+        # file is byte-identical to its newest blob, so it keeps the
+        # commit date (an undated clean BENCH_FULL.json would smuggle
+        # pre-reset samples past a reset as "current plan").
+        dirty = subprocess.run(
+            ["git", "-C", str(ROOT), "status", "--porcelain", "--", f.name],
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        recorded = (
+            None
+            if dirty
+            else _commit_time(["log", "-1", "--format=%ct", "--", f.name])
+        )
         docs.append((f.stem, doc, recorded))
     minima = collect_minima(docs)
 

@@ -27,6 +27,7 @@ import time
 from pyspark.sql import functions as F
 
 from breweries_case_spark.operators.dedup import (
+    MINHASH_K,
     _docs_with_hashed_shingles,
     _lsh_banded,
     lsh_candidates,
@@ -76,7 +77,7 @@ def main() -> None:
         (
             "distinct-sig (r12)",
             _lsh_banded(
-                sigs.select(*[f"mh{i}" for i in range(16)])
+                sigs.select(*[f"mh{i}" for i in range(MINHASH_K)])
                 .distinct()
                 .withColumn("doc_id", F.monotonically_increasing_id())
             ),

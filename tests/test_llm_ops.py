@@ -66,6 +66,7 @@ def test_lsh_two_tier_matches_single_join_and_bounds_flood(spark, sf_dir):
     """
     from breweries_case_spark.operators.dedup import (
         LSH_BAND_DF_CAP,
+        MINHASH_K,
         _docs_with_hashed_shingles,
         _lsh_banded,
         lsh_candidates,
@@ -98,7 +99,7 @@ def test_lsh_two_tier_matches_single_join_and_bounds_flood(spark, sf_dir):
     assert _pairset(lsh_candidates(sigs, band_df_cap=1 << 62)) == want  # (a)
     assert _pairset(lsh_candidates(sigs)) == want  # production cap lossless
 
-    mh_cols = [f"mh{i}" for i in range(16)]
+    mh_cols = [f"mh{i}" for i in range(MINHASH_K)]
     dist = sigs.select(*mh_cols).distinct().withColumn(
         "doc_id", F.monotonically_increasing_id()
     )
