@@ -214,6 +214,21 @@ CONTAINMENT_THRESHOLD = 0.8
 _NEEDS_BROADCAST_MAX = 1_000_000
 
 
+def broadcast_if_small(
+    df: DataFrame, max_rows: int = _NEEDS_BROADCAST_MAX
+) -> DataFrame:
+    """Size-gated broadcast hint — the _NEEDS_BROADCAST_MAX discipline as
+    a helper (r12 ADVICE, applied family-wide r13): an explicit
+    ``F.broadcast`` does NOT degrade at runtime, so a shard-derived key
+    set that outgrew the driver would fail the job outright instead of
+    falling back to a shuffle. Hint only when a cheap count of the
+    (already materialized — callers checkpoint the parent) frame fits;
+    above the gate return the frame unhinted and let the shuffle
+    semi-join plan run. Used by every incremental maintainer's
+    shard-key probe prune (dedup text, multimodal image/video)."""
+    return F.broadcast(df) if df.count() <= max_rows else df
+
+
 def containment_pairs(
     grams: DataFrame, capped: bool = True, df_cap: int | None = None
 ) -> DataFrame:
@@ -1855,7 +1870,11 @@ def q_dedup_clusters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless on the corpus (deterministic seeds make this a reproducible
     property, verified at sf0.001/0.01/0.1 in tests). A rows/hash mismatch
     here means a J ≥ 0.5 pair escaped BOTH blockers — a recall metric, not
-    a verify/CC bug (see q_dedup_levenshtein_bounded)."""
+    a verify/CC bug (see q_dedup_levenshtein_bounded).
+
+    r13: the pre-collapse group key is a typed (lang, fp) struct and
+    NULL-lang docs stay singleton reps (ADVICE fix — the delimited-string
+    key merged identical NULL-lang docs the edge predicate never joins)."""
     d = spread(load_table(spark, sf_dir, "documents"))
     comps = bounded_component_assignment(d)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -1886,10 +1905,22 @@ def bounded_component_assignment(d: DataFrame) -> DataFrame:
     )
     # group key: (lang, fingerprint) for docs with ≥ 3 tokens (nonempty
     # shingle set ⟹ within-group J = 1 ⟹ genuinely mergeable edges);
-    # sub-3-token docs stay singletons (see docstring)
+    # sub-3-token docs stay singletons (see docstring). Typed STRUCT, not
+    # a delimited string (r12 ADVICE): concat_ws skips NULLs, so two
+    # identical NULL-lang docs would have shared a string key and merged
+    # even though the verified edge predicate (lang_a == lang_b) never
+    # joins NULL langs — NULL-lang docs therefore also take the singleton
+    # branch (k1 is NULL only there, and k2 = doc_id is unique, so
+    # singleton keys can never collide with a real (lang, fp) group).
     gk = F.when(
-        F.col("n_tok") >= 3, F.concat_ws("|", "lang", "fp")
-    ).otherwise(F.concat_ws("|", F.lit("@solo"), F.col("doc_id").cast("string")))
+        (F.col("n_tok") >= 3) & F.col("lang").isNotNull(),
+        F.struct(F.col("lang").alias("k1"), F.col("fp").alias("k2")),
+    ).otherwise(
+        F.struct(
+            F.lit(None).cast("string").alias("k1"),
+            F.col("doc_id").cast("string").alias("k2"),
+        )
+    )
     w = Window.partitionBy("gk")
     members = (
         lean.select("doc_id", gk.alias("gk"))
@@ -1976,7 +2007,12 @@ def incremental_near_candidates(banded, is_shard):
     shard_banded = banded.filter(is_shard)
     shard_buckets = shard_banded.select("band_idx", "band_hash").distinct()
     corpus_hits = banded.filter(~is_shard).join(
-        F.broadcast(shard_buckets), ["band_idx", "band_hash"], "left_semi"
+        # size-gated hint (r13): a daily shard's bucket-key set is tiny,
+        # but an explicit F.broadcast fails rather than degrades if it
+        # ever isn't — above the gate the semi-join runs as a shuffle
+        broadcast_if_small(shard_buckets),
+        ["band_idx", "band_hash"],
+        "left_semi",
     )
     cand = (
         shard_banded.alias("s")

@@ -1566,8 +1566,13 @@ def q_dedup_media_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= BAND_DF_CAP)
         .select("band_idx", "band_val")
     )
+    from breweries_case_spark.operators.dedup import broadcast_if_small
+
     probe = cbands.join(rare, ["band_idx", "band_val"], "left_semi").join(
-        F.broadcast(sbands.select("band_idx", "band_val").distinct()),
+        # size-gated hint (r12 ADVICE, fixed r13): shard band keys are
+        # tiny, but an unconditional F.broadcast fails rather than
+        # degrades if a large delivery's key set outgrows the driver
+        broadcast_if_small(sbands.select("band_idx", "band_val").distinct()),
         ["band_idx", "band_val"],
         "left_semi",
     )
@@ -1723,8 +1728,13 @@ def _hash_cluster_update(
         .filter(F.col("df") <= BAND_DF_CAP)
         .select("band_idx", "band_val")
     )
+    from breweries_case_spark.operators.dedup import broadcast_if_small
+
     probe = cbands.join(rare, ["band_idx", "band_val"], "left_semi").join(
-        F.broadcast(sbands.select("band_idx", "band_val").distinct()),
+        # size-gated hint (r12 ADVICE, fixed r13): shard band keys are
+        # tiny, but an unconditional F.broadcast fails rather than
+        # degrades if a large delivery's key set outgrows the driver
+        broadcast_if_small(sbands.select("band_idx", "band_val").distinct()),
         ["band_idx", "band_val"],
         "left_semi",
     )
@@ -1945,7 +1955,10 @@ def q_dedup_video_cluster_incremental(
     Oracle: the closed-form frame-hash CTEs + TWO recursive fixpoints
     (corpus-only, corpus+shard) over the uncapped shared-count
     relation; a driver red is probe/cap recall loss, not CC logic."""
-    from breweries_case_spark.operators.dedup import connected_components
+    from breweries_case_spark.operators.dedup import (
+        broadcast_if_small,
+        connected_components,
+    )
 
     fp = video_fingerprints(spark, sf_dir).localCheckpoint()
     is_shard = F.col("media_id") % _MEDIA_SHARD_MOD == 0
@@ -1962,7 +1975,8 @@ def q_dedup_video_cluster_incremental(
         .select("hash_hi", "hash_lo")
     )
     probe = corpus_fp.join(rare, ["hash_hi", "hash_lo"], "left_semi").join(
-        F.broadcast(shard_fp.select("hash_hi", "hash_lo").distinct()),
+        # size-gated hint (r12 ADVICE, fixed r13) — see broadcast_if_small
+        broadcast_if_small(shard_fp.select("hash_hi", "hash_lo").distinct()),
         ["hash_hi", "hash_lo"],
         "left_semi",
     )
@@ -2055,6 +2069,8 @@ def q_dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver red is cap/probe recall loss, not a verify bug). At 100 TB
     the set table and the fingerprint postings are the incremental
     state: built once, appended per shard, per-day cost O(shard)."""
+    from breweries_case_spark.operators.dedup import broadcast_if_small
+
     fp = video_fingerprints(spark, sf_dir).localCheckpoint()
     is_shard = F.col("media_id") % _MEDIA_SHARD_MOD == 0
     shard_fp = fp.filter(is_shard).localCheckpoint()
@@ -2090,7 +2106,8 @@ def q_dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_keys = shard_fp.select("hash_hi", "hash_lo").distinct()
     hits = rare_corp.join(
-        F.broadcast(probe_keys), ["hash_hi", "hash_lo"], "left_semi"
+        # size-gated hint (r12 ADVICE, fixed r13) — see broadcast_if_small
+        broadcast_if_small(probe_keys), ["hash_hi", "hash_lo"], "left_semi"
     )
     cand = (
         shard_fp.join(

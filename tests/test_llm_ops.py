@@ -655,3 +655,34 @@ def test_pack_sequences_deterministic(spark, sf_dir):
     a = sorted(map(tuple, q_pack_sequences(spark, sf_dir).collect()))
     b = sorted(map(tuple, q_pack_sequences(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_bounded_assignment_null_lang_stays_singleton(spark):
+    """r12 ADVICE: the pre-collapse group key must not merge NULL-lang
+    docs — the verified edge predicate (lang_a == lang_b) and the cluster
+    oracle's a.lang = b.lang never join NULL langs, so two identical-text
+    NULL-lang docs must keep distinct labels (the old concat_ws key
+    collapsed them via the rep tag). Same-lang identical twins must still
+    collapse to one label, and a '|' inside lang must not collide keys."""
+    from breweries_case_spark.operators.dedup import (
+        bounded_component_assignment,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, None, text),
+        (2, None, text),
+        (3, "en", text),
+        (4, "en", text),
+        # the delimited-string pitfall: lang 'a|' + fp-ish text vs lang
+        # 'a' — typed struct keys cannot collide these
+        (5, "a|", "one two three four five six"),
+        (6, "a", "one two three four five six"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    labels = {
+        r.node: r.label for r in bounded_component_assignment(d).collect()
+    }
+    assert labels[1] != labels[2]  # NULL-lang twins stay apart
+    assert labels[3] == labels[4]  # same-lang twins collapse
+    assert labels[5] != labels[6]  # no cross-lang key collision
