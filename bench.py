@@ -296,6 +296,11 @@ EXTENDED = [
     "q_decontaminate_drift",
     "q_sample_token_budget_quality",
     "q_contamination_by_source",
+    # r13 wave: the incremental IVF maintainer pair (shard assignment +
+    # balance table). The recall certificate (two Lloyd loops by
+    # construction) stays out per the r5 keep-certificates-out rule.
+    "q_sim_ivf_incremental",
+    "q_sim_ivf_maintain",
 ]
 
 

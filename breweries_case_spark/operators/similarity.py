@@ -840,6 +840,247 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "check_name string, value long")
 
 
+#: deterministic daily-shard split for the incremental index maintainer
+#: (the dedup family's % 20 "daily delivery" discipline on vec_id)
+IVF_SHARD_MOD = 20
+
+#: per-cell load fraction above which the maintainer trips a re-train:
+#: 3× the mean cell load (1/IVF_CENTROIDS) — the index still WORKS past
+#: this (assignment stays correct), but probe pruning degrades toward a
+#: scan of the hot cell, which is when production re-clusters
+IVF_REBALANCE_MAX_FRAC = 3.0 / IVF_CENTROIDS
+
+
+def _ivf_assign_q6(vec_col, cents: list[tuple[int, list[float]]]):
+    """Quantized nearest-centroid assignment as a struct column
+    ``(s = 6-dp FLOOR-quantized cosine to the winning centroid, cid)`` —
+    the ``_ivf_assign_expr`` contract with the module's cross-engine
+    float discipline applied BEFORE the argmax: every per-centroid
+    cosine is FLOOR(x·1e6 + 0.5)/1e6-quantized (bit-identical on both
+    engines: the ``_dot`` fold, ``_norm_py``, and DuckDB's sequential
+    ``list_dot_product`` accumulate left-to-right), so the winning cell
+    is a deterministic function of quantized values and a DuckDB oracle
+    can reproduce it exactly (ties break to the larger cid, the expr
+    family's rule). Used by the oracle-HASHED incremental ids; the
+    unquantized expr/GEMM forms stay on the search paths."""
+    norm_v = F.sqrt(_dot(vec_col, vec_col))
+    scored = []
+    for cid, c in cents:
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        cos = _dot(vec_col, clit) / (norm_v * F.lit(_norm_py(c)))
+        q6 = F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        scored.append(F.struct(q6.alias("s"), F.lit(cid).alias("cid")))
+    return F.element_at(F.array_sort(F.array(*scored)), -1)
+
+
+def q_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintainer — the similarity-family analog of
+    the r12 dedup cluster maintainers (VERDICT r12 item 1): a NEW
+    embedding shard (vec_id % 20 == 0, the family's deterministic daily
+    delivery) is assigned to the EXISTING IVF cells without re-clustering
+    the corpus. The stored state is the corpus coarse quantizer
+    (``_ivf_centroids`` over the corpus — at 100 TB a loaded
+    IVF_CENTROIDS-row table, exactly like the dedup maintainers' stored
+    cluster assignment; here derived once as the baseline); the update is
+    ONE narrow no-shuffle pass over the SHARD scoring IVF_CENTROIDS
+    centroids per row — per-day cost O(shard × k), the corpus is never
+    touched. Appending the assigned rows to their cell partitions is the
+    storage step (io/writer's dynamic partition overwrite); re-training
+    is deliberately NOT part of this operator — q_sim_ivf_maintain owns
+    the drift trigger, q_sim_ivf_incremental_recall certifies that
+    serving the stored centroids keeps recall.
+
+    Output: one row per shard vector — (vec_id, cell = winning stored
+    centroid id, cosine = 6-dp quantized cosine to it). Oracle:
+    closed-form SQL (the stored centroids are the 16 lowest-vec_id
+    corpus vectors, so DuckDB re-derives cells + cosines exactly; see
+    ``_ivf_assign_q6`` for the bit-parity argument). This hashed id pins
+    the maintainer's TOPOLOGY and assignment semantics with the seed
+    quantizer stand-in (``_ivf_centroids``'s documented role: centroid
+    quality only moves recall, never the plan);
+    ``q_sim_ivf_incremental_recall`` runs the same maintainer with the
+    TRAINED stored quantizer and certifies its serving recall against a
+    full re-train."""
+    emb = _embeddings_double(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % IVF_SHARD_MOD != 0)
+    cents = _ivf_centroids(corpus)  # stored state: k rows, driver-side
+    best = _ivf_assign_q6(F.col("v"), cents)
+    return (
+        emb.filter(F.col("vec_id") % IVF_SHARD_MOD == 0)
+        .select("vec_id", best.alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.cid").alias("cell"),
+            F.col("_b.s").alias("cosine"),
+        )
+    )
+
+
+def q_sim_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF maintainer DRIFT/BALANCE certificate table — the monitoring
+    row set that decides when q_sim_ivf_incremental's stored centroids
+    must be re-trained: per stored cell, the corpus load (at scale a
+    stored IVF_CENTROIDS-row stats table maintained with the index), the
+    new shard's load, the post-append load and its corpus fraction, and
+    the re-train trigger (post_frac > IVF_REBALANCE_MAX_FRAC = 3× the
+    mean cell load — past that the hot cell's probe degrades toward a
+    scan and production re-clusters; below it the day's delivery is
+    absorbed with zero corpus work). Cells are keyed by the stored
+    centroid ids, so empty cells publish explicit zero rows rather than
+    vanishing — a cell that EMPTIES is drift signal too.
+
+    Plan: two narrow assignment passes (corpus — the in-fixture stand-in
+    for the stored stats table — and shard) → two k-row aggregates → one
+    k-row join; nothing shuffles more than IVF_CENTROIDS rows. Oracle:
+    fully closed-form (cells and loads re-derived in SQL from the same
+    seed-centroid definition)."""
+    emb = _embeddings_double(spark, sf_dir)
+    is_shard = F.col("vec_id") % IVF_SHARD_MOD == 0
+    corpus = emb.filter(~is_shard)
+    cents = _ivf_centroids(corpus)
+    cell_of = _ivf_assign_q6(F.col("v"), cents)["cid"]
+    corpus_loads = (
+        corpus.select(cell_of.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("corpus_n"))
+    )
+    shard_loads = (
+        emb.filter(is_shard)
+        .select(cell_of.alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("shard_n"))
+    )
+    n_total = emb.count()  # fixed-size scalar, like the centroid collect
+    cells = spark.createDataFrame(
+        [(cid,) for cid, _ in cents], "cell long"
+    )
+    post = F.col("corpus_n") + F.col("shard_n")
+    post_frac = F.floor(
+        post.cast("double") / F.lit(float(n_total)) * 1e6 + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        cells.join(corpus_loads, "cell", "left")
+        .join(shard_loads, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("corpus_n", F.lit(0)).alias("corpus_n"),
+            F.coalesce("shard_n", F.lit(0)).alias("shard_n"),
+        )
+        .select(
+            "cell",
+            "corpus_n",
+            "shard_n",
+            post.alias("post_n"),
+            post_frac.alias("post_frac"),
+            (post_frac > F.lit(IVF_REBALANCE_MAX_FRAC))
+            .cast("long")
+            .alias("retrain"),
+        )
+    )
+
+
+#: serving-recall floor for the STORED (trained-before-the-shard)
+#: quantizer: measured 5/6/6 overlap@10 at sf0.001/0.01/0.1 (nprobe 4 of
+#: 16 cells) — one below the fresh-train floor because the query vector
+#: itself arrives with the shard, so yesterday's centroids never saw its
+#: neighborhood. The certificate pins this from degrading further.
+IVF_INCR_OVERLAP_FLOOR = 5
+
+#: max overlap@10 the stored quantizer may forfeit vs a full re-train
+#: before the certificate reds: measured gap 3-4 at every driver sf
+#: (the price of serving yesterday's quantizer at nprobe=4);
+#: q_sim_ivf_maintain's balance trigger bounds how long that price is
+#: paid before a re-train is scheduled.
+IVF_INCR_RETRAIN_SLACK = 5
+
+
+def q_sim_ivf_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certificate for the incremental IVF maintainer vs a FULL
+    RE-TRAIN (VERDICT r12 item 1's second half): the production stored
+    state is the quantizer TRAINED on the corpus before the shard
+    arrived (``ivf_train_centroids(corpus)`` — the trained table
+    q_sim_ivf_trained serves); the shard is absorbed by assignment only,
+    and this certificate bounds what that costs against re-running Lloyd
+    over corpus ∪ shard. Rows ``(check_name, value)``, every one
+    oracle-pinned (the q_sim_ann_recall literal-0 pattern):
+
+    - ``exact_topk_rows``: size of the exact top-k over the post-append
+      index (oracle recomputes LEAST(k, n−1) — the anchor).
+    - ``stored_overlap_deficit``: max(0, IVF_INCR_OVERLAP_FLOOR −
+      |ivf_topk(stored cents) ∩ exact top-k|) — pinned 0: serving
+      yesterday's quantizer keeps the measured absolute floor.
+    - ``retrained_overlap_deficit``: the same deficit at the full-train
+      floor ANN_IVF_OVERLAP_FLOOR for centroids re-trained on
+      corpus ∪ shard — pinned 0 (the re-train baseline is itself sound).
+    - ``retrain_regression_excess``: max(0, overlap_retrained −
+      overlap_stored − IVF_INCR_RETRAIN_SLACK) — pinned 0: the
+      stored-vs-retrained gap (measured 3-4 @ k=10 on every driver sf)
+      cannot silently widen past the slack. This is the recall-vs-
+      re-train bound the maintainer contract promises.
+    - ``stored_hits_outside_probe``: stored-quantizer hits whose cell
+      (re-derived through the independent expr path) is not in the probe
+      set — pinned 0 (the structural cell-prune check).
+    - ``incremental_assign_mismatch``: shard rows where the registered
+      quantized assignment (``_ivf_assign_q6``) and the independent GEMM
+      assignment disagree on the stored centroids while the GEMM top-2
+      margin exceeds 2e-6 (wider than q_sim_ivf_recall's 1e-9 gate
+      because the registered side quantizes to 6 dp before the argmax)
+      — pinned 0."""
+    emb = _embeddings_double(spark, sf_dir).localCheckpoint()
+    qv = _query_vector(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % IVF_SHARD_MOD != 0)
+    stored = ivf_train_centroids(corpus)
+    retrained = ivf_train_centroids(emb)
+    exact = q_sim_topk(spark, sf_dir).select("vec_id").localCheckpoint()
+
+    def overlap(cents: list[tuple[int, list[float]]]) -> int:
+        hits = ivf_topk(emb, qv, exclude_vec_id=QUERY_VEC_ID, cents=cents)
+        return hits.select("vec_id").join(exact, "vec_id", "left_semi").count()
+
+    exact_n = exact.count()
+    ov_stored = overlap(stored)
+    ov_retrained = overlap(retrained)
+    stored_deficit = max(0, IVF_INCR_OVERLAP_FLOOR - ov_stored)
+    retrained_deficit = max(0, ANN_IVF_OVERLAP_FLOOR - ov_retrained)
+    regression = max(0, ov_retrained - ov_stored - IVF_INCR_RETRAIN_SLACK)
+
+    hits = ivf_topk(
+        emb, qv, exclude_vec_id=QUERY_VEC_ID, cents=stored
+    ).localCheckpoint()
+    probes = _ivf_probes(stored, qv, IVF_NPROBE)
+    outside = (
+        hits.join(
+            emb.select(
+                "vec_id", _ivf_assign_expr(F.col("v"), stored).alias("_cell")
+            ),
+            "vec_id",
+        )
+        .filter(~F.col("_cell").isin(probes))
+        .count()
+    )
+
+    mismatch = (
+        emb.filter(F.col("vec_id") % IVF_SHARD_MOD == 0)
+        .withColumn("_g", _ivf_assign_margin_pandas(stored)(F.col("v")))
+        .withColumn("_q", _ivf_assign_q6(F.col("v"), stored)["cid"])
+        .filter(
+            (F.col("_g.cell") != F.col("_q"))
+            & (F.col("_g.margin") > F.lit(2e-6))
+        )
+        .count()
+    )
+
+    rows = [
+        ("exact_topk_rows", exact_n),
+        ("stored_overlap_deficit", stored_deficit),
+        ("retrained_overlap_deficit", retrained_deficit),
+        ("retrain_regression_excess", regression),
+        ("stored_hits_outside_probe", outside),
+        ("incremental_assign_mismatch", mismatch),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
+
+
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalization summary per embedding — the preprocessing step
     every cosine-based ANN index runs first. Emits scalars (norm and the
@@ -1291,6 +1532,9 @@ QUERIES = {
     "q_sim_knn_join_ann": q_sim_knn_join_ann,
     "q_sim_ivf": q_sim_ivf,
     "q_sim_ivf_trained": q_sim_ivf_trained,
+    "q_sim_ivf_incremental": q_sim_ivf_incremental,
+    "q_sim_ivf_maintain": q_sim_ivf_maintain,
+    "q_sim_ivf_incremental_recall": q_sim_ivf_incremental_recall,
     "q_embed_quantize": q_embed_quantize,
     "q_sim_centroid": q_sim_centroid,
     "q_sim_centroid_distance": q_sim_centroid_distance,
@@ -1627,6 +1871,88 @@ ORACLES = {
         UNION ALL SELECT 'assign_gemm_expr_mismatch', 0
         UNION ALL SELECT 'ivf_hits_outside_probe', 0
         UNION ALL SELECT 'ivf_trained_hits_outside_probe', 0
+    """,
+    # incremental IVF maintainer: the stored state (corpus seed
+    # centroids = the IVF_CENTROIDS lowest-vec_id corpus vectors) is
+    # SQL-derivable, so cells, quantized cosines, and loads are all
+    # closed-form — full value hash on both maintainer ids
+    "q_sim_ivf_incremental": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        cents AS (
+            SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id % {IVF_SHARD_MOD} <> 0
+            ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+        scored AS (
+            SELECT s.vec_id, c.cid,
+                   FLOOR(list_dot_product(s.v, c.cv)
+                         / (sqrt(list_dot_product(s.v, s.v))
+                            * sqrt(list_dot_product(c.cv, c.cv)))
+                         * 1e6 + 0.5) / 1e6 AS cos
+            FROM e s CROSS JOIN cents c
+            WHERE s.vec_id % {IVF_SHARD_MOD} = 0)
+        SELECT vec_id, cell, cosine FROM (
+            SELECT vec_id, cid AS cell, cos AS cosine,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid DESC) AS rk
+            FROM scored)
+        WHERE rk = 1
+    """,
+    "q_sim_ivf_maintain": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        cents AS (
+            SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id % {IVF_SHARD_MOD} <> 0
+            ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+        assigned AS (
+            SELECT vec_id, is_shard, cid FROM (
+                SELECT s.vec_id, s.vec_id % {IVF_SHARD_MOD} = 0 AS is_shard,
+                       c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY FLOOR(list_dot_product(s.v, c.cv)
+                                          / (sqrt(list_dot_product(s.v, s.v))
+                                             * sqrt(list_dot_product(c.cv, c.cv)))
+                                          * 1e6 + 0.5) / 1e6 DESC,
+                                    c.cid DESC) AS rk
+                FROM e s CROSS JOIN cents c)
+            WHERE rk = 1),
+        loads AS (
+            SELECT c.cid AS cell,
+                   CAST(COALESCE(SUM(CASE WHEN NOT a.is_shard THEN 1 END), 0)
+                        AS BIGINT) AS corpus_n,
+                   CAST(COALESCE(SUM(CASE WHEN a.is_shard THEN 1 END), 0)
+                        AS BIGINT) AS shard_n
+            FROM cents c LEFT JOIN assigned a ON a.cid = c.cid
+            GROUP BY c.cid),
+        tot AS (SELECT COUNT(*) AS n FROM e)
+        SELECT cell, corpus_n, shard_n,
+               corpus_n + shard_n AS post_n,
+               FLOOR((corpus_n + shard_n) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+                   / 1e6 AS post_frac,
+               CAST(CASE WHEN FLOOR((corpus_n + shard_n) / CAST(n AS DOUBLE)
+                                    * 1e6 + 0.5) / 1e6
+                              > {IVF_REBALANCE_MAX_FRAC}
+                         THEN 1 ELSE 0 END AS BIGINT) AS retrain
+        FROM loads CROSS JOIN tot
+    """,
+    # recall certificate: the anchor is closed-form; the four
+    # deficit/violation counts are literal 0 — the Spark side must land
+    # serving-recall floors for BOTH centroid sets, probe-set
+    # containment, and quantized-vs-GEMM assignment agreement to
+    # hash-match (the q_sim_ann_recall pattern)
+    "q_sim_ivf_incremental_recall": f"""
+        WITH n AS (SELECT COUNT(*) AS c FROM embeddings)
+        SELECT 'exact_topk_rows' AS check_name,
+               CAST(LEAST({TOP_K}, c - 1) AS BIGINT) AS value FROM n
+        UNION ALL SELECT 'stored_overlap_deficit', 0
+        UNION ALL SELECT 'retrained_overlap_deficit', 0
+        UNION ALL SELECT 'retrain_regression_excess', 0
+        UNION ALL SELECT 'stored_hits_outside_probe', 0
+        UNION ALL SELECT 'incremental_assign_mismatch', 0
     """,
     "q_sim_knn_join": f"""
         WITH e AS (
