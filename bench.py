@@ -297,10 +297,12 @@ EXTENDED = [
     "q_sample_token_budget_quality",
     "q_contamination_by_source",
     # r13 wave: the incremental IVF maintainer pair (shard assignment +
-    # balance table). The recall certificate (two Lloyd loops by
-    # construction) stays out per the r5 keep-certificates-out rule.
+    # balance table) and the snapshot-persisted maintainer chain. The
+    # recall certificate (two Lloyd loops by construction) stays out per
+    # the r5 keep-certificates-out rule.
     "q_sim_ivf_incremental",
     "q_sim_ivf_maintain",
+    "q_dedup_cluster_chain_persisted",
 ]
 
 

@@ -1921,6 +1921,179 @@ def q_dedup_cluster_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: state-table bucket count for the persisted maintainer chain: labels
+#: hash into label % _STATE_BUCKETS partitions so a day's update
+#: rewrites only the buckets its touched labels and shard rows land in
+_STATE_BUCKETS = 16
+
+
+def _state_bucket(label_col):
+    return (label_col % _STATE_BUCKETS).cast("string")
+
+
+def _overwrite_changed_buckets(state, changed: set[str], tdir: str) -> None:
+    """Commit a new state version rewriting ONLY the ``changed`` buckets
+    of a (…, sb)-bucketed snapshot table: the buckets that still hold
+    rows are dynamically overwritten; changed buckets the update
+    EMPTIED are dropped with an explicit delete commit (dynamic
+    overwrite only replaces partitions present in the staged frame, so
+    without the delete a drained bucket's old files would silently
+    carry forward — the stale-row bug tests/test_round13_ops pins)."""
+    from breweries_case_spark.io.snapshots import (
+        commit_delete_partitions,
+        commit_overwrite_partitions,
+    )
+
+    kept = state.filter(F.col("sb").isin(sorted(changed)))
+    present = {r.sb for r in kept.select("sb").distinct().collect()}
+    if present:
+        commit_overwrite_partitions(kept, tdir, "sb")
+    emptied = sorted(changed - present)
+    if emptied:
+        commit_delete_partitions(tdir, emptied)
+
+
+def q_dedup_cluster_chain_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two-day maintainer chain with its state PERSISTED through the
+    snapshot log (VERDICT r12 item 2) — q_dedup_cluster_chain's exact
+    semantics, but the 'stored state' is a real ACID table instead of an
+    in-memory frame, turning the O(shard) claim into the production
+    read/write contract:
+
+        v1: state0 (``hash_cluster_assignment`` over the corpus) is
+            COMMITTED to a snapshot table bucketed by
+            label % _STATE_BUCKETS (io/snapshots.py's manifest log).
+        day 1: the maintainer READS v1 back (``read_snapshot``), updates
+            against shard 1, and commits state1 as v2 by dynamically
+            overwriting ONLY the buckets the day touched — old and new
+            buckets of every remapped label plus the shard rows' buckets;
+            untouched buckets carry forward at the manifest level, zero
+            bytes rewritten (a bucket the remap EMPTIES is dropped with
+            ``commit_delete_partitions`` — the overwrite contract's
+            explicit-delete half). The v1→v2 ``snapshot_diff`` IS the
+            label-remap change feed (pinned in tests/test_round13_ops).
+        day 2: the maintainer reads the LATEST snapshot (provably the
+            persisted table — the in-memory state1 is never reused) and
+            updates against shard 2.
+
+    Output and oracle are exactly q_dedup_cluster_chain's (one row per
+    shard medium: media_id, day, final cluster_id, own-day verdict;
+    THREE recursive fixpoints) — a hash match proves the
+    write → carry-forward → read → update cycle loses nothing. Per-day
+    write cost is O(touched buckets), never a corpus rewrite; the
+    scratch table lives in a temp dir and is removed after the (tiny,
+    O(shard)) result materializes — the q_snapshot_changes discipline."""
+    import shutil
+    import tempfile
+
+    from breweries_case_spark.io.snapshots import (
+        commit_overwrite_partitions,
+        read_snapshot,
+    )
+
+    h = (
+        image_hashes(spark, sf_dir)
+        .select(
+            "media_id",
+            F.col("ahash_hi").alias("hash_hi"),
+            F.col("ahash_lo").alias("hash_lo"),
+        )
+        .localCheckpoint()
+    )
+    s1 = h.filter(F.col("media_id") % 40 == 0).localCheckpoint()
+    s2 = h.filter(F.col("media_id") % 40 == 20).localCheckpoint()
+    corpus = h.filter(F.col("media_id") % _MEDIA_SHARD_MOD != 0)
+
+    tdir = tempfile.mkdtemp(prefix="clchainp_")
+    try:
+        state0 = hash_cluster_assignment(corpus)
+        commit_overwrite_partitions(
+            state0.withColumn("sb", _state_bucket(F.col("label"))),
+            tdir,
+            "sb",
+        )  # v1
+        state0_r = (
+            read_snapshot(spark, tdir, version=1)
+            .select("media_id", "label")
+            .localCheckpoint()
+        )
+
+        out1, comps1, labs1 = _hash_cluster_update(corpus, state0_r, s1)
+        out1 = out1.localCheckpoint()
+        remap1 = (
+            comps1.join(labs1, "node")
+            .select(F.col("node").alias("label0"), F.col("label").alias("newl"))
+            .localCheckpoint()
+        )
+        state1 = (
+            state0_r.join(remap1, F.col("label") == F.col("label0"), "left")
+            .select("media_id", F.coalesce("newl", "label").alias("label"))
+            .unionByName(
+                out1.select("media_id", F.col("cluster_id").alias("label"))
+            )
+            .withColumn("sb", _state_bucket(F.col("label")))
+            .localCheckpoint()
+        )
+        # the day's write set: every bucket a remapped label leaves or
+        # enters, plus the shard rows' buckets — bounded by the touched
+        # set, never the corpus (≤ _STATE_BUCKETS values, collected)
+        changed = {
+            r.sb
+            for r in remap1.filter(F.col("label0") != F.col("newl"))
+            .select(_state_bucket(F.col("label0")).alias("sb"))
+            .union(
+                remap1.filter(F.col("label0") != F.col("newl")).select(
+                    _state_bucket(F.col("newl")).alias("sb")
+                )
+            )
+            .union(out1.select(_state_bucket(F.col("cluster_id")).alias("sb")))
+            .distinct()
+            .collect()
+        }
+        # rows whose label was remapped also rewrite their OLD bucket
+        # (they leave it), so the old bucket's surviving rows must be
+        # restaged too — state1 filtered to the changed set covers both
+        _overwrite_changed_buckets(state1, changed, tdir)  # v2 (+delete)
+
+        state1_r = (
+            read_snapshot(spark, tdir)
+            .select("media_id", "label")
+            .localCheckpoint()
+        )
+        out2, comps2, labs2 = _hash_cluster_update(
+            corpus.unionByName(s1), state1_r, s2
+        )
+        remap2 = (
+            comps2.join(labs2, "node")
+            .select(F.col("node").alias("label0"), F.col("label").alias("newl"))
+            .localCheckpoint()
+        )
+        s1_final = (
+            out1.withColumnRenamed("cluster_id", "label")
+            .join(remap2, F.col("label") == F.col("label0"), "left")
+            .select(
+                "media_id",
+                F.lit(1).cast("long").alias("day"),
+                F.coalesce("newl", "label").alias("cluster_id"),
+                "verdict",
+            )
+        )
+        out = s1_final.unionByName(
+            out2.select(
+                "media_id",
+                F.lit(2).cast("long").alias("day"),
+                "cluster_id",
+                "verdict",
+            )
+        )
+        rows = out.collect()  # O(shard); materialize before scratch removal
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
 def q_dedup_video_cluster_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2553,6 +2726,7 @@ QUERIES = {
     "q_dedup_media_incremental": q_dedup_media_incremental,
     "q_dedup_cluster_incremental": q_dedup_cluster_incremental,
     "q_dedup_cluster_chain": q_dedup_cluster_chain,
+    "q_dedup_cluster_chain_persisted": q_dedup_cluster_chain_persisted,
     "q_dedup_video_cluster_incremental": q_dedup_video_cluster_incremental,
     "q_dedup_media_rate": q_dedup_media_rate,
 }
@@ -3033,6 +3207,11 @@ ORACLES["q_dedup_cluster_chain"] = (
         WHERE s.media_id % 40 = 20
     """
 )
+
+# persisted chain: identical output contract — the snapshot round-trip
+# must reproduce the in-memory chain bit for bit, so the SAME three-
+# fixpoint oracle hashes it
+ORACLES["q_dedup_cluster_chain_persisted"] = ORACLES["q_dedup_cluster_chain"]
 
 ORACLES["q_dedup_image_clusters"] = (
     _IMAGE_HASH_CTES.replace("WITH img", "WITH RECURSIVE img", 1)
