@@ -303,6 +303,7 @@ EXTENDED = [
     "q_sim_ivf_incremental",
     "q_sim_ivf_maintain",
     "q_dedup_cluster_chain_persisted",
+    "q_decontaminate_incremental",
 ]
 
 

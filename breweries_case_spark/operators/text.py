@@ -410,6 +410,100 @@ def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: df cap for the STORED corpus gram posting the incremental
+#: decontaminator probes: grams held by more than this many corpus docs
+#: are dropped from the index (the stop-gram guard — a benchmark gram
+#: that common is boilerplate, not leakage, and its posting list is the
+#: Σ df blow-up term; the dedup family's DF_CAP discipline applied to
+#: the contamination index)
+DECON_DF_CAP = 64
+
+#: old/new benchmark split for the incremental maintainer: the stand-in
+#: eval suite (doc_id % 97) divides into the stored half (% 194 == 0)
+#: and the newly-arrived delta (% 97 == 0 but % 194 != 0)
+BENCHMARK_DELTA_MOD = 2 * BENCHMARK_MOD
+
+
+def q_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DECONTAMINATION maintainer (VERDICT r12 item 3) —
+    benchmarks update too: when a NEW benchmark shard arrives, only ITS
+    grams should be probed against the stored corpus gram posting;
+    q_decontaminate's full-corpus re-scan per benchmark change is the
+    batch shape this replaces. Deterministic split: the stand-in eval
+    suite (doc_id % 97) divides into the stored benchmark (% 194 == 0)
+    and the day's delta (% 97 == 0, % 194 ≠ 0).
+
+    Stored state (built once here as the baseline — at 100 TB both are
+    loaded tables, the pipelines/incremental.py discipline):
+
+    - the corpus gram POSTING: distinct (doc_id, gram) over non-benchmark
+      docs, df-capped at DECON_DF_CAP (grams common to more corpus docs
+      than the cap are stop-grams, excluded from the index — this is the
+      maintainer's documented semantic divergence from the uncapped
+      q_decontaminate re-scan, mirrored exactly in the oracle);
+    - the contaminated-id set vs the OLD benchmark.
+
+    The day's work: the delta shard's distinct grams (an eval-suite
+    delta is KBs at any corpus size — broadcast, q_decontaminate's
+    rationale) semi-probe the stored posting; corpus text is never
+    re-tokenized and posting rows not matching a delta gram are never
+    paired. Output: one row per contaminated corpus doc post-update —
+    (doc_id, lang, source, phase), phase = 'stored' (already flagged by
+    the old benchmark; the delta probe owes it nothing) or 'delta'
+    (newly flagged by this delivery). Oracle: the two-fixpoint SQL (old
+    benchmark, old + delta) over the same capped posting."""
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    is_old_bench = F.col("doc_id") % BENCHMARK_DELTA_MOD == 0
+    grams = _ngram_rows(d, 3)
+
+    # stored index stand-in: distinct capped posting over the corpus
+    posting = (
+        grams.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
+        .distinct()
+        .localCheckpoint()
+    )
+    rare = (
+        posting.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= DECON_DF_CAP)
+        .select("g")
+    )
+    capped = posting.join(rare, "g", "left_semi").localCheckpoint()
+
+    old_grams = grams.filter(is_old_bench).select("g").distinct()
+    delta_grams = (
+        grams.filter(is_bench & ~is_old_bench).select("g").distinct()
+    )
+    stored_ids = (
+        capped.join(F.broadcast(old_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_s", F.lit(1))
+    )
+    delta_ids = (
+        capped.join(F.broadcast(delta_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_x", F.lit(1))
+    )
+    return (
+        d.filter(~is_bench)
+        .select("doc_id", "lang", "source")
+        .join(stored_ids, "doc_id", "left")
+        .join(delta_ids, "doc_id", "left")
+        .filter(F.col("_s").isNotNull() | F.col("_x").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("_s").isNotNull(), F.lit("stored"))
+            .otherwise(F.lit("delta"))
+            .alias("phase"),
+        )
+    )
+
+
 def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram language-model fluency score per document:
     for each bigram occurrence (w1, w2), the conditional probability
@@ -2202,6 +2296,7 @@ QUERIES = {
     "q_quality_repetition": q_quality_repetition,
     "q_decontaminate": q_decontaminate,
     "q_decontaminate_drift": q_decontaminate_drift,
+    "q_decontaminate_incremental": q_decontaminate_incremental,
     "q_contamination_by_source": q_contamination_by_source,
     "q_ngram_lm_score": q_ngram_lm_score,
     "q_doc_ngram_topk": q_doc_ngram_topk,
@@ -2775,6 +2870,40 @@ ORACLES = {
         FROM documents d
         LEFT JOIN bstats b ON d.doc_id = b.doc_id
         LEFT JOIN tstats ts ON d.doc_id = ts.doc_id
+    """,
+    # incremental decontamination maintainer: two fixpoints (stored
+    # benchmark, stored + delta) over the SAME df-capped distinct
+    # posting the Spark side probes — phase precedence 'stored' first
+    "q_decontaminate_incremental": rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS tk
+            FROM documents),
+        tg AS (
+            SELECT DISTINCT doc_id,
+                   tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+            FROM t, unnest(generate_series(1, len(tk) - 2)) AS s(i)),
+        post AS (SELECT doc_id, g FROM tg WHERE doc_id % {BENCHMARK_MOD} <> 0),
+        ok AS (SELECT g FROM post GROUP BY g
+               HAVING COUNT(*) <= {DECON_DF_CAP}),
+        pc AS (SELECT p.doc_id, p.g FROM post p JOIN ok USING (g)),
+        oldb AS (SELECT DISTINCT g FROM tg
+                 WHERE doc_id % {BENCHMARK_DELTA_MOD} = 0),
+        newb AS (SELECT DISTINCT g FROM tg
+                 WHERE doc_id % {BENCHMARK_MOD} = 0
+                   AND doc_id % {BENCHMARK_DELTA_MOD} <> 0),
+        stored AS (SELECT DISTINCT doc_id FROM pc
+                   WHERE g IN (SELECT g FROM oldb)),
+        deltac AS (SELECT DISTINCT doc_id FROM pc
+                   WHERE g IN (SELECT g FROM newb))
+        SELECT d.doc_id, d.lang, d.source,
+               CASE WHEN s.doc_id IS NOT NULL THEN 'stored'
+                    ELSE 'delta' END AS phase
+        FROM documents d
+        LEFT JOIN stored s ON s.doc_id = d.doc_id
+        LEFT JOIN deltac x ON x.doc_id = d.doc_id
+        WHERE d.doc_id % {BENCHMARK_MOD} <> 0
+          AND (s.doc_id IS NOT NULL OR x.doc_id IS NOT NULL)
     """,
     "q_decontaminate": r"""
         WITH t AS (

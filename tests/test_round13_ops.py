@@ -128,3 +128,65 @@ def test_chain_persisted_matches_in_memory_chain(spark, sf_dir):
         map(tuple, q_dedup_cluster_chain_persisted(spark, sf_dir).collect())
     )
     assert a == b
+
+
+# ------------------------------------------ incremental decontamination
+
+
+def test_decontaminate_incremental_probe_is_delta_bounded(spark, sf_dir):
+    """The O(delta) property: the day's probe touches only posting rows
+    holding a delta-benchmark gram — a small fraction of the stored
+    posting (the corpus is never re-tokenized; here we pin the contact
+    set is a strict, engaged prune). Also pins phase semantics: 'delta'
+    docs are genuinely NEW flags (none of them is contaminated by the
+    stored benchmark)."""
+    from breweries_case_spark.operators.text import (
+        BENCHMARK_DELTA_MOD,
+        BENCHMARK_MOD,
+        DECON_DF_CAP,
+        _ngram_rows,
+        q_decontaminate_incremental,
+    )
+    from breweries_case_spark.io.reader import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = _ngram_rows(d, 3)
+    posting = grams.filter(F.col("doc_id") % BENCHMARK_MOD != 0).distinct()
+    rare = (
+        posting.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= DECON_DF_CAP)
+        .select("g")
+    )
+    capped = posting.join(rare, "g", "left_semi").localCheckpoint()
+    delta_grams = (
+        grams.filter(
+            (F.col("doc_id") % BENCHMARK_MOD == 0)
+            & (F.col("doc_id") % BENCHMARK_DELTA_MOD != 0)
+        )
+        .select("g")
+        .distinct()
+    )
+    total = capped.count()
+    touched = capped.join(delta_grams, "g", "left_semi").count()
+    assert touched < 0.1 * total  # the prune engages hard
+
+    out = q_decontaminate_incremental(spark, sf_dir).collect()
+    stored = {r.doc_id for r in out if r.phase == "stored"}
+    delta = {r.doc_id for r in out if r.phase == "delta"}
+    assert stored.isdisjoint(delta)
+    old_hits = {
+        r.doc_id
+        for r in capped.join(
+            grams.filter(F.col("doc_id") % BENCHMARK_DELTA_MOD == 0)
+            .select("g")
+            .distinct(),
+            "g",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert stored == old_hits
+    assert delta.isdisjoint(old_hits)
