@@ -304,6 +304,7 @@ EXTENDED = [
     "q_sim_ivf_maintain",
     "q_dedup_cluster_chain_persisted",
     "q_decontaminate_incremental",
+    "q_dedup_text_keeper",
 ]
 
 

@@ -2124,10 +2124,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_text_cluster_incremental(
+def _text_cluster_update(
     spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Incremental TEXT-cluster maintainer (r12) — the
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The q_dedup_text_cluster_incremental body, factored (r13) so the
+    keeper election (q_dedup_text_keeper) can reuse the maintainer's
+    exact update pieces: returns (out = shard verdict rows, comps = the
+    contracted update graph's (node, label) assignment, lab_nodes = the
+    touched stored labels, corpus_assign = the stored corpus state).
+    Semantics and plan are the r12 maintainer's, unchanged — the
     q_dedup_cluster_incremental contraction on the flagship text
     surface: assign a new document shard (doc_id % 20 == 0) to the
     EXISTING near-dup clusters or mint new ids WITHOUT recomputing the
@@ -2246,14 +2251,14 @@ def q_dedup_text_cluster_incremental(
     edges = e_corpus.unionByName(e_shard)
     shard_ids = d.filter(is_shard).select(F.col("doc_id").alias("node"))
     nodes = shard_ids.union(e_corpus.select(F.col("v").alias("node"))).distinct()
-    comps = connected_components(edges, nodes)
+    comps = connected_components(edges, nodes).localCheckpoint()
     lab_nodes = e_corpus.select(F.col("v").alias("node")).distinct()
     comp_corpus = (
         comps.join(lab_nodes, "node")
         .groupBy("label")
         .agg(F.countDistinct("node").alias("n_corpus"))
     )
-    return (
+    out = (
         shard_ids.withColumnRenamed("node", "doc_id")
         .join(comps.withColumnRenamed("node", "doc_id"), "doc_id")
         .join(comp_corpus, "label", "left")
@@ -2264,6 +2269,104 @@ def q_dedup_text_cluster_incremental(
             .when(F.col("n_corpus") == 1, F.lit("attached"))
             .otherwise(F.lit("merged"))
             .alias("verdict"),
+        )
+    )
+    return out, comps, lab_nodes, corpus_assign
+
+
+def q_dedup_text_cluster_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental TEXT-cluster maintainer (r12; body factored r13 as
+    ``_text_cluster_update`` for the keeper election, and the (lang, md5)
+    pre-collapse key typed per the r12 ADVICE fix) — the
+    q_dedup_cluster_incremental contraction on the flagship text
+    surface: assign a new document shard (doc_id % 20 == 0) to the
+    EXISTING near-dup clusters or mint new ids WITHOUT recomputing the
+    corpus CC fixpoint. The stored state is the flagship pipeline's own
+    assignment over the corpus (``bounded_component_assignment`` — at
+    100 TB this table is loaded, not recomputed; here built once as the
+    baseline); the update graph contracts every stored cluster to its
+    label node and one O(shard) min-label CC reproduces the
+    full-recompute fixpoint restricted to shard-touched components (the
+    full argument lives on ``_text_cluster_update``).
+
+    Output: one row per shard doc — (doc_id, cluster_id = the
+    post-update fixpoint label, verdict 'attached'/'merged'/'new').
+    Oracle: the exact 3-gram Jaccard pair CTEs + TWO recursive
+    fixpoints (corpus-only stored state, full corpus+shard ground
+    truth) — label equality proves the contraction loses nothing; a
+    driver red is blocker/probe recall loss (the flagship's
+    driver-red contract), not CC logic."""
+    out, _comps, _labs, _state = _text_cluster_update(spark, sf_dir)
+    return out
+
+
+def q_dedup_text_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEPER election over the text maintainer's updated clusters
+    (VERDICT r12 item 6 — media clusters have keeper policies, text
+    clusters did not): after q_dedup_text_cluster_incremental assigns a
+    shard, which doc survives each shard-touched cluster? Election
+    order: quality_bin DESC (the gate's bin — curation keeps the
+    cleanest copy), n_chars DESC, md5(doc_id) ASC (the layout-free
+    tiebreak discipline of q_curriculum_order's order_key). Members of
+    an updated cluster are its shard arrivals plus the corpus members
+    of every stored cluster it absorbed — recovered WITHOUT touching
+    the corpus fixpoint: stored labels in the touched set remap through
+    the contracted update graph, and their members come from the stored
+    assignment table (O(touched) rows; the corpus is read only through
+    its stored state, the maintainer's own discipline).
+
+    Output: one row per shard-touched cluster — (cluster_id,
+    cluster_size, keeper_doc_id, keeper_quality_bin, keeper_in_shard).
+    One rank window over O(shard-touched members) rows. Oracle: the
+    full recursive fixpoint restricted to clusters containing a shard
+    doc + the same quality-bin expression and election window — keeper
+    identity proves the maintainer's member recovery AND the election
+    order agree with ground truth."""
+    from breweries_case_spark.operators.text import gate_scored
+
+    out, comps, lab_nodes, corpus_assign = _text_cluster_update(
+        spark, sf_dir
+    )
+    remap = comps.join(lab_nodes, "node").select(
+        F.col("node").alias("label0"), F.col("label").alias("newl")
+    )
+    corpus_members = (
+        corpus_assign.join(remap, F.col("label") == F.col("label0"))
+        .select(F.col("node").alias("doc_id"), F.col("newl").alias("cluster_id"))
+    )
+    members = corpus_members.unionByName(out.select("doc_id", "cluster_id"))
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        members.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .join(
+            gate_scored(docs).select("doc_id", "quality_bin"),
+            "doc_id",
+            "left",
+        )
+        .withColumn("_mk", F.md5(F.col("doc_id").cast("string")))
+    )
+    w = Window.partitionBy("cluster_id")
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("quality_bin").desc_nulls_last(),
+            F.col("n_chars").desc(),
+            F.col("_mk").asc(),
+        )
+    )
+    return (
+        m.withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("quality_bin").alias("keeper_quality_bin"),
+            (F.col("doc_id") % _SHARD_MOD == 0).cast("long").alias(
+                "keeper_in_shard"
+            ),
         )
     )
 
@@ -2291,6 +2394,7 @@ QUERIES = {
     "q_dedup_filtered_corpus": q_dedup_filtered_corpus,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_text_cluster_incremental": q_dedup_text_cluster_incremental,
+    "q_dedup_text_keeper": q_dedup_text_keeper,
 }
 
 # exact containment ground truth — shared verbatim by the uncapped
@@ -2668,3 +2772,61 @@ ORACLES = {
         WHERE f.doc_id % 20 = 0
     """,
 }
+
+# text-keeper election: the full fixpoint restricted to shard-touched
+# clusters + the gate's quality-bin expression (q_quality_gate's oracle
+# formula verbatim) + the (bin DESC, n_chars DESC, md5) election window
+from breweries_case_spark.operators.text import QG_SCALE as _QG_SCALE  # noqa: E402
+
+_KEEPER_QBIN_SQL = rf"""CASE
+        WHEN len(string_split_regex(trim(d.text), '\s+')) > 0
+         AND length(d.text) > 0
+        THEN CAST(FLOOR((
+                 len(regexp_extract_all(d.text,
+                         '\b(the|a|of|is|and|to|in)\b'))
+                     / len(string_split_regex(trim(d.text), '\s+')) * 0.5
+                 + len(regexp_extract_all(d.text, '[^\w\s]'))
+                     / length(d.text) * -0.25
+                 + length(d.text)
+                     / len(string_split_regex(trim(d.text), '\s+')) * 0.05)
+                 * {_QG_SCALE}) AS BIGINT)
+        END"""
+
+ORACLES["q_dedup_text_keeper"] = (
+    _NGRAM_JACCARD_CTES.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + rf"""
+        , fedges AS (
+            SELECT doc_a AS u, doc_b AS v FROM true_pairs
+            UNION SELECT doc_b, doc_a FROM true_pairs),
+        freach(u, l) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.u, r.l FROM fedges e JOIN freach r ON e.v = r.u),
+        flbl AS (
+            SELECT u AS doc_id, MIN(l) AS cluster_id FROM freach GROUP BY u),
+        touched AS (
+            SELECT DISTINCT cluster_id FROM flbl
+            WHERE doc_id % {_SHARD_MOD} = 0),
+        mem AS (
+            SELECT f.doc_id, f.cluster_id, d.n_chars,
+                   {_KEEPER_QBIN_SQL} AS quality_bin,
+                   md5(CAST(f.doc_id AS VARCHAR)) AS mk
+            FROM flbl f JOIN touched USING (cluster_id)
+            JOIN documents d USING (doc_id)),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY quality_bin DESC NULLS LAST,
+                                n_chars DESC, mk ASC) AS rk,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM mem)
+        SELECT cluster_id,
+               CAST(cluster_size AS BIGINT) AS cluster_size,
+               doc_id AS keeper_doc_id,
+               quality_bin AS keeper_quality_bin,
+               CAST(CASE WHEN doc_id % {_SHARD_MOD} = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS keeper_in_shard
+        FROM ranked WHERE rk = 1
+    """
+)

@@ -190,3 +190,42 @@ def test_decontaminate_incremental_probe_is_delta_bounded(spark, sf_dir):
     }
     assert stored == old_hits
     assert delta.isdisjoint(old_hits)
+
+
+# ----------------------------------------------------- text keeper election
+
+
+def test_text_keeper_elects_a_member_per_updated_cluster(spark, sf_dir):
+    """One keeper per shard-touched cluster; the keeper is one of that
+    cluster's members (shard arrivals ∪ absorbed stored members), sizes
+    cover every member exactly once, and keeper_in_shard agrees with the
+    shard predicate."""
+    from breweries_case_spark.operators.dedup import (
+        _SHARD_MOD,
+        _text_cluster_update,
+        q_dedup_text_keeper,
+    )
+
+    out, comps, lab_nodes, corpus_assign = _text_cluster_update(
+        spark, sf_dir
+    )
+    remap = comps.join(lab_nodes, "node").select(
+        F.col("node").alias("label0"), F.col("label").alias("newl")
+    )
+    members = {}
+    for r in (
+        corpus_assign.join(remap, F.col("label") == F.col("label0"))
+        .select(F.col("node").alias("doc_id"), F.col("newl").alias("cid"))
+        .unionByName(
+            out.select("doc_id", F.col("cluster_id").alias("cid"))
+        )
+        .collect()
+    ):
+        members.setdefault(r.cid, set()).add(r.doc_id)
+
+    keepers = q_dedup_text_keeper(spark, sf_dir).collect()
+    assert {k.cluster_id for k in keepers} == set(members)
+    for k in keepers:
+        assert k.keeper_doc_id in members[k.cluster_id]
+        assert k.cluster_size == len(members[k.cluster_id])
+        assert k.keeper_in_shard == int(k.keeper_doc_id % _SHARD_MOD == 0)
