@@ -305,6 +305,7 @@ EXTENDED = [
     "q_dedup_cluster_chain_persisted",
     "q_decontaminate_incremental",
     "q_dedup_text_keeper",
+    "q_quality_curve_drift",
 ]
 
 

@@ -2182,6 +2182,85 @@ def q_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_curve_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-CURVE drift report (VERDICT r12 item 7) — the
+    q_quality_token_curve planning curve computed per deterministic
+    corpus half (doc_id parity, the q_decontaminate_drift population
+    split) with signed per-bucket deltas: the monitoring row a mix owner
+    reads to catch "did today's delivery get worse BEFORE it entered the
+    mix" — a delivery whose even half retains materially fewer tokens at
+    the planned cutoff than its odd twin shifted the quality
+    distribution, not just the volume. Score, bucketing (QC_SCALE) and
+    the FLOOR-quantized retained fraction are EXACTLY the registered
+    curve's, so this id drifts iff q_quality_token_curve would.
+
+    Output: one row per score bucket present in either half —
+    docs/tokens per half, each half's cumulative retained fraction at
+    that bucket (guarded 0 for an empty half), and retained_drift =
+    frac_even − frac_odd (6-dp re-quantized, the decontaminate_drift
+    discipline).
+
+    Plan: ONE scan + map-side-combined conditional aggregate to the tiny
+    bucket summary; all four cumulative/total windows run over that
+    summary only (~tens of rows at any corpus size) — the report adds
+    zero corpus-sized work to the curve's own topology."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_ws_tokens(F.col("text")))
+    n_chars = F.length(F.col("text"))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(F.col("text"), F.lit(EN_MARKERS))
+    score = (
+        (n_stop / n_tok) * 0.5
+        + (n_punct / n_chars) * -0.25
+        + (n_chars / n_tok) * 0.05
+    )
+    even = F.col("doc_id") % 2 == 0
+    per_doc = d.filter((n_tok > 0) & (n_chars > 0)).select(
+        F.floor(score * QC_SCALE).cast("long").alias("score_bucket"),
+        n_tok.cast("long").alias("n_tok"),
+        even.alias("ev"),
+    )
+    summary = per_doc.groupBy("score_bucket").agg(
+        F.sum(F.col("ev").cast("long")).alias("n_docs_even"),
+        F.sum(F.when(F.col("ev"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+            "tokens_even"
+        ),
+        F.sum((~F.col("ev")).cast("long")).alias("n_docs_odd"),
+        F.sum(F.when(~F.col("ev"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+            "tokens_odd"
+        ),
+    )
+    w_cum = Window.orderBy(F.col("score_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def frac(col):
+        tot = F.sum(col).over(w_all)
+        return F.when(
+            tot > 0,
+            q6(F.sum(col).over(w_cum).cast("double") / tot.cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    fe = frac("tokens_even")
+    fo = frac("tokens_odd")
+    return summary.select(
+        "score_bucket",
+        "n_docs_even",
+        "tokens_even",
+        fe.alias("retained_frac_even"),
+        "n_docs_odd",
+        "tokens_odd",
+        fo.alias("retained_frac_odd"),
+        q6(fe - fo).alias("retained_drift"),
+    )
+
+
 #: gate bin width (finer than the planning curve's QC_SCALE — the gate
 #: needs bin-level rank resolution, the curve needs readable buckets)
 QG_SCALE = 1000
@@ -2279,6 +2358,7 @@ QUERIES = {
     "q_bpe_drift_report": q_bpe_drift_report,
     "q_bpe_compression": q_bpe_compression,
     "q_quality_token_curve": q_quality_token_curve,
+    "q_quality_curve_drift": q_quality_curve_drift,
     "q_quality_gate": q_quality_gate,
     "q_quality_gate_by_lang": q_quality_gate_by_lang,
     "q_vocab_coverage": q_vocab_coverage,
@@ -2609,6 +2689,68 @@ ORACLES = {
                      / SUM(bucket_tokens) OVER ()
                      * 1e6 + 0.5) / 1e6 AS retained_frac
         FROM summary
+    """,
+    # curve drift: the token-curve formula per doc_id-parity half +
+    # guarded per-half cumulative fractions + 6-dp re-quantized delta
+    "q_quality_curve_drift": rf"""
+        WITH per_doc AS (
+            SELECT CAST(FLOOR((
+                       len(regexp_extract_all(text,
+                               '\b(the|a|of|is|and|to|in)\b'))
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.5
+                       + len(regexp_extract_all(text, '[^\w\s]'))
+                           / length(text) * -0.25
+                       + length(text)
+                           / len(string_split_regex(trim(text), '\s+'))
+                           * 0.05) * {QC_SCALE}) AS BIGINT)
+                       AS score_bucket,
+                   CAST(len(string_split_regex(trim(text), '\s+'))
+                        AS BIGINT) AS n_tok,
+                   doc_id % 2 = 0 AS ev
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) > 0
+              AND length(text) > 0),
+        summary AS (
+            SELECT score_bucket,
+                   CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_even,
+                   CAST(SUM(CASE WHEN ev THEN n_tok ELSE 0 END) AS BIGINT)
+                       AS tokens_even,
+                   CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_docs_odd,
+                   CAST(SUM(CASE WHEN ev THEN 0 ELSE n_tok END) AS BIGINT)
+                       AS tokens_odd
+            FROM per_doc GROUP BY 1),
+        c AS (
+            SELECT *,
+                   SUM(tokens_even) OVER (
+                       ORDER BY score_bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_e,
+                   SUM(tokens_even) OVER () AS tot_e,
+                   SUM(tokens_odd) OVER (
+                       ORDER BY score_bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_o,
+                   SUM(tokens_odd) OVER () AS tot_o
+            FROM summary),
+        f AS (
+            SELECT *,
+                   CASE WHEN tot_e > 0
+                        THEN FLOOR(cum_e / CAST(tot_e AS DOUBLE)
+                                   * 1e6 + 0.5) / 1e6
+                        ELSE 0.0 END AS retained_frac_even,
+                   CASE WHEN tot_o > 0
+                        THEN FLOOR(cum_o / CAST(tot_o AS DOUBLE)
+                                   * 1e6 + 0.5) / 1e6
+                        ELSE 0.0 END AS retained_frac_odd
+            FROM c)
+        SELECT score_bucket, n_docs_even, tokens_even, retained_frac_even,
+               n_docs_odd, tokens_odd, retained_frac_odd,
+               FLOOR((retained_frac_even - retained_frac_odd) * 1e6 + 0.5)
+                   / 1e6 AS retained_drift
+        FROM f
     """,
     # cross-source contamination: same gram generation as the chunk
     # oracle (1-indexed list_slice over an unnested series); DuckDB's
