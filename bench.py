@@ -306,6 +306,8 @@ EXTENDED = [
     "q_decontaminate_incremental",
     "q_dedup_text_keeper",
     "q_quality_curve_drift",
+    "q_embed_stats_incremental",
+    "q_tfidf_incremental",
 ]
 
 

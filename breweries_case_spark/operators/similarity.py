@@ -1268,6 +1268,69 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dim_moment_partials(emb: DataFrame) -> DataFrame:
+    """Per-dimension MERGEABLE moment partials — the stored form of
+    q_embed_dim_stats' aggregation state: (pos, n, min_x, max_x,
+    s1 = Σ decimal-quantized x, s2 = Σ decimal-quantized x²). Decimal
+    sums of per-value-quantized addends are exact, hence associative:
+    partials computed over any corpus split merge by plain addition to
+    the single-pass values — the property the incremental id's oracle
+    pins bit-for-bit."""
+    ex = emb.select(F.posexplode(F.col("v")).alias("pos", "x"))
+    return ex.groupBy(F.col("pos").cast("int").alias("pos")).agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.sum(F.col("x").cast("decimal(18,6)")).alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,6)")).alias("s2"),
+    )
+
+
+def q_embed_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-space profile (r13 — the mergeable-state
+    discipline on the feature-store surface): the per-dimension stats
+    table is maintained from STORED moment partials (a 64-row table
+    computed once over the corpus — ``_dim_moment_partials``) merged
+    with the new shard's partials, instead of re-scanning the corpus per
+    delivery. min/max combine by least/greatest; counts and the
+    decimal-quantized Σx / Σx² add EXACTLY (per-value quantization makes
+    the decimal sum associative), so the merged mean/variance are
+    bit-identical to a full recompute — which is exactly what the
+    oracle checks: this id registers against q_embed_dim_stats' oracle
+    (one-pass recompute over corpus ∪ shard), so a hash match IS the
+    mergeability proof. Per-day cost: one shard scan + a 64-row join;
+    publishing divides and quantizes at read time (``decimal_avg``'s
+    exact expression), never storing a rounded intermediate."""
+    emb = _embeddings_double(spark, sf_dir)
+    is_shard = F.col("vec_id") % IVF_SHARD_MOD == 0
+    stored = _dim_moment_partials(emb.filter(~is_shard)).localCheckpoint()
+    delta = _dim_moment_partials(emb.filter(is_shard))
+    c, s = stored.alias("c"), delta.alias("s")
+    zero = F.lit(0).cast("decimal(18,6)")
+    n = F.coalesce(F.col("c.n"), F.lit(0)) + F.coalesce(F.col("s.n"), F.lit(0))
+    total1 = (
+        F.coalesce(F.col("c.s1"), zero) + F.coalesce(F.col("s.s1"), zero)
+    ).cast("double")
+    total2 = (
+        F.coalesce(F.col("c.s2"), zero) + F.coalesce(F.col("s.s2"), zero)
+    ).cast("double")
+    p = F.lit(1e6)
+    mean = F.floor(total1 / n * p + F.lit(0.5)) / p
+    ex2 = F.floor(total2 / n * p + F.lit(0.5)) / p
+    var = F.floor((ex2 - mean * mean) * p + F.lit(0.5)) / p
+    return (
+        c.join(s, "pos", "full_outer")
+        .select(
+            "pos",
+            n.alias("n"),
+            F.least(F.col("c.min_x"), F.col("s.min_x")).alias("min_x"),
+            F.greatest(F.col("c.max_x"), F.col("s.max_x")).alias("max_x"),
+            mean.cast("double").alias("mean_x"),
+            var.alias("var_x"),
+        )
+    )
+
+
 #: principal components kept by the PCA projection
 PCA_K = 8
 
@@ -1540,6 +1603,7 @@ QUERIES = {
     "q_sim_centroid_distance": q_sim_centroid_distance,
     "q_decontaminate_semantic": q_decontaminate_semantic,
     "q_embed_dim_stats": q_embed_dim_stats,
+    "q_embed_stats_incremental": q_embed_stats_incremental,
     "q_embed_pca": q_embed_pca,
     "q_embed_pca_invariants": q_embed_pca_invariants,
     "q_hybrid_search": q_hybrid_search,
@@ -1974,3 +2038,8 @@ ORACLES = {
         WHERE rank <= {KNN_K}
     """,
 }
+
+# incremental embed stats: the merged partials must be bit-identical to
+# the one-pass recompute — same oracle as the batch id IS the
+# mergeability proof
+ORACLES["q_embed_stats_incremental"] = ORACLES["q_embed_dim_stats"]

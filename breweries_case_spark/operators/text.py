@@ -156,6 +156,84 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic daily-shard split for the incremental text-index ids
+#: (the dedup family's % 20 "daily delivery" discipline on doc_id)
+TEXT_SHARD_MOD = 20
+
+
+def q_tfidf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TF-IDF index maintainer (r13 — the stored-index
+    discipline on the retrieval surface): score a NEW document shard
+    (doc_id % 20 == 0) under the post-append index WITHOUT re-scoring or
+    re-counting the corpus. Stored state (built once here as the
+    baseline; at scale loaded tables): the corpus document-frequency
+    table (term → df, the vocabulary — small at any corpus size) and
+    the corpus doc count. The day's work: tokenize the SHARD only →
+    shard tf → the shard's per-term df delta → merge df by plain
+    addition (term-keyed full-outer join on the vocabulary; counts over
+    disjoint doc sets add exactly) → one join scoring the shard's
+    (doc, term) rows with tf · (N_corpus + N_shard) / df_merged —
+    q_tfidf's ratio-idf formula under the updated index.
+
+    Output: q_tfidf's row shape restricted to shard docs, with df and N
+    the POST-update values. Oracle: closed-form — the full-corpus
+    tf/df/N recompute filtered to shard docs; equality proves the
+    merged index is exactly the recomputed one (mergeable-count
+    argument), not approximately."""
+    d = load_table(spark, sf_dir, "documents")
+    is_shard = F.col("doc_id") % TEXT_SHARD_MOD == 0
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+
+    # stored state stand-ins: corpus df table + corpus doc count
+    stored_df = (
+        toks.filter(~is_shard)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df_c"))
+        .localCheckpoint()
+    )
+    n_c = d.filter(~is_shard).agg(
+        F.count("*").cast("double").alias("_n_c")
+    )
+
+    shard_tf = (
+        toks.filter(is_shard)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    delta_df = shard_tf.groupBy("term").agg(F.count("*").alias("df_s"))
+    n_s = d.filter(is_shard).agg(F.count("*").cast("double").alias("_n_s"))
+    merged = stored_df.join(delta_df, "term", "full_outer").select(
+        "term",
+        (
+            F.coalesce("df_c", F.lit(0)) + F.coalesce("df_s", F.lit(0))
+        ).alias("df"),
+    )
+    tfidf = (
+        F.col("tf").cast("double")
+        * (F.col("_n_c") + F.col("_n_s"))
+        / F.col("df").cast("double")
+    )
+    return (
+        shard_tf.join(merged, "term")
+        .crossJoin(F.broadcast(n_c))
+        .crossJoin(F.broadcast(n_s))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(tfidf, 6).alias("tfidf_ratio"),
+        )
+    )
+
+
 @F.pandas_udf(T.LongType())
 def _textlen_udf(s: pd.Series) -> pd.Series:
     # nullable Int64 extension dtype: None text → NULL length (matching
@@ -2372,6 +2450,7 @@ QUERIES = {
     "q_quality_score": q_quality_score,
     "q_fingerprint": q_fingerprint,
     "q_tfidf": q_tfidf,
+    "q_tfidf_incremental": q_tfidf_incremental,
     "q_pandas_udf_textlen": q_pandas_udf_textlen,
     "q_quality_repetition": q_quality_repetition,
     "q_decontaminate": q_decontaminate,
@@ -2932,6 +3011,26 @@ ORACLES = {
                ROUND(CAST(tf.tf AS DOUBLE) * n.n_docs / CAST(dfreq.df AS DOUBLE),
                      6) AS tfidf_ratio
         FROM tf JOIN dfreq USING (term), n
+    """,
+    # incremental TF-IDF: the merged stored-index must equal the full
+    # recompute — same tf/df/N CTEs as q_tfidf, rows filtered to the
+    # shard (the maintainer's output grain)
+    "q_tfidf_incremental": rf"""
+        WITH toks AS (
+            SELECT doc_id, t.term
+            FROM documents,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+            WHERE t.term <> ''),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               ROUND(CAST(tf.tf AS DOUBLE) * n.n_docs / CAST(dfreq.df AS DOUBLE),
+                     6) AS tfidf_ratio
+        FROM tf JOIN dfreq USING (term), n
+        WHERE tf.doc_id % {TEXT_SHARD_MOD} = 0
     """,
     "q_token_count": r"""
         SELECT doc_id,

@@ -41,8 +41,8 @@ FLOOR_RESETS = {
     # benched as hot SECOND runs through r12, so their floors measure a
     # different protocol, not a different plan; re-seed under the
     # symmetric cold-slot conditions every other id always had
-    "q_flagship": 1786915867,
-    "q_tpch_q1": 1786915867,
+    "q_flagship": 1786915881,
+    "q_tpch_q1": 1786915881,
 }
 
 
