@@ -218,6 +218,9 @@ NESTED_LOOP_OK = {
     "q_profile_drift",  # 1-row × 1-row scalar crossJoin of two profiles
     "q_bpe_merge_apply",  # 1-row winning-pair scalar crossJoin
     "q_mix_temperature",  # 1-row normalizer-scalars crossJoin
+    # q_tfidf's 1-row corpus-count scalar, split into the stored (N_c)
+    # and delta (N_s) 1-row scalars the incremental index maintains
+    "q_tfidf_incremental",
     "q_quality_gate",  # 1-row cutoff-bin scalar crossJoin
     "q_mix_epochs",  # 1-row largest-source scalar crossJoin
     # composite inherits q_quality_gate's 1-row cutoff crossJoin and
@@ -253,6 +256,9 @@ GLOBAL_WINDOW_OK = {
     # only its per-(lang,tok) input is checkpointed)
     "q_bpe_oov_report",
     "q_quality_token_curve",
+    # the curve's DESC cumulative windows per parity half — same
+    # value-bounded bucket summary, four windows instead of two
+    "q_quality_curve_drift",
     "q_curriculum_order",
     "q_training_mix_v2",
     # curriculum_stage_table's DESC cumulative window over the
