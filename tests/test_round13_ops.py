@@ -229,3 +229,33 @@ def test_text_keeper_elects_a_member_per_updated_cluster(spark, sf_dir):
         assert k.keeper_doc_id in members[k.cluster_id]
         assert k.cluster_size == len(members[k.cluster_id])
         assert k.keeper_in_shard == int(k.keeper_doc_id % _SHARD_MOD == 0)
+
+
+# ----------------------------------------------------- plan budget pins
+
+
+def test_r13_exchange_budgets(spark, sf_dir):
+    """Shuffle-exchange budgets for the r13 maintainers (the
+    test_round9_ops discipline; counts pin 'Exchange hashpartitioning'
+    so broadcast/reused exchanges don't inflate them). The headline pin:
+    the IVF shard assignment is a ZERO-shuffle narrow pass — the whole
+    point of assigning against a stored quantizer."""
+    from breweries_case_spark.operators.similarity import (
+        q_embed_stats_incremental,
+        q_sim_ivf_incremental,
+        q_sim_ivf_maintain,
+    )
+    from breweries_case_spark.operators.text import q_tfidf_incremental
+
+    budgets = [
+        (q_sim_ivf_incremental, 0),
+        (q_sim_ivf_maintain, 2),
+        (q_embed_stats_incremental, 2),
+        (q_tfidf_incremental, 4),
+    ]
+    for fn, budget in budgets:
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= budget, (fn.__name__, n, budget)
