@@ -308,6 +308,8 @@ EXTENDED = [
     "q_quality_curve_drift",
     "q_embed_stats_incremental",
     "q_tfidf_incremental",
+    "q_quality_gate_incremental",
+    "q_bm25_incremental",
 ]
 
 

@@ -1125,6 +1125,99 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintainer (r13 — completes the
+    stored-index family beside q_tfidf_incremental): score a NEW
+    document shard (doc_id % 20 == 0) against the fixed query-term set
+    under the POST-append index without re-tokenizing the corpus.
+    Stored state (in-fixture stand-ins for loaded tables): the corpus
+    scalars (N, Σdl — both integer counts, so they merge with the
+    shard's by exact addition; avgdl divides at read time) and the
+    per-query-term corpus df table (|BM25_TERMS| rows). The day's work:
+    tokenize the SHARD, add its df delta and scalar deltas, and run
+    q_text_bm25's exact scoring expression (9-dp-requantized idf,
+    6-dp-requantized per-term contributions, decimal final sum) over
+    the shard's (doc, term) hits only.
+
+    Output: q_text_bm25's row shape restricted to shard docs. Oracle:
+    the shared BM25 CTE chain over ALL documents, filtered to the shard
+    — equality proves the merged (N, avgdl, df) equal the full
+    recompute bit for bit (integer merges; one double division)."""
+    d = load_table(spark, sf_dir, "documents")
+    is_shard = F.col("doc_id") % TEXT_SHARD_MOD == 0
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    docs = d.select("doc_id", tk.alias("tk")).select(
+        "doc_id", "tk", F.size("tk").alias("dl")
+    )
+
+    def term_tf(pop):
+        return (
+            pop.select("doc_id", "dl", F.explode("tk").alias("term"))
+            .filter(F.col("term").isin(*BM25_TERMS))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    corpus_docs = docs.filter(~is_shard)
+    stored_scalars = corpus_docs.agg(
+        F.count("*").alias("_n_c"), F.sum("dl").alias("_s_c")
+    ).localCheckpoint()
+    stored_df = (
+        term_tf(corpus_docs)
+        .groupBy("term")
+        .agg(F.count("*").alias("df_c"))
+        .localCheckpoint()
+    )
+
+    shard_docs = docs.filter(is_shard)
+    shard_scalars = shard_docs.agg(
+        F.count("*").alias("_n_s"), F.sum("dl").alias("_s_s")
+    )
+    shard_tf = term_tf(shard_docs)
+    delta_df = shard_tf.groupBy("term").agg(F.count("*").alias("df_s"))
+    merged_df = stored_df.join(delta_df, "term", "full_outer").select(
+        "term",
+        (
+            F.coalesce("df_c", F.lit(0)) + F.coalesce("df_s", F.lit(0))
+        ).alias("df"),
+    )
+    stats = (
+        stored_scalars.crossJoin(F.broadcast(shard_scalars))
+        .select(
+            (F.col("_n_c") + F.col("_n_s")).cast("double").alias("_n_docs"),
+            (
+                (
+                    F.coalesce("_s_c", F.lit(0))
+                    + F.coalesce("_s_s", F.lit(0))
+                ).cast("double")
+                / (F.col("_n_c") + F.col("_n_s"))
+            ).alias("_avgdl"),
+        )
+    )
+    idf_raw = F.log(
+        (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    idf = F.floor(idf_raw * 1e9 + F.lit(0.5)) / 1e9
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl")
+    )
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom
+    per_term = (
+        shard_tf.join(F.broadcast(merged_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (F.floor(contrib * 1e6 + F.lit(0.5)) / 1e6).alias("c"),
+        )
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.count("*").alias("n_hit_terms"),
+        F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("bm25"),
+    )
+
+
 #: heavy-hitter threshold: tokens with count > n_tokens / HH_K (0.5%)
 HH_K = 200
 #: Misra-Gries summary size — MUST exceed HH_K: the mergeable-MG
@@ -2370,6 +2463,69 @@ def gate_scored(d: DataFrame) -> DataFrame:
     )
 
 
+def q_quality_gate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental quality-gate CUTOFF maintainer (r13 — the mergeable
+    -state discipline on the gate surface): admit a NEW document shard
+    (doc_id % 20 == 0) through the global-quantile gate WITHOUT
+    re-scoring the corpus. The stored state is the corpus's
+    quantized-score HISTOGRAM (one value-bounded (quality_bin, count)
+    table — integer counts over disjoint doc sets add exactly, so the
+    merged histogram IS the full-population histogram); the day's work
+    is scoring the shard, adding its bin counts, re-deriving the
+    cutoff over the tiny merged summary, and gating the SHARD rows.
+    The cutoff is therefore exactly the full-recompute cutoff — which
+    is what the oracle pins: q_quality_gate's cutoff CTEs over ALL
+    documents, output filtered to shard survivors.
+
+    Output: q_quality_gate's row shape restricted to shard docs that
+    clear the post-update cutoff. Population note (mirrored in the
+    oracle): the cutoff moves when the shard shifts the distribution,
+    so a shard doc's verdict here can differ from gating the shard
+    against yesterday's cutoff — that is the point of maintaining the
+    histogram rather than freezing the threshold."""
+    d = load_table(spark, sf_dir, "documents")
+    is_shard = F.col("doc_id") % TEXT_SHARD_MOD == 0
+    stored_hist = (
+        gate_scored(d.filter(~is_shard))
+        .groupBy("quality_bin")
+        .agg(F.count("*").alias("n_c"))
+        .localCheckpoint()
+    )
+    scored_shard = gate_scored(d.filter(is_shard)).localCheckpoint()
+    shard_hist = scored_shard.groupBy("quality_bin").agg(
+        F.count("*").alias("n_s")
+    )
+    merged = stored_hist.join(shard_hist, "quality_bin", "full_outer").select(
+        "quality_bin",
+        (
+            F.coalesce("n_c", F.lit(0)) + F.coalesce("n_s", F.lit(0))
+        ).alias("c"),
+    )
+    w_cum = Window.orderBy("quality_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        "quality_bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    cutoff = cum.filter(
+        F.col("cum")
+        <= F.floor(F.col("total") * F.lit(QG_DROP_PCT) / F.lit(100.0))
+    ).agg(F.max("quality_bin").alias("_cutoff_bin"))
+    return (
+        scored_shard.crossJoin(F.broadcast(cutoff))
+        .filter(
+            F.col("_cutoff_bin").isNull()
+            | (F.col("quality_bin") > F.col("_cutoff_bin"))
+        )
+        .select("doc_id", "lang", "quality_bin", "quality_score")
+    )
+
+
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-quantile quality GATE: materialize the filtered corpus
     that keeps the top (100 − QG_DROP_PCT)% of documents by quality
@@ -2438,6 +2594,7 @@ QUERIES = {
     "q_quality_token_curve": q_quality_token_curve,
     "q_quality_curve_drift": q_quality_curve_drift,
     "q_quality_gate": q_quality_gate,
+    "q_quality_gate_incremental": q_quality_gate_incremental,
     "q_quality_gate_by_lang": q_quality_gate_by_lang,
     "q_vocab_coverage": q_vocab_coverage,
     "q_curriculum_order": q_curriculum_order,
@@ -2464,6 +2621,7 @@ QUERIES = {
     "q_decontaminate_spans": q_decontaminate_spans,
     "q_repetition_removal": q_repetition_removal,
     "q_text_bm25": q_text_bm25,
+    "q_bm25_incremental": q_bm25_incremental,
     "q_dedup_cdc_chunks": q_dedup_cdc_chunks,
 }
 
@@ -2626,6 +2784,10 @@ ORACLES = {
         FROM b, cut
         WHERE cut.cutoff_bin IS NULL OR quality_bin > cut.cutoff_bin
     """,
+    # incremental gate: the merged stored+shard histogram must yield
+    # exactly the full-population cutoff — same CTEs, output filtered
+    # to the shard (the maintainer's admission grain)
+
     # vocab coverage: one token-count CTE, rank by the same total order,
     # per-k conditional sums over the vocab-bounded table
     "q_vocab_coverage": rf"""
@@ -2961,6 +3123,13 @@ ORACLES = {
     "q_text_bm25": f"""
         WITH {BM25_ORACLE_CTES}
         SELECT doc_id, n_hit_terms, bm25 FROM bm
+    """,
+    # incremental BM25: merged (N, avgdl, df) must equal the full
+    # recompute — the SAME shared CTE chain, filtered to the shard
+    "q_bm25_incremental": f"""
+        WITH {BM25_ORACLE_CTES}
+        SELECT doc_id, n_hit_terms, bm25 FROM bm
+        WHERE doc_id % {TEXT_SHARD_MOD} = 0
     """,
     "q_ngram_lm_score": r"""
         WITH t AS (
@@ -3646,6 +3815,17 @@ ORACLES["q_bpe_oov_report"] = (
 # unrolled chain (stream_1 = pre-merge, stream_{k+1} = final); docs
 # whose trimmed text is empty never enter stream_1 — the Spark side's
 # c0 > 0 filter mirrors that inner-join semantics
+# incremental gate: the merged stored+shard histogram must yield exactly
+# the full-population cutoff — q_quality_gate's oracle SQL verbatim,
+# output filtered to the shard (the maintainer's admission grain)
+ORACLES["q_quality_gate_incremental"] = (
+    ORACLES["q_quality_gate"].replace(
+        "WHERE cut.cutoff_bin IS NULL OR quality_bin > cut.cutoff_bin",
+        "WHERE (cut.cutoff_bin IS NULL OR quality_bin > cut.cutoff_bin)"
+        f" AND doc_id % {TEXT_SHARD_MOD} = 0",
+    )
+)
+
 ORACLES["q_bpe_compression"] = (
     _BPE_ENCODE_CTES
     + f"""

@@ -204,6 +204,8 @@ NESTED_LOOP_OK = {
     "q_decontaminate_semantic",
     "q_join_skew_split",  # 1-row mean-load scalar crossJoin
     "q_text_bm25",  # 1-row (N, avgdl) scalar crossJoin
+    # the same scalars split into stored + shard 1-row halves
+    "q_bm25_incremental",
     "q_skew_profile",  # 1-row (n_keys, total) scalar crossJoin
     # 3-row vocab-size literal crossJoin onto the vocab-bounded count
     # table (the q_quality_gate cutoff pattern, one size bigger)
@@ -222,6 +224,8 @@ NESTED_LOOP_OK = {
     # and delta (N_s) 1-row scalars the incremental index maintains
     "q_tfidf_incremental",
     "q_quality_gate",  # 1-row cutoff-bin scalar crossJoin
+    # same 1-row cutoff crossJoin, derived from the merged histogram
+    "q_quality_gate_incremental",
     "q_mix_epochs",  # 1-row largest-source scalar crossJoin
     # composite inherits q_quality_gate's 1-row cutoff crossJoin and
     # q_mix_epochs' 1-row largest-source crossJoin
@@ -251,6 +255,9 @@ NESTED_LOOP_OK = {
 #: surface in final plans — the sweep still covers every live plan.
 GLOBAL_WINDOW_OK = {
     "q_quality_gate",
+    # the gate's cumulative windows over the MERGED stored+shard bin
+    # histogram — same value-bounded summary
+    "q_quality_gate_incremental",
     # global type rank over the vocab-bounded post-merge count summary
     # (the vocab-coverage stance; here the rank is IN the final plan —
     # only its per-(lang,tok) input is checkpointed)
