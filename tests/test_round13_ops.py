@@ -247,11 +247,18 @@ def test_r13_exchange_budgets(spark, sf_dir):
     )
     from breweries_case_spark.operators.text import q_tfidf_incremental
 
+    from breweries_case_spark.operators.text import (
+        q_bm25_incremental,
+        q_quality_gate_incremental,
+    )
+
     budgets = [
         (q_sim_ivf_incremental, 0),
         (q_sim_ivf_maintain, 2),
         (q_embed_stats_incremental, 2),
         (q_tfidf_incremental, 4),
+        (q_quality_gate_incremental, 2),
+        (q_bm25_incremental, 5),
     ]
     for fn, budget in budgets:
         plan = (
