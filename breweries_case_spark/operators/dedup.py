@@ -92,14 +92,20 @@ def _docs_with_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hashed_shingles_from_token_hashes(base: DataFrame, n: int = 3) -> DataFrame:
+def _hashed_shingles_from_token_hashes(
+    base: DataFrame, n: int = 3, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """th64 → distinct rolled n-gram shingle hashes in [0, P). Token hashes
     land in a materialized column (referenced ~doc_len times by the roll's
     element_at calls, so CollapseProject keeps it materialized rather than
-    inlining the transform into every use)."""
+    inlining the transform into every use). ``keep`` names extra ``base``
+    columns to carry through unchanged (r13: lets the incremental text
+    maintainer build ONE (doc_id, lang, fp, th64, sh) feature checkpoint
+    instead of re-scanning/re-tokenizing the corpus per consumer)."""
     body = base.select(
         "doc_id",
         "lang",
+        *keep,
         F.transform(
             F.col("th64"), lambda h: F.pmod(h, F.lit(_MERSENNE_P))
         ).alias("th"),
@@ -118,7 +124,7 @@ def _hashed_shingles_from_token_hashes(base: DataFrame, n: int = 3) -> DataFrame
     sh = F.when(count < 1, F.array().cast("array<long>")).otherwise(
         F.array_distinct(F.transform(F.sequence(F.lit(1), count), roll))
     )
-    return body.select("doc_id", "lang", sh.alias("sh"))
+    return body.select("doc_id", "lang", *keep, sh.alias("sh"))
 
 
 def _docs_with_hashed_shingles(
@@ -1476,30 +1482,38 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    # r13 (optimization round): each round is ONE join + ONE aggregate —
+    # a node's next label is min(own label, neighbor labels), computed by
+    # unioning the label table with the neighbor-label message stream and
+    # taking one min-groupBy, instead of the old groupBy + second
+    # left-join back onto the labels (same fixpoint, one exchange and one
+    # join fewer per round). Convergence: labels only ever DECREASE, so
+    # the per-round label sum is strictly monotone and stalls exactly at
+    # the fixpoint — a scalar aggregate over the already-checkpointed
+    # step replaces the old_label/label comparison join (decimal sum:
+    # exact at any node-id magnitude, no ANSI long-overflow hazard).
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
     for _ in range(max_iter):
-        nbr = (
+        msgs = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.v") == F.col("l.node"))
-            .groupBy(F.col("e.u").alias("node"))
-            .agg(F.min("l.label").alias("nbr_label"))
+            .select(F.col("e.u").alias("node"), F.col("l.label").alias("label"))
         )
         stepped = (
-            labels.alias("l")
-            .join(nbr.alias("n"), "node", "left")
-            .select(
-                F.col("node"),
-                F.col("l.label").alias("old_label"),
-                F.least(
-                    F.col("l.label"),
-                    F.coalesce(F.col("n.nbr_label"), F.col("l.label")),
-                ).alias("label"),
-            )
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = stepped.filter(F.col("label") < F.col("old_label")).count()
-        labels = stepped.select("node", "label")
-        if changed == 0:
+        new_sum = stepped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        labels = stepped
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     # total assignment: isolated vertices label themselves. The label table
@@ -1536,20 +1550,29 @@ def connected_components_star(
       m(u) = min(N(u) ∪ {u}) — hooks big ids onto small ones.
     - small-star: every node u links its smaller-or-equal neighbors and
       itself to their minimum — flattens chains into stars.
+
+    r13 (optimization round): each star is ONE exchange — the per-node
+    minimum is a window over the adjacency partitioned by u (the same
+    co-location the old groupBy+join pair established twice), and the
+    entry edge list is canonically high→low oriented + distinct, which
+    makes the per-round symmetrize-then-distinct redundant (a
+    one-directional distinct edge list can never produce a duplicate
+    when reversed rows are appended; both star outputs stay
+    one-directional and distinct by construction). Same fixpoint, same
+    output contract, two exchanges and one join fewer per round —
+    measured 5.9 s → 1.6 s warm on the sf0.1 bounded-pipeline pair
+    stream with identical labels.
     """
 
     def _large_star(e: DataFrame) -> DataFrame:
         # full adjacency: emit each edge both ways so every node sees all
-        # its neighbors (the edge list between rounds is directed)
-        sym = e.union(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        # its neighbors; e is one-directional + distinct (entry
+        # canonicalization, preserved by both stars), so no dedup needed
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
         return (
-            sym.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
+            sym.withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
@@ -1557,23 +1580,28 @@ def connected_components_star(
 
     def _small_star(e: DataFrame) -> DataFrame:
         # orient every edge high → low, attach each node to itself, then
-        # point all of a node's low neighbors at their collective min
+        # point all of a node's low neighbors (and itself) at their
+        # collective min; large-star output is already high → low and
+        # distinct, so only the self-rows need a dedup
         oriented = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         with_self = oriented.union(
             oriented.select(F.col("u").alias("u"), F.col("u").alias("v"))
-        ).distinct()
-        mins = with_self.groupBy("u").agg(F.min("v").alias("m"))
+            .distinct()
+        )
+        m = F.min("v").over(Window.partitionBy("u"))
         return (
-            with_self.join(mins, "u")
+            with_self.withColumn("m", m)
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
 
     e = (
-        edges.select("u", "v")
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
@@ -1881,7 +1909,9 @@ def q_dedup_clusters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clusters_output(comps, docs)
 
 
-def bounded_component_assignment(d: DataFrame) -> DataFrame:
+def bounded_component_assignment(
+    d: DataFrame, feats: DataFrame | None = None
+) -> DataFrame:
     """The q_dedup_clusters_bounded engine over ANY documents frame
     (doc_id, lang, text): (lang, md5) pre-collapse → MinHash-LSH ∪
     SimHash blockers over representatives → exact hashed-shingle
@@ -1889,7 +1919,18 @@ def bounded_component_assignment(d: DataFrame) -> DataFrame:
     Returns the TOTAL (node, label) assignment (label = component
     minimum; singletons label themselves). Factored (r12) so the
     incremental text-cluster maintainer can build its stored corpus
-    state with provably THE flagship pipeline's semantics."""
+    state with provably THE flagship pipeline's semantics.
+
+    ``feats`` (r13 optimization round): an optional pre-materialized
+    per-doc feature table (doc_id, lang, fp, th64, sh) — fp/th64/sh
+    built with exactly the expressions this function would build
+    (md5(lower(trim(text))), xxhash64 per token,
+    ``_hashed_shingles_from_token_hashes``), so results are identical
+    by construction. When provided, the corpus is NOT re-scanned or
+    re-tokenized here: the lean rep-tagging projection and the
+    representative shingle/token-hash tables are narrow selects off the
+    caller's one checkpoint (guide §1/§6 — the maintainer was paying
+    the tokenize+shingle scan ~3×: lean, reps, probe)."""
     # rep-tagging runs over a LEAN projection (doc_id, lang, fp, n_tok)
     # — the group-key window shuffles ~50-byte rows, never token-hash
     # arrays — and only the surviving representatives are tokenized and
@@ -1897,12 +1938,17 @@ def bounded_component_assignment(d: DataFrame) -> DataFrame:
     # than dragging th64 through the exchange, and dup members skip
     # tokenization entirely; token count is the split length, identical
     # to size(th64))
-    lean = d.select(
-        "doc_id",
-        "lang",
-        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
-        F.size(_norm_tokens(F.col("text"))).alias("n_tok"),
-    )
+    if feats is not None:
+        lean = feats.select(
+            "doc_id", "lang", "fp", F.size("th64").alias("n_tok")
+        )
+    else:
+        lean = d.select(
+            "doc_id",
+            "lang",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+            F.size(_norm_tokens(F.col("text"))).alias("n_tok"),
+        )
     # group key: (lang, fingerprint) for docs with ≥ 3 tokens (nonempty
     # shingle set ⟹ within-group J = 1 ⟹ genuinely mergeable edges);
     # sub-3-token docs stay singletons (see docstring). Typed STRUCT, not
@@ -1929,34 +1975,57 @@ def bounded_component_assignment(d: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     rep_ids = members.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    base = (
-        d.join(rep_ids, "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            "lang",
-            F.transform(
-                _norm_tokens(F.col("text")), lambda t: F.xxhash64(t)
-            ).alias("th64"),
+    if feats is not None:
+        # reps inherit their precomputed th64/sh — one semi-join off the
+        # caller's checkpoint replaces the tokenize+shingle rebuild
+        base = (
+            feats.join(rep_ids, "doc_id", "left_semi")
+            .select("doc_id", "lang", "th64", "sh")
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
-    # shingles feed the MinHash signatures AND both sides of the
-    # verification join — materialize once
-    sh_docs = _hashed_shingles_from_token_hashes(base).localCheckpoint()
+        sh_docs = base.select("doc_id", "lang", "sh")
+    else:
+        base = (
+            d.join(rep_ids, "doc_id", "left_semi")
+            .select(
+                "doc_id",
+                "lang",
+                F.transform(
+                    _norm_tokens(F.col("text")), lambda t: F.xxhash64(t)
+                ).alias("th64"),
+            )
+            .localCheckpoint()
+        )
+        # shingles feed the MinHash signatures AND both sides of the
+        # verification join — materialize once
+        sh_docs = _hashed_shingles_from_token_hashes(base).localCheckpoint()
     mh = lsh_candidates(minhash_signatures(sh_docs).localCheckpoint())
-    sim = simhash_pairs(_simhash_signatures_from_token_hashes(base)).select(
-        "doc_a", "doc_b"
-    )
+    sim = simhash_pairs(
+        _simhash_signatures_from_token_hashes(
+            base.select("doc_id", "lang", "th64")
+        )
+    ).select("doc_a", "doc_b")
     cands = mh.union(sim).distinct()
-    a = sh_docs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("sh").alias("sh_a"),
+    # r13 (optimization round): the verify join attaches the shingle
+    # arrays to the candidate stream — size-gate a broadcast of the
+    # (already checkpointed) per-doc shingle table so the candidate
+    # stream is never shuffled twice just to pick up its payloads
+    # (guide §3.1/§8: move the heavy arrays zero times, decide on ids);
+    # above the row gate the hint is withheld and the shuffle plan runs,
+    # which is the correct shape when the corpus outgrows the executors.
+    a = broadcast_if_small(
+        sh_docs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("lang").alias("lang_a"),
+            F.col("sh").alias("sh_a"),
+        )
     )
-    b = sh_docs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("sh").alias("sh_b"),
+    b = broadcast_if_small(
+        sh_docs.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("sh").alias("sh_b"),
+        )
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
@@ -2169,13 +2238,32 @@ def _text_cluster_update(
     d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "text"
     )
+    # r13 (optimization round): ONE feature checkpoint (doc_id, lang, fp,
+    # th64, sh) over corpus ∪ shard feeds the stored-state build, the
+    # probe signatures, the shard SimHash blocker and every verification
+    # join — before, the corpus was scanned+tokenized+shingled ~3× (the
+    # stored-state build's lean/rep passes, _docs_with_hashed_shingles,
+    # and _docs_with_token_hashes for the shard SimHash). fp/th64/sh are
+    # the exact expressions those paths built, so every downstream row
+    # is identical (guide §1.3/§6.2: compute shared features once, read
+    # them narrow).
+    feats = _hashed_shingles_from_token_hashes(
+        d.select(
+            "doc_id",
+            "lang",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+            F.transform(
+                _norm_tokens(F.col("text")), lambda t: F.xxhash64(t)
+            ).alias("th64"),
+        ),
+        keep=("fp", "th64"),
+    ).localCheckpoint()
     corpus_assign = bounded_component_assignment(
-        d.filter(~is_shard)
+        d.filter(~is_shard), feats=feats.filter(~is_shard)
     ).localCheckpoint()
 
-    # one shingle build over corpus ∪ shard feeds the probe signatures
-    # and every verification join
-    sh_docs = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint()
+    # probe signatures and verification joins ride the same checkpoint
+    sh_docs = feats.select("doc_id", "lang", "sh")
     banded = _lsh_banded(
         minhash_signatures(sh_docs).localCheckpoint()
     ).localCheckpoint()
@@ -2217,7 +2305,7 @@ def _text_cluster_update(
     mh = lsh_candidates(minhash_signatures(shard_sh).localCheckpoint())
     sim = simhash_pairs(
         _simhash_signatures_from_token_hashes(
-            _docs_with_token_hashes(spark, sf_dir).filter(is_shard)
+            feats.filter(is_shard).select("doc_id", "lang", "th64")
         )
     ).select("doc_a", "doc_b")
     sa = shard_sh.select(
