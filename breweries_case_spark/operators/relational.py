@@ -358,7 +358,14 @@ def q_join_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier instead of join-candidate quadratic in the per-cell
     density, and immune to a hot month that fattens a grid cell.
     Suppliers whose every shipment is disjoint aggregate to zero and
-    are dropped to match the inner-join twin's output."""
+    are dropped to match the inner-join twin's output.
+
+    r13 (optimization round): the ±1 event stream is emitted by ONE
+    in-scan explode of a two-element literal array instead of a
+    unionAll of two projections of the same table — the old plan
+    scanned lineitem twice to produce rows that differ only in
+    (t, typ, delta). Same rows, one FileScan (guide §2.4: the fewest
+    passes the operation fundamentally needs is one)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("pk"),
         "l_suppkey",
@@ -367,20 +374,24 @@ def q_join_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate"), (F.col("l_partkey") % 21 + 3).cast("int")
         ).alias("l_receiptdate"),
     )
-    starts = li.select(
+    events = li.select(
         "l_suppkey",
-        F.col("l_shipdate").alias("t"),
-        F.lit(0).alias("typ"),
         "pk",
-        F.lit(1).alias("delta"),
-    )
-    ends = li.select(
-        "l_suppkey",
-        F.col("l_receiptdate").alias("t"),
-        F.lit(1).alias("typ"),
-        "pk",
-        F.lit(-1).alias("delta"),
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("l_shipdate").alias("t"),
+                    F.lit(0).alias("typ"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.col("l_receiptdate").alias("t"),
+                    F.lit(1).alias("typ"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("l_suppkey", F.col("e.t").alias("t"), F.col("e.typ").alias("typ"), "pk", F.col("e.delta").alias("delta"))
     w = (
         Window.partitionBy("l_suppkey")
         .orderBy("t", "typ", "pk")
@@ -388,7 +399,7 @@ def q_join_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     active = F.sum("delta").over(w)
     return (
-        starts.unionAll(ends)
+        events
         .withColumn("open_incl_self", active)
         .filter(F.col("typ") == 0)
         .groupBy("l_suppkey")

@@ -249,12 +249,24 @@ def q_pandas_udf_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", _textlen_udf(F.col("text")).alias("text_len"))
 
 
-def _ngram_rows(d: DataFrame, n: int, keep: tuple = ("doc_id",)) -> DataFrame:
+def _ngram_rows(
+    d: DataFrame,
+    n: int,
+    keep: tuple = ("doc_id",),
+    distinct_within_doc: bool = False,
+) -> DataFrame:
     """(*keep, g) rows of space-joined word n-grams over the normalized
-    (trim→lower→whitespace-split) tokens — NON-distinct, one row per gram
-    occurrence, so downstream counts see repetition. Docs with < n tokens
-    emit no rows (explicit empty-array guard: Spark's sequence(1, 0) is
-    DESCENDING [1, 0], not empty)."""
+    (trim→lower→whitespace-split) tokens — NON-distinct by default, one
+    row per gram occurrence, so downstream counts see repetition. Docs
+    with < n tokens emit no rows (explicit empty-array guard: Spark's
+    sequence(1, 0) is DESCENDING [1, 0], not empty).
+
+    ``distinct_within_doc`` (r13 optimization round) dedups the gram
+    array inside the scan stage before the explode — for consumers whose
+    key includes the doc id, ``array_distinct`` here is row-for-row
+    identical to a global ``.distinct()`` over (doc_id, g) but costs
+    ZERO exchanges instead of a full shuffle of the gram stream
+    (guide §2.4)."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     base = d.select(*keep, toks.alias("t"))
     cnt = F.size(F.col("t")) - (n - 1)
@@ -264,6 +276,8 @@ def _ngram_rows(d: DataFrame, n: int, keep: tuple = ("doc_id",)) -> DataFrame:
     grams = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(1), cnt), gram)
     )
+    if distinct_within_doc:
+        grams = F.array_distinct(grams)
     return base.select(*keep, F.explode(grams).alias("g"))
 
 
@@ -530,46 +544,68 @@ def q_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the old benchmark; the delta probe owes it nothing) or 'delta'
     (newly flagged by this delivery). Oracle: the two-fixpoint SQL (old
     benchmark, old + delta) over the same capped posting."""
+    from breweries_case_spark.operators.dedup import broadcast_if_small
+
     d = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
     is_old_bench = F.col("doc_id") % BENCHMARK_DELTA_MOD == 0
     grams = _ngram_rows(d, 3)
 
-    # stored index stand-in: distinct capped posting over the corpus
+    # stored index stand-in: distinct capped posting over the corpus.
+    # r13 (optimization round): the posting key CONTAINS doc_id, so the
+    # old global .distinct() only ever removed within-doc repeats — the
+    # in-scan array_distinct form is row-identical and deletes the full
+    # gram-stream exchange (guide §2.4).
     posting = (
-        grams.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
-        .distinct()
+        _ngram_rows(d, 3, distinct_within_doc=True)
+        .filter(F.col("doc_id") % BENCHMARK_MOD != 0)
         .localCheckpoint()
     )
-    rare = (
+    # r13: the cap is applied as a broadcast ANTI join against the
+    # STOP-gram set (df > cap) instead of a semi join against the rare
+    # set — rare ≈ all distinct grams (Zipf tail), stop-grams are the
+    # bounded head (≤ |posting|/cap by pigeonhole, tiny in practice), so
+    # the anti build side is the small one and the posting is not
+    # re-shuffled to be filtered (guide §3.1). Size-gated: an oversized
+    # stop set falls back to the shuffle anti-join plan.
+    stop = (
         posting.groupBy("g")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= DECON_DF_CAP)
+        .filter(F.col("df") > DECON_DF_CAP)
         .select("g")
+        .localCheckpoint()
     )
-    capped = posting.join(rare, "g", "left_semi").localCheckpoint()
+    capped = posting.join(
+        broadcast_if_small(stop), "g", "left_anti"
+    ).localCheckpoint()
 
     old_grams = grams.filter(is_old_bench).select("g").distinct()
     delta_grams = (
         grams.filter(is_bench & ~is_old_bench).select("g").distinct()
     )
+    # r13: the contaminated-id sets are contamination-rate-bounded (KBs
+    # against any corpus) — checkpoint + size-gate a broadcast so the
+    # final corpus pass is two broadcast left joins instead of three
+    # doc_id exchanges (guide §3.1).
     stored_ids = (
         capped.join(F.broadcast(old_grams), "g", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("_s", F.lit(1))
+        .localCheckpoint()
     )
     delta_ids = (
         capped.join(F.broadcast(delta_grams), "g", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("_x", F.lit(1))
+        .localCheckpoint()
     )
     return (
         d.filter(~is_bench)
         .select("doc_id", "lang", "source")
-        .join(stored_ids, "doc_id", "left")
-        .join(delta_ids, "doc_id", "left")
+        .join(broadcast_if_small(stored_ids), "doc_id", "left")
+        .join(broadcast_if_small(delta_ids), "doc_id", "left")
         .filter(F.col("_s").isNotNull() | F.col("_x").isNotNull())
         .select(
             "doc_id",
