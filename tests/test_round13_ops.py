@@ -266,3 +266,77 @@ def test_r13_exchange_budgets(spark, sf_dir):
         )
         n = plan.count("Exchange hashpartitioning")
         assert n <= budget, (fn.__name__, n, budget)
+
+
+def test_bpe_merge_greedy_equals_fold(spark):
+    """The r13 vectorized merge (bpe_merge_greedy) is byte-identical to
+    the exact greedy fold on 300 random token streams over a two-letter
+    alphabet (maximizing overlap islands), for a self-pair (delegated
+    branch), a cross-pair (the vectorized branch), and a NULL pair (the
+    identity branch)."""
+    import random
+
+    from breweries_case_spark.operators.text import (
+        bpe_merge_fold,
+        bpe_merge_greedy,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.choice("ab") for _ in range(rng.randint(0, 12))])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, t array<string>")
+    for left, right in (("a", "a"), ("a", "b"), (None, "b")):
+        both = df.select(
+            "id",
+            bpe_merge_fold(F.col("t"), F.lit(left), F.lit(right)).alias(
+                "f"
+            ),
+            bpe_merge_greedy(F.col("t"), F.lit(left), F.lit(right)).alias(
+                "g"
+            ),
+        ).collect()
+        for r in both:
+            assert r.g == r.f, (r.id, left, right, r.f, r.g)
+
+
+def test_bpe_apply_rules_regex_equals_chained_fold(spark):
+    """The r13 chained-regexp literal re-encode (bpe_apply_rules_regex)
+    is byte-identical to the k nested greedy folds it replaced, on 200
+    random streams whose alphabet includes regex metacharacters and
+    Matcher-replacement metacharacters, under a rule table that stacks
+    a cross-pair, a self-pair, and a rule consuming a previously merged
+    (space-joined) token."""
+    import random
+
+    from breweries_case_spark.operators.text import (
+        bpe_apply_rules_regex,
+        bpe_merge_fold,
+    )
+
+    alphabet = ["a", "b", "a.b", "c$d", "e\\f", "(g"]
+    rng = random.Random(131)
+    rows = [
+        (i, [rng.choice(alphabet) for _ in range(rng.randint(0, 10))])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, t array<string>")
+    rules = [
+        {"left_tok": "a", "right_tok": "b"},
+        {"left_tok": "a.b", "right_tok": "a.b"},
+        {"left_tok": "a b", "right_tok": "c$d"},
+        {"left_tok": "e\\f", "right_tok": "(g"},
+    ]
+    fold_expr = F.col("t")
+    for r in rules:
+        fold_expr = bpe_merge_fold(
+            fold_expr, F.lit(r["left_tok"]), F.lit(r["right_tok"])
+        )
+    both = df.select(
+        "id",
+        fold_expr.alias("f"),
+        bpe_apply_rules_regex(F.col("t"), rules).alias("g"),
+    ).collect()
+    for r in both:
+        assert r.g == r.f, (r.id, r.f, r.g)
