@@ -43,6 +43,45 @@ FLOOR_RESETS = {
     # symmetric cold-slot conditions every other id always had
     "q_flagship": 1786915881,
     "q_tpch_q1": 1786915881,
+    # r13 optimization round, commit e5d6974: connected-components loops
+    # rebuilt (label-prop: one join + min-groupBy per round, sum-stall
+    # fixpoint; star: window minima over the co-located adjacency,
+    # canonical orientation) and the text maintainer's shared feature
+    # checkpoint — every id that executes either CC loop or
+    # bounded_component_assignment/_text_cluster_update runs a new
+    # topology
+    "q_dedup_clusters": 1786977807,
+    "q_dedup_filtered_corpus": 1786977807,
+    "q_dedup_soft_weights": 1786977807,
+    "q_dedup_rate_by_source": 1786977807,
+    "q_dedup_keeper_priority": 1786977807,
+    "q_dedup_keeper_pii": 1786977807,
+    "q_dedup_clusters_star": 1786977807,
+    "q_dedup_clusters_bounded": 1786977807,
+    "q_entity_resolution": 1786977807,
+    "q_dedup_image_clusters": 1786977807,
+    "q_dedup_media_clusters": 1786977807,
+    "q_dedup_video_clusters": 1786977807,
+    "q_dedup_video_keeper": 1786977807,
+    "q_dedup_cluster_incremental": 1786977807,
+    "q_dedup_cluster_chain": 1786977807,
+    "q_dedup_cluster_chain_persisted": 1786977807,
+    "q_dedup_video_cluster_incremental": 1786977807,
+    "q_dedup_text_cluster_incremental": 1786977807,
+    "q_dedup_text_keeper": 1786977807,
+    # r13 optimization round, commit 4f3d8f4: interval sweep single-scan
+    # explode; incremental decontaminator zero-exchange posting +
+    # broadcast-anti cap + broadcast-gated id joins
+    "q_join_interval_sweep": 1786979493,
+    "q_decontaminate_incremental": 1786979493,
+    # r13 optimization round, commit 89518ea: vectorized BPE merge
+    # (bpe_merge_greedy) at every train/encode loop site + the chained-
+    # regexp literal re-encode (bpe_apply_rules_regex) — every benched
+    # BPE id runs a new per-round topology
+    "q_bpe_merge_apply": 1786984673,
+    "q_bpe_train_k": 1786984673,
+    "q_bpe_oov_report": 1786984673,
+    "q_bpe_drift_report": 1786984673,
 }
 
 
