@@ -10,6 +10,8 @@ rows-only; a unit test asserts stream output == batch-mirror output."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -198,6 +200,20 @@ LATE_BATCHES = 6
 #: WATERMARK_MINUTES int the engine-side withWatermark uses, so the
 #: oracle's ms-granular watermark model can never desync from the engine
 LATE_WM_MS = WATERMARK_MINUTES * 60 * 1000
+#: state-store instance count for the replay's tumbling agg (r13, guide
+#: §2.4/§5): the stateful keyspace is open windows x |event_type| —
+#: bounded by the fixture's TIME SPAN / window width, independent of
+#: corpus row count (at 100 TB/day the span per day is unchanged), so
+#: state stores sized to the keyspace beat one store per session
+#: shuffle partition at ANY scale. Map-side partial aggregation keeps
+#: the scan stage at full parallelism; only the bounded state stage
+#: narrows. Env-parameterised; the default is keyspace-derived, not a
+#: core-count tune (it is deliberately NOT a function of
+#: $SPARK_GRAFT_CPUS, so the driver's low-core scaling run compares
+#: like with like).
+LATE_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
 
 
 def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,23 +254,24 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id") % LATE_EVERY == 0, F.lit(LATE_SHIFT_US)
     ).otherwise(F.lit(0))
     w = Window.orderBy("arrival_us", "event_id")
+    # no checkpoint: the replay harness stages every delivery slice with
+    # ONE partitionBy write, so the ntile runs exactly once either way
+    # (pre-r13 this checkpointed, then ran one filter+write per batch)
     batched = (
         ev.select("ts", "event_type", "value", "event_id")
         .withColumn("arrival_us", arrival)
         .withColumn("batch", F.ntile(LATE_BATCHES).over(w))
         .select("ts", "event_type", "value", "batch")
-        .localCheckpoint()
     )
-    batches = [
-        batched.filter(F.col("batch") == i).drop("batch")
-        for i in range(1, LATE_BATCHES + 1)
-    ]
     return replay_in_batches(
         spark,
-        batches,
+        batched,
+        "batch",
+        LATE_BATCHES,
         "ts timestamp, event_type string, value double",
         tumbling_counts,
         "stream_late_out",
+        state_partitions=LATE_STATE_PARTITIONS,
     )
 
 

@@ -300,56 +300,103 @@ def collapse_outer_probe_rows(raw: DataFrame) -> DataFrame:
 
 def replay_in_batches(
     spark: SparkSession,
-    batches: list[DataFrame],
+    batched: DataFrame,
+    batch_col: str,
+    n_batches: int,
     schema_ddl: str,
     build_query,
     name: str,
     output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> DataFrame:
-    """Drive a streaming query over a MULTI-batch replay: each entry in
-    ``batches`` is written to the file source and fully processed before
-    the next is written, so micro-batch boundaries — and therefore
-    watermark advancement — are exactly the list boundaries. This is the
-    harness for semantics that only exist ACROSS batches (late-data
-    drops, append-mode eviction timing); the single-shot
+    """Drive a streaming query over a MULTI-batch replay: ``batched``
+    carries a 1..n_batches delivery index in ``batch_col``; every slice
+    is staged up front by ONE ``partitionBy(batch_col)`` write, and each
+    delivery is an atomic file MOVE into the source dir, fully processed
+    before the next moves — so micro-batch boundaries, and therefore
+    watermark advancement, are exactly the index boundaries. (One Spark
+    job stages all deliveries; the pre-r13 shape checkpointed the frame
+    and ran one filter+write job per delivery — n+1 jobs re-scanning the
+    same rows. File moves cost no compute and cannot reorder rows:
+    delivery contents are identical, guide §1.2/§6.) This is the harness
+    for semantics that only exist ACROSS batches (late-data drops,
+    append-mode eviction timing); the single-shot
     ``run_stream_to_memory`` replay feeds everything in one batch, where
     a watermark can never drop anything.
 
-    Asserts exactly len(batches) data-carrying micro-batches ran — the
+    ``state_partitions``: state-store instance count for the streaming
+    query, for callers whose stateful operator has a PROVABLY bounded
+    keyspace (e.g. a watermarked tumbling agg holds open windows x group
+    values — time-span-bounded, independent of corpus size). Partial
+    (map-side) aggregation runs before the exchange, so the scan stage
+    keeps full parallelism and only the bounded state stage narrows —
+    sizing state stores to the keyspace instead of the session shuffle
+    default is the production-correct shape at ANY scale, not a local
+    tune. The session value is restored after the query stops (Spark
+    pins the value in the query's own offset metadata at start).
+
+    Asserts exactly n_batches data-carrying micro-batches ran — the
     delivery-cadence premise the caller's oracle encodes — and returns
     the memory-sink result materialized off the scratch dir."""
+    import glob
     import shutil
     import tempfile
 
     base = tempfile.mkdtemp(prefix=f"{name}_")
     src = f"{base}/in"
+    stage = f"{base}/stage"
     try:
-        batches[0].write.mode("overwrite").parquet(src)
-        stream = spark.readStream.schema(schema_ddl).parquet(src)
-        q = (
-            build_query(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .start()
-        )
+        batched.write.partitionBy(batch_col).parquet(stage)
+        os.makedirs(src, exist_ok=True)
+
+        def deliver(i: int) -> None:
+            parts = sorted(glob.glob(f"{stage}/{batch_col}={i}/*.parquet"))
+            if not parts:
+                raise AssertionError(
+                    f"stream {name!r}: delivery {i} staged no files — "
+                    f"the replay premise requires {n_batches} non-empty "
+                    "deliveries"
+                )
+            for p in parts:
+                # distinct target names: part files of one staging job
+                # share task-numbered names across partition dirs
+                os.rename(p, f"{src}/b{i}_{os.path.basename(p)}")
+
+        old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(state_partitions)
+            )
+        q = None
         try:
+            deliver(1)
+            stream = spark.readStream.schema(schema_ddl).parquet(src)
+            q = (
+                build_query(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .start()
+            )
             q.processAllAvailable()
-            for b in batches[1:]:
-                b.write.mode("append").parquet(src)
+            for i in range(2, n_batches + 1):
+                deliver(i)
                 q.processAllAvailable()
             data_batches = sum(
                 1 for p in q.recentProgress if p["numInputRows"] > 0
             )
-            if data_batches != len(batches):
+            if data_batches != n_batches:
                 raise AssertionError(
                     f"stream {name!r}: {data_batches} data-carrying "
                     f"micro-batches, replay premise requires exactly "
-                    f"{len(batches)} — the oracle's watermark "
+                    f"{n_batches} — the oracle's watermark "
                     "trajectory no longer matches the delivery"
                 )
         finally:
-            q.stop()
+            if q is not None:
+                q.stop()
+            if state_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         out = spark.table(name)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -82,6 +82,11 @@ FLOOR_RESETS = {
     "q_bpe_train_k": 1786984673,
     "q_bpe_oov_report": 1786984673,
     "q_bpe_drift_report": 1786984673,
+    # r13 optimization round: late-data replay harness rebuilt — one
+    # partitionBy staging write + per-delivery file moves (was
+    # checkpoint + one filter/write job per batch) and keyspace-bounded
+    # state_partitions for the tumbling agg's state stores
+    "q_stream_late_data": 1787016321,
 }
 
 

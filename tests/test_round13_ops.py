@@ -340,3 +340,60 @@ def test_bpe_apply_rules_regex_equals_chained_fold(spark):
     ).collect()
     for r in both:
         assert r.g == r.f, (r.id, r.f, r.g)
+
+
+def test_replay_in_batches_staged_delivery_and_conf_restore(spark):
+    """The r13 replay harness (one partitionBy staging write + per-
+    delivery file moves + bounded state_partitions): (a) delivers the
+    batch slices on exactly the index boundaries — the same watermark
+    trajectory the old per-batch filter+write produced, pinned by the
+    known drop/emit outcome; (b) restores the session's
+    spark.sql.shuffle.partitions after the stream stops, so the
+    override can never leak into the next benched query."""
+    import datetime
+
+    from breweries_case_spark.streaming.windows import (
+        replay_in_batches,
+        tumbling_counts,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # batch 1 -> wm 00:03; batch 2's 00:02 straggler is admitted (window
+    # [0,5) still open), final wm 00:30 emits [0,5), [10,15) and [15,20)
+    # and withholds [40,45) — the test_watermark_boundary_rules outcome,
+    # now driven through the staged-move harness
+    rows = [
+        (ts(1), "a", 1.0, 1),
+        (ts(13), "a", 1.0, 1),
+        (ts(2), "a", 1.0, 2),
+        (ts(15), "a", 1.0, 2),
+        (ts(40), "a", 1.0, 3),
+    ]
+    batched = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double, batch int"
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = replay_in_batches(
+        spark,
+        batched,
+        "batch",
+        3,
+        "ts timestamp, event_type string, value double",
+        tumbling_counts,
+        "replay_staged_test_out",
+        state_partitions=2,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    got = {
+        (r.window_start.strftime("%H:%M"), r.event_type): r.n_events
+        for r in out.collect()
+    }
+    assert got == {
+        ("00:00", "a"): 2,  # ts(1) + the admitted ts(2) straggler
+        ("00:10", "a"): 1,
+        ("00:15", "a"): 1,
+    }
