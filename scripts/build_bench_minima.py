@@ -86,7 +86,7 @@ FLOOR_RESETS = {
     # partitionBy staging write + per-delivery file moves (was
     # checkpoint + one filter/write job per batch) and keyspace-bounded
     # state_partitions for the tumbling agg's state stores
-    "q_stream_late_data": 1787016321,
+    "q_stream_late_data": 1787018655,
 }
 
 
