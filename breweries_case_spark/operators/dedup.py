@@ -1910,7 +1910,9 @@ def q_dedup_clusters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bounded_component_assignment(
-    d: DataFrame, feats: DataFrame | None = None
+    d: DataFrame,
+    feats: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """The q_dedup_clusters_bounded engine over ANY documents frame
     (doc_id, lang, text): (lang, md5) pre-collapse → MinHash-LSH ∪
@@ -1930,7 +1932,17 @@ def bounded_component_assignment(
     re-tokenized here: the lean rep-tagging projection and the
     representative shingle/token-hash tables are narrow selects off the
     caller's one checkpoint (guide §1/§6 — the maintainer was paying
-    the tokenize+shingle scan ~3×: lean, reps, probe)."""
+    the tokenize+shingle scan ~3×: lean, reps, probe).
+
+    ``sigs`` (r14 optimization round): an optional pre-materialized
+    MinHash signature table over (a superset of) ``d``'s docs, built
+    with ``minhash_signatures`` off the same shingle sets — signatures
+    are a pure per-doc function, so filtering the caller's one
+    checkpointed table to the representatives is row-identical to
+    recomputing them here. Saves the representative explode+16-slot
+    aggregate pass (guide §1.3: the maintainer computed signatures
+    three times — corpus reps, full-corpus probe banding, shard
+    blocker — off one shingle table)."""
     # rep-tagging runs over a LEAN projection (doc_id, lang, fp, n_tok)
     # — the group-key window shuffles ~50-byte rows, never token-hash
     # arrays — and only the surviving representatives are tokenized and
@@ -1999,13 +2011,24 @@ def bounded_component_assignment(
         # shingles feed the MinHash signatures AND both sides of the
         # verification join — materialize once
         sh_docs = _hashed_shingles_from_token_hashes(base).localCheckpoint()
-    mh = lsh_candidates(minhash_signatures(sh_docs).localCheckpoint())
+    if sigs is not None:
+        # reps inherit their precomputed signatures — one semi-join off
+        # the caller's checkpoint replaces the explode+k-min aggregate
+        rep_sigs = sigs.join(rep_ids, "doc_id", "left_semi")
+    else:
+        rep_sigs = minhash_signatures(sh_docs).localCheckpoint()
+    mh = lsh_candidates(rep_sigs)
     sim = simhash_pairs(
         _simhash_signatures_from_token_hashes(
             base.select("doc_id", "lang", "th64")
         )
     ).select("doc_a", "doc_b")
-    cands = mh.union(sim).distinct()
+    # r14: no global distinct on the candidate union — the only consumer
+    # is the verify join feeding star CC, whose entry canonicalizes +
+    # distincts edges anyway; a duplicate candidate (a pair both
+    # blockers surface) costs one extra verify row, where the distinct
+    # cost a full exchange of the candidate stream (guide §2.4)
+    cands = mh.union(sim)
     # r13 (optimization round): the verify join attaches the shingle
     # arrays to the candidate stream — size-gate a broadcast of the
     # (already checkpointed) per-doc shingle table so the candidate
@@ -2013,14 +2036,21 @@ def bounded_component_assignment(
     # (guide §3.1/§8: move the heavy arrays zero times, decide on ids);
     # above the row gate the hint is withheld and the shuffle plan runs,
     # which is the correct shape when the corpus outgrows the executors.
-    a = broadcast_if_small(
+    # r14: both sides project the SAME table — gate on ONE count job
+    # instead of two (broadcast_if_small counted per side).
+    _hint = (
+        F.broadcast
+        if sh_docs.count() <= _NEEDS_BROADCAST_MAX
+        else (lambda df: df)
+    )
+    a = _hint(
         sh_docs.select(
             F.col("doc_id").alias("doc_a"),
             F.col("lang").alias("lang_a"),
             F.col("sh").alias("sh_a"),
         )
     )
-    b = broadcast_if_small(
+    b = _hint(
         sh_docs.select(
             F.col("doc_id").alias("doc_b"),
             F.col("lang").alias("lang_b"),
@@ -2258,15 +2288,24 @@ def _text_cluster_update(
         ),
         keep=("fp", "th64"),
     ).localCheckpoint()
+    # r14 (optimization round 2): ONE MinHash signature table over
+    # corpus ∪ shard feeds the stored-state build's rep blocker, the
+    # probe banding AND the intra-shard blocker — before, the same
+    # explode+16-slot-min aggregate ran three times (corpus reps, full
+    # corpus, shard) off the same checkpointed shingle sets. Signatures
+    # are a pure per-doc function, so the three consumers filter one
+    # checkpoint to their populations, row-identically (guide §1.3:
+    # two full signature passes removed — a real saving at ANY scale).
+    sh_docs = feats.select("doc_id", "lang", "sh")
+    sigs_full = minhash_signatures(sh_docs).localCheckpoint()
     corpus_assign = bounded_component_assignment(
-        d.filter(~is_shard), feats=feats.filter(~is_shard)
+        d.filter(~is_shard),
+        feats=feats.filter(~is_shard),
+        sigs=sigs_full,
     ).localCheckpoint()
 
-    # probe signatures and verification joins ride the same checkpoint
-    sh_docs = feats.select("doc_id", "lang", "sh")
-    banded = _lsh_banded(
-        minhash_signatures(sh_docs).localCheckpoint()
-    ).localCheckpoint()
+    # probe signatures and verification joins ride the same checkpoints
+    banded = _lsh_banded(sigs_full).localCheckpoint()
     _, cand = incremental_near_candidates(banded, is_shard)
     a = sh_docs.select(
         F.col("doc_id").alias("shard_id"),
@@ -2300,9 +2339,10 @@ def _text_cluster_update(
     )
 
     # intra-shard verified pairs — the flagship blocker pair restricted
-    # to the shard (shard-sized work by construction)
-    shard_sh = sh_docs.filter(is_shard).localCheckpoint()
-    mh = lsh_candidates(minhash_signatures(shard_sh).localCheckpoint())
+    # to the shard (shard-sized work by construction); signatures come
+    # from the shared table (see sigs_full above)
+    shard_sh = sh_docs.filter(is_shard)
+    mh = lsh_candidates(sigs_full.filter(is_shard))
     sim = simhash_pairs(
         _simhash_signatures_from_token_hashes(
             feats.filter(is_shard).select("doc_id", "lang", "th64")
@@ -2324,9 +2364,11 @@ def _text_cluster_update(
         union_ss > 0,
         F.round(inter_ss.cast("double") / union_ss.cast("double"), 6),
     ).otherwise(F.lit(0.0))
+    # r14: no global distinct on the blocker union — edges feed the
+    # min-label CC, where duplicate edges are harmless (min over a
+    # multiset); the distinct cost an exchange of the candidate stream
     e_shard = (
         mh.union(sim)
-        .distinct()
         .join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(

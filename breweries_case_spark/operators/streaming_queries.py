@@ -211,9 +211,30 @@ LATE_WM_MS = WATERMARK_MINUTES * 60 * 1000
 #: core-count tune (it is deliberately NOT a function of
 #: $SPARK_GRAFT_CPUS, so the driver's low-core scaling run compares
 #: like with like).
-LATE_STATE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
-)
+def _late_state_partitions() -> int:
+    """Validated SPARK_GRAFT_STREAM_STATE_PARTITIONS (r13 ADVICE): a
+    malformed or non-positive value must degrade to the keyspace-derived
+    default with a warning, not raise at import time — an int() at module
+    import would take down the whole operator registry (every query), and
+    0/negative would reach spark.sql.shuffle.partitions unvalidated."""
+    raw = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    try:
+        val = int(raw)
+    except ValueError:
+        val = -1
+    if val <= 0:
+        import warnings
+
+        warnings.warn(
+            "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be a positive int, "
+            f"got {raw!r}; falling back to 8",
+            stacklevel=2,
+        )
+        return 8
+    return val
+
+
+LATE_STATE_PARTITIONS = _late_state_partitions()
 
 
 def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:

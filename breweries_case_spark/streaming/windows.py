@@ -346,7 +346,17 @@ def replay_in_batches(
     src = f"{base}/in"
     stage = f"{base}/stage"
     try:
-        batched.write.partitionBy(batch_col).parquet(stage)
+        # ONE file per delivery (r13 ADVICE): repartition on the batch
+        # column so each delivery stages as a single part file and the
+        # os.rename below is one atomic move — a delivery staged as
+        # several files (any multi-partition ``batched``) could be split
+        # across two micro-batches if a trigger fires between renames,
+        # breaking the exactly-n_batches replay premise. Hash collisions
+        # only co-locate two batch VALUES in one task; partitionBy still
+        # writes each value its own file.
+        batched.repartition(n_batches, F.col(batch_col)).write.partitionBy(
+            batch_col
+        ).parquet(stage)
         os.makedirs(src, exist_ok=True)
 
         def deliver(i: int) -> None:

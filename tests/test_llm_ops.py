@@ -480,6 +480,7 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+@pytest.mark.slow
 def test_star_components_equal_propagation(spark, sf_dir):
     """The alternating large-star/small-star form must produce the exact
     same (node, label) assignment as min-label propagation on: a long

@@ -300,6 +300,7 @@ def _unpartitioned_windows(df) -> list[str]:
     return found
 
 
+@pytest.mark.slow
 def test_all_queries_run(spark, sf_dir):
     """Every registered query (oracle or not) executes, has a schema,
     plans without an ACCIDENTAL quadratic join (cartesian / nested-loop

@@ -5,6 +5,8 @@ gate→curriculum→pack composite's shared-helper contract."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -382,6 +384,7 @@ def test_media_incremental_probe_bounded(spark, sf_dir):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_round10_layout_invariance(spark, sf_dir):
     """The r10 wave's outputs are identical under a different shuffle
     partitioning — the layout-free determinism the 100 TB design

@@ -2,8 +2,9 @@
 blocker, bounded cluster members (perceptual_cluster_output), video-tier
 cluster-granularity dedup, the PII curation composite, the trained-BPE
 OOV report, and the mechanism-cap certificate."""
-
 from __future__ import annotations
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -356,6 +357,7 @@ def test_bpe_drift_report_python_recount(spark, sf_dir):
 # -------------------------------------------------------- mechanism cap
 
 
+@pytest.mark.slow
 def test_mechanism_cap_engages_and_bounds(spark, sf_dir):
     """At MECH_CAP=2 the pruning genuinely fires: the perceptual tiers
     lose pairs (missed > 0 — the branch the production caps never
@@ -586,6 +588,7 @@ def test_keeper_pii_prefers_fewest_redactions(spark, sf_dir):
 # ------------------------------------------------------ layout invariance
 
 
+@pytest.mark.slow
 def test_round11_layout_invariance(spark, sf_dir):
     """The r11 wave's outputs are identical under a different shuffle
     partitioning (min-label components, closed-form footers, integer

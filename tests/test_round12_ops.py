@@ -1,8 +1,9 @@
 """Round-12 wave: the capped two-tier text LSH blocker (tested in
 test_llm_ops), the incremental perceptual-cluster maintainer, the
 quality-weighted epoch mix, and the contamination-drift report."""
-
 from __future__ import annotations
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -82,6 +83,7 @@ def test_cluster_incremental_corpus_work_is_shard_bounded(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_text_cluster_incremental_matches_full_recompute(spark, sf_dir):
     """Same contract as the image maintainer, on the flagship text
     surface: shard labels must equal the from-scratch bounded-pipeline
@@ -113,6 +115,7 @@ def test_text_cluster_incremental_matches_full_recompute(spark, sf_dir):
     assert touched <= len(out)
 
 
+@pytest.mark.slow
 def test_cluster_chain_final_labels_match_full_recompute(spark, sf_dir):
     """The two-day chain's FINAL labels (after day 2's remap of day 1's
     rows) must equal the from-scratch assignment over ALL media, for
@@ -138,6 +141,7 @@ def test_cluster_chain_final_labels_match_full_recompute(spark, sf_dir):
         assert r.day == (1 if r.media_id % 40 == 0 else 2), r
 
 
+@pytest.mark.slow
 def test_video_cluster_incremental_matches_full_recompute(spark, sf_dir):
     """Same contract on the shared-frame relation: shard labels equal
     the from-scratch video_cluster_assignment over corpus+shard; 'new'
@@ -259,6 +263,7 @@ def test_decontaminate_drift_reconciles_with_decontaminate(spark, sf_dir):
 # ------------------------------------------------------ layout invariance
 
 
+@pytest.mark.slow
 def test_round12_layout_invariance(spark, sf_dir):
     """The r12 wave's outputs are identical under a different shuffle
     partitioning (min-label components, md5 selectors, integer window

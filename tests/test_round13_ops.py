@@ -2,8 +2,9 @@
 snapshot-persisted maintainer chain, the incremental decontamination
 maintainer, the text-cluster keeper election, and the quality-curve
 drift report."""
-
 from __future__ import annotations
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -115,6 +116,7 @@ def test_overwrite_changed_buckets_protocol(spark, tmp_path):
     assert feed == {(13, 2, "delete"), (13, 1, "insert")}
 
 
+@pytest.mark.slow
 def test_chain_persisted_matches_in_memory_chain(spark, sf_dir):
     """The snapshot round-trip must be invisible: the persisted chain's
     output equals q_dedup_cluster_chain's row for row."""
@@ -195,6 +197,7 @@ def test_decontaminate_incremental_probe_is_delta_bounded(spark, sf_dir):
 # ----------------------------------------------------- text keeper election
 
 
+@pytest.mark.slow
 def test_text_keeper_elects_a_member_per_updated_cluster(spark, sf_dir):
     """One keeper per shard-touched cluster; the keeper is one of that
     cluster's members (shard arrivals ∪ absorbed stored members), sizes

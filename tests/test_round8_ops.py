@@ -1,7 +1,8 @@
 """Round-8 additions: URL canonicalization / domain-level dedup / the
 composed domain-cap curation pass."""
-
 from __future__ import annotations
+
+import pytest
 
 import re
 
@@ -146,6 +147,7 @@ def test_bpe_merge_fold_random_streams(spark):
             assert got[i] == py_merge(toks, left, right), (i, toks, left, right)
 
 
+@pytest.mark.slow
 def test_stream_corpus_ingest_equals_batch_pipeline(spark, sf_dir, tmp_path):
     """The streaming shell must be semantically transparent: the
     foreachBatch replay's final corpus equals calling update_corpus

@@ -1,8 +1,9 @@
 """Round-9 operator tests: the df-capped containment default
 (q_dedup_containment_blocked + the shared containment_pairs builder),
 the v2 composite's switch to it, and the shared epoch helpers."""
-
 from __future__ import annotations
+
+import pytest
 
 
 def test_containment_blocked_matches_exact(spark, sf_dir):
@@ -592,6 +593,7 @@ def test_curriculum_order_invariants(spark, sf_dir):
         assert cum * CURRICULUM_STAGES >= n_scored * (s + 1) - n_scored
 
 
+@pytest.mark.slow
 def test_round9_plan_shapes(spark, sf_dir):
     """Pin the wave's scale-critical plan facts under the deterministic
     test profile (AQE off, fixed shuffle partitions): the perceptual
@@ -897,6 +899,7 @@ def test_repetition_removal_matches_bruteforce_random(spark, tmp_path):
     assert any(v for v in starts.values()), "fixture must exercise removal"
 
 
+@pytest.mark.slow
 def test_round9_layout_invariance(spark, sf_dir):
     """The wave's outputs are identical under a different shuffle
     partitioning — the layout-free determinism the 100 TB design
