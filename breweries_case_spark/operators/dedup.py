@@ -40,7 +40,12 @@ def _norm_tokens(col):
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def _docs_with_gram_rows(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+def _docs_with_gram_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     """DISTINCT (doc_id, lang, gram) rows — one row per string 3-gram
     shingle per document.
 
@@ -51,10 +56,19 @@ def _docs_with_gram_rows(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFr
     formulation whose interpreted higher-order functions made the build
     ~8× slower at sf0.1. Docs with < n tokens yield no rows — equivalent
     to an empty shingle set for every consumer (it can never clear a
-    positive Jaccard threshold)."""
+    positive Jaccard threshold).
+
+    ``docs`` (r14 optimization round): an optional pre-filtered
+    documents frame (doc_id, lang, text) to shingle instead of the full
+    table — Spark cannot push a caller's doc_id semi-join below the
+    explode+window, so a composite that grams only its gate survivors
+    (q_training_mix_v2) passes them here and the dropped tail is never
+    tokenized (guide §2.3: project/filter before the expensive pass)."""
     # spread: shingling is compute-bound; parallelize the small local scan
     # (no-op at scale where splits >> cores)
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = spread(
+        load_table(spark, sf_dir, "documents") if docs is None else docs
+    )
     toks = d.select(
         "doc_id", "lang", F.posexplode(_norm_tokens(F.col("text"))).alias("pos", "tok")
     )
@@ -1476,11 +1490,25 @@ def connected_components(
     # graphs are sparse (dup fraction ≪ 1), so this shrinks each round
     # from |V| to ~2·|E| rows; isolated vertices rejoin label-as-self at
     # the end.
+    #
+    # r14 (optimization round 2): labels START at the 1-hop minimum —
+    # min(u, min N(u)) — which is exactly what one propagation round
+    # from the identity init would compute, for the same one exchange
+    # the old distinct-nodes init already paid. Every run saves one full
+    # round (join + aggregate + materialization) at ANY scale; the
+    # monotone-sum fixpoint argument is unchanged (labels still only
+    # ever decrease from here toward the same fixpoint).
+    #
+    # Also r14: each round's checkpoint is LAZY (eager=False), so the
+    # convergence-check aggregate both materializes the round's labels
+    # (persisting + truncating lineage, exactly as before) and computes
+    # the decimal label-sum in ONE job — the eager checkpoint ran a
+    # separate materialization job per round before the sum job.
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        sym.groupBy("u")
+        .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("label"))
+        .withColumnRenamed("u", "node")
+        .localCheckpoint(eager=False)
     )
     # r13 (optimization round): each round is ONE join + ONE aggregate —
     # a node's next label is min(own label, neighbor labels), computed by
@@ -1489,9 +1517,9 @@ def connected_components(
     # left-join back onto the labels (same fixpoint, one exchange and one
     # join fewer per round). Convergence: labels only ever DECREASE, so
     # the per-round label sum is strictly monotone and stalls exactly at
-    # the fixpoint — a scalar aggregate over the already-checkpointed
-    # step replaces the old_label/label comparison join (decimal sum:
-    # exact at any node-id magnitude, no ANSI long-overflow hazard).
+    # the fixpoint — a scalar aggregate over the checkpointed step
+    # replaces the old_label/label comparison join (decimal sum: exact
+    # at any node-id magnitude, no ANSI long-overflow hazard).
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).first()["s"]
@@ -1505,7 +1533,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = stepped.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
@@ -1598,17 +1626,22 @@ def connected_components_star(
             .distinct()
         )
 
+    # r14 (optimization round 2): lazy checkpoints — the per-round count
+    # both materializes the round's edge list (persist + lineage
+    # truncation, exactly as before) and reads the cardinality in ONE
+    # job; the eager checkpoint ran a separate materialization job per
+    # round before the count job.
     e = (
         edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = e.count()
     for _ in range(max_iter):
-        stepped = _small_star(_large_star(e)).localCheckpoint()
+        stepped = _small_star(_large_star(e)).localCheckpoint(eager=False)
         m = stepped.count()
         # exact set equality over the two materialized distinct edge
         # lists; the difference scan runs only in rounds whose counts

@@ -56,7 +56,9 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_media_table(
+    spark: SparkSession, sf_dir: str, modality: str | None = None
+) -> DataFrame:
     """Media table whose payloads are REAL binaries the stdlib codecs
     above can round-trip: audio docs carry a deterministic sawtooth
     PCM16 WAV (period/length derived from doc_id/n_chars), image docs an
@@ -64,8 +66,19 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     container of 4 BMP frames at 250 ms cadence (frame pixels vary with
     PTS so sampled frames are distinguishable). Built in mapInPandas so
     bytes are assembled batch-wise Python-side and travel to the JVM as
-    Arrow binary, never row objects."""
+    Arrow binary, never row objects.
+
+    ``modality`` (r14 optimization round): a doc's modality is a pure
+    function of doc_id (doc_id % 3), so single-modality consumers pass
+    it here and the row filter runs BEFORE the opaque generator —
+    Spark cannot push a filter on the generator's output through
+    mapInPandas, so every per-modality hash family was paying full
+    three-modality payload synthesis (incl. the 4-frame IVF containers)
+    and discarding two thirds of it (guide §4: pass only the rows the
+    function needs). Rows are identical to filtering the full table."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    if modality is not None:
+        d = d.filter(F.col("doc_id") % 3 == MODALITIES.index(modality))
 
     def run(batches):
         for pdf in batches:
@@ -741,9 +754,7 @@ def image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels are closed-form in doc_id, so DuckDB recomputes both hashes
     bit-for-bit from first principles: a full value oracle over a
     binary-decode pipeline."""
-    media = synth_media_table(spark, sf_dir).filter(
-        F.col("modality") == "image"
-    )
+    media = synth_media_table(spark, sf_dir, modality="image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -990,9 +1001,7 @@ def audio_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(n_chars, 400) samples, so s[k+1] > s[k] ⟺ (k+1) % period
     ≠ 0 — DuckDB recomputes every bit from first principles while the
     Spark side genuinely decodes the RIFF/WAV bytes."""
-    media = synth_media_table(spark, sf_dir).filter(
-        F.col("modality") == "audio"
-    )
+    media = synth_media_table(spark, sf_dir, modality="audio")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1073,9 +1082,7 @@ def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct. Factored from q_dedup_video_frames so the
     q_dedup_perceptual_capped certificate certifies the SAME pipeline
     it blocks over."""
-    media = synth_media_table(spark, sf_dir).filter(
-        F.col("modality") == "video"
-    )
+    media = synth_media_table(spark, sf_dir, modality="video")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

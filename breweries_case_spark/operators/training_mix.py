@@ -394,9 +394,17 @@ def q_training_mix_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = d.join(kept_ids, "doc_id", "left_semi")
 
     # 2. containment dedup among survivors — the shared df-capped
-    # builder (q_dedup_containment_blocked's plan) on the gated inventory
-    grams = _docs_with_gram_rows(spark, sf_dir).join(
-        kept_ids, "doc_id", "left_semi"
+    # builder (q_dedup_containment_blocked's plan) on the gated
+    # inventory. r14: survivors are filtered BEFORE the gram build (the
+    # semi-join used to sit above the explode+window, which Spark cannot
+    # push down, so the gated-out tail was tokenized and gram-distincted
+    # just to be discarded — guide §2.3)
+    grams = _docs_with_gram_rows(
+        spark,
+        sf_dir,
+        docs=d.select("doc_id", "lang", "text").join(
+            kept_ids, "doc_id", "left_semi"
+        ),
     )
     pairs = containment_pairs(grams, capped=True)
     dropped = pairs.select(

@@ -82,11 +82,17 @@ FLOOR_RESETS = {
     "q_bpe_train_k": 1786984673,
     "q_bpe_oov_report": 1786984673,
     "q_bpe_drift_report": 1786984673,
-    # r13 optimization round: late-data replay harness rebuilt — one
-    # partitionBy staging write + per-delivery file moves (was
-    # checkpoint + one filter/write job per batch) and keyspace-bounded
-    # state_partitions for the tumbling agg's state stores
-    "q_stream_late_data": 1787018655,
+    # r14 optimization round, commit c5092c0: interval-overlap count
+    # routed through the sweep line + same-key correction (zero joins);
+    # text maintainer family on ONE shared MinHash signature pass with
+    # single-count broadcast gates and no blocker-union distinct; the
+    # late-data staging write repartitions on the batch column
+    # (supersedes its r13 reset at 1787018655 — the r13 harness rebuild)
+    "q_join_interval_overlap": 1787031898,
+    "q_dedup_clusters_bounded": 1787031898,
+    "q_dedup_text_cluster_incremental": 1787031898,
+    "q_dedup_text_keeper": 1787031898,
+    "q_stream_late_data": 1787031898,
 }
 
 
