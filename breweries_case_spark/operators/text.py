@@ -1609,6 +1609,57 @@ def q_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_ROUNDS = 4
 
 
+def _bpe_adjacent_pairs(col: str):
+    """The adjacent-pair expansion every BPE count reads: arrays_zip of
+    the token array against its 1-shift, length-guarded for 0/1-token
+    docs — factored (r14) so the full round-1 count and the incremental
+    delta pass build pairs with ONE expression."""
+    ln = F.greatest(F.size(col) - 1, F.lit(0))
+    return F.arrays_zip(
+        F.slice(F.col(col), 1, ln).alias("l"),
+        F.slice(F.col(col), 2, ln).alias("r"),
+    )
+
+
+def _bpe_counts_update(counts: DataFrame, merged: DataFrame) -> DataFrame:
+    """counts(k+1) from counts(k) and the round's merged frame — the
+    incremental BPE pair-count maintenance (r14, guide §2.2): rows whose
+    arrays the merge changed (t_old non-NULL by construction upstream)
+    contribute their OLD pairs with weight −1 and NEW pairs with weight
+    +1; one vocabulary-bounded aggregate over
+    state ∪ delta reproduces the full recount exactly (a doc's pair
+    multiset is a pure function of its array; unchanged docs cancel).
+    Zero rows are dropped — a pair count can never go negative, and the
+    full recount never emits a 0 — so the winner scan sees the same
+    table a recount would build."""
+    ch = merged.filter(F.col("t_old").isNotNull())
+    delta = ch.select(
+        F.explode(_bpe_adjacent_pairs("t_old")).alias("p"),
+        F.lit(-1).cast("long").alias("w"),
+    ).unionAll(
+        ch.select(
+            F.explode(_bpe_adjacent_pairs("t")).alias("p"),
+            F.lit(1).cast("long").alias("w"),
+        )
+    )
+    return (
+        counts.select(
+            "left_tok", "right_tok", F.col("pair_count").alias("w")
+        )
+        .unionAll(
+            delta.select(
+                F.col("p.l").alias("left_tok"),
+                F.col("p.r").alias("right_tok"),
+                "w",
+            )
+        )
+        .groupBy("left_tok", "right_tok")
+        .agg(F.sum("w").alias("pair_count"))
+        .filter(F.col("pair_count") > 0)
+        .localCheckpoint(eager=False)
+    )
+
+
 def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full k-round BPE TRAINING LOOP: compose the proven count step
     (q_bpe_pair_counts' plan) and apply step (q_bpe_merge_apply's
@@ -1637,7 +1688,25 @@ def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags → gaps-and-islands → odd-offset positions merge, the closed
     form of the greedy LTR fold; islands longer than 1 require
     left = right), sharing no code with the Spark fold, so agreement
-    certifies both the fold and the loop plumbing round by round."""
+    certifies both the fold and the loop plumbing round by round.
+
+    r14 (optimization round 2): INCREMENTAL pair counts. Only round 1
+    explodes the full corpus; every later round maintains the
+    (left_tok, right_tok, pair_count) state table from the docs the
+    previous merge actually CHANGED (measured ~7% of docs / ~8% of
+    tokens per round at sf0.1; the table itself is pair-vocabulary-
+    bounded, ~1k rows) — a doc's pair multiset is a pure function of
+    its token array, so
+        counts(round k+1) = counts(round k)
+                            − pairs(changed docs' old arrays)
+                            + pairs(changed docs' new arrays)
+    is EXACT (unchanged arrays contribute identical multisets on both
+    sides), and the winner ordering (count DESC, left, right) reads
+    identical counts. Randomized cross-implementation equivalence is
+    pinned by tests/test_round14_ops.py; the unrolled-CTE oracle pins
+    it end-to-end at every SF (guide §2.2: shuffle the delta, not the
+    corpus — per-round exchange rows drop from O(corpus tokens) to
+    O(changed tokens + |pair vocab|))."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
@@ -1645,22 +1714,23 @@ def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur = d.select("doc_id", toks.alias("t"))
     per_round = []
+    counts = None
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
-        ln = F.greatest(F.size("t") - 1, F.lit(0))
-        pairs = F.arrays_zip(
-            F.slice(F.col("t"), 1, ln).alias("l"),
-            F.slice(F.col("t"), 2, ln).alias("r"),
-        )
-        top1 = (
-            cur.select(F.explode(pairs).alias("p"))
-            .groupBy(
-                F.col("p.l").alias("left_tok"),
-                F.col("p.r").alias("right_tok"),
+        if counts is None:
+            # round 1: the one full-corpus pair expansion (in-scan
+            # slice+zip+explode, ONE vocabulary-bounded exchange)
+            counts = (
+                cur.select(F.explode(_bpe_adjacent_pairs("t")).alias("p"))
+                .groupBy(
+                    F.col("p.l").alias("left_tok"),
+                    F.col("p.r").alias("right_tok"),
+                )
+                .agg(F.count("*").alias("pair_count"))
+                .localCheckpoint(eager=False)
             )
-            .agg(F.count("*").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
-            .limit(1)
-        )
+        top1 = counts.orderBy(
+            F.col("pair_count").desc(), "left_tok", "right_tok"
+        ).limit(1)
         # broadcast the 1-row winner on a constant equi-key LEFT join:
         # a pair-less round (every doc down to <= 1 token) yields an
         # EMPTY top1 — a crossJoin would silently empty the corpus, the
@@ -1675,7 +1745,7 @@ def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_tok",
                 "right_tok",
                 "pair_count",
-                F.size("t").alias("nb"),
+                F.col("t").alias("t_old"),
                 F.when(F.col("left_tok").isNull(), F.col("t"))
                 .otherwise(
                     bpe_merge_greedy(
@@ -1683,6 +1753,20 @@ def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
                 .alias("t"),
+            )
+            # nb (pre-merge length) and the changed flag derive from
+            # t_old; unchanged docs null it out so the checkpoint only
+            # carries the ~7% of old arrays the delta pass reads
+            .select(
+                "doc_id",
+                "left_tok",
+                "right_tok",
+                "pair_count",
+                F.size("t_old").alias("nb"),
+                "t",
+                F.when(F.size("t") != F.size("t_old"), F.col("t_old")).alias(
+                    "t_old"
+                ),
             )
             .localCheckpoint()
         )
@@ -1703,6 +1787,8 @@ def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_tokens_after_total",
             )
         )
+        if rnd < BPE_TRAIN_ROUNDS:
+            counts = _bpe_counts_update(counts, merged)
         cur = merged.select("doc_id", "t")
     out = per_round[0]
     for s in per_round[1:]:
@@ -1735,51 +1821,18 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_bpe_round_ctes — the gaps-and-islands closed form of the greedy
     fold), selecting the FINAL stream instead of the per-round rows;
     the two computations share no code path, so agreement certifies
-    every merge round AND the final stream assembly."""
+    every merge round AND the final stream assembly.
+
+    r14 (optimization round 2): the loop body IS ``bpe_train_rounds``
+    (this function was its verbatim inline twin; the shared helper now
+    carries the incremental pair-count state, so the encode trains off
+    delta counts too)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
         lambda x: x != F.lit(""),
     )
-    cur = d.select("doc_id", toks.alias("t"))
-    for _ in range(BPE_TRAIN_ROUNDS):
-        ln = F.greatest(F.size("t") - 1, F.lit(0))
-        pairs = F.arrays_zip(
-            F.slice(F.col("t"), 1, ln).alias("l"),
-            F.slice(F.col("t"), 2, ln).alias("r"),
-        )
-        top1 = (
-            cur.select(F.explode(pairs).alias("p"))
-            .groupBy(
-                F.col("p.l").alias("left_tok"),
-                F.col("p.r").alias("right_tok"),
-            )
-            .agg(F.count("*").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
-            .limit(1)
-            .select("left_tok", "right_tok")
-        )
-        # same empty-round guard as q_bpe_train_k: LEFT join the 1-row
-        # winner on a constant equi-key and coalesce to the identity
-        # fold, so a pair-less round leaves the stream unmerged instead
-        # of a crossJoin emptying the corpus
-        cur = (
-            cur.withColumn("_k", F.lit(1))
-            .join(
-                F.broadcast(top1.withColumn("_k", F.lit(1))), "_k", "left"
-            )
-            .select(
-                "doc_id",
-                F.when(F.col("left_tok").isNull(), F.col("t"))
-                .otherwise(
-                    bpe_merge_greedy(
-                        F.col("t"), F.col("left_tok"), F.col("right_tok")
-                    )
-                )
-                .alias("t"),
-            )
-            .localCheckpoint()
-        )
+    cur, _winners = bpe_train_rounds(d.select("doc_id", toks.alias("t")))
     return cur.select(
         "doc_id", F.posexplode(F.col("t")).alias("pos0", "tok")
     ).select(
@@ -1795,22 +1848,30 @@ def bpe_train_rounds(cur: DataFrame):
     tokenizer on a sub-corpus with PROVABLY the same loop (one
     vocabulary-bounded exchange per round, 1-row guarded winner join —
     the empty-round identity-fold guard included — JVM greedy fold,
-    localCheckpoint between rounds)."""
+    localCheckpoint between rounds).
+
+    r14 (optimization round 2): q_bpe_train_k's incremental pair-count
+    state — only round 1 explodes the full corpus; later rounds update
+    the vocabulary-bounded counts table from the ~7% of docs the merge
+    changed (``_bpe_counts_update``; exact by the pair-multiset
+    identity documented there)."""
     winners = []
+    counts = None
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
-        ln = F.greatest(F.size("t") - 1, F.lit(0))
-        pairs = F.arrays_zip(
-            F.slice(F.col("t"), 1, ln).alias("l"),
-            F.slice(F.col("t"), 2, ln).alias("r"),
-        )
-        top1 = (
-            cur.select(F.explode(pairs).alias("p"))
-            .groupBy(
-                F.col("p.l").alias("left_tok"),
-                F.col("p.r").alias("right_tok"),
+        if counts is None:
+            counts = (
+                cur.select(F.explode(_bpe_adjacent_pairs("t")).alias("p"))
+                .groupBy(
+                    F.col("p.l").alias("left_tok"),
+                    F.col("p.r").alias("right_tok"),
+                )
+                .agg(F.count("*").alias("pair_count"))
+                .localCheckpoint(eager=False)
             )
-            .agg(F.count("*").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
+        top1 = (
+            counts.orderBy(
+                F.col("pair_count").desc(), "left_tok", "right_tok"
+            )
             .limit(1)
             .select(
                 F.lit(rnd).cast("int").alias("round"),
@@ -1832,6 +1893,7 @@ def bpe_train_rounds(cur: DataFrame):
             )
             .select(
                 "doc_id",
+                F.col("t").alias("t_old"),
                 F.when(F.col("left_tok").isNull(), F.col("t"))
                 .otherwise(
                     bpe_merge_greedy(
@@ -1840,8 +1902,20 @@ def bpe_train_rounds(cur: DataFrame):
                 )
                 .alias("t"),
             )
+            # unchanged docs null t_old so the checkpoint only carries
+            # the changed old arrays the delta pass reads
+            .select(
+                "doc_id",
+                "t",
+                F.when(F.size("t") != F.size("t_old"), F.col("t_old")).alias(
+                    "t_old"
+                ),
+            )
             .localCheckpoint()
         )
+        if rnd < BPE_TRAIN_ROUNDS:
+            counts = _bpe_counts_update(counts, cur)
+        cur = cur.select("doc_id", "t")
     return cur, winners
 
 

@@ -93,6 +93,15 @@ FLOOR_RESETS = {
     "q_dedup_text_cluster_incremental": 1787031898,
     "q_dedup_text_keeper": 1787031898,
     "q_stream_late_data": 1787031898,
+    # r14 optimization round: BPE training loop maintains an incremental
+    # pair-count state table (only round 1 explodes the full corpus;
+    # later rounds shuffle the changed-doc delta + the vocabulary-bounded
+    # table) — per-round topology changed for every id that trains
+    "q_bpe_train_k": 1787045000,
+    "q_bpe_encode": 1787045000,
+    "q_bpe_vocab_persist": 1787045000,
+    "q_bpe_oov_report": 1787045000,
+    "q_bpe_drift_report": 1787045000,
 }
 
 
