@@ -108,29 +108,44 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     public). Nodes are parts; an undirected edge connects two parts
     co-occurring in ≥ TRIANGLE_MIN_SUPPORT distinct orders.
 
-    Scale design: the edge build self-joins the DISTINCT (order, part)
-    pairs on orderkey — quadratic only in basket size (bounded, ~4-7
-    lines/order), linear in orders. Triangle enumeration orients every
+    Scale design: the edge build collects each order's DISTINCT part
+    set (bounded basket, ~4-7 lines/order) and expands the C(basket, 2)
+    co-occurrence pairs IN-ROW (sorted set + after-me slice, so pa < pb
+    with no filter) — quadratic only in basket size, linear in orders.
+    r14 (optimization round 2): this replaces the former
+    distinct + orderkey self-join, whose plan paid one exchange for the
+    distinct and another to co-partition the join, with ONE orderkey
+    exchange and zero joins — the pair multiset is identical
+    (combinations of a set ≡ the pa < pb half of its self-product).
+    Triangle enumeration orients every
     edge from the lower (degree, key) endpoint to the higher; orienting
     along this total order (a) counts each triangle exactly once with NO
     post-hoc dedup and (b) bounds every node's out-degree by O(√E), so
     the wedge join (e1 ⋈ e2 on the middle node) — the only quadratic
     risk — generates at most O(E^1.5) candidate wedges instead of
     Σ deg² (the hub-explosion failure mode on skewed degree
-    distributions). Three shuffles on node keys; the support filter cuts
-    the edge set before any of them. The oriented edge set feeds THREE
-    join branches, so it is localCheckpoint-ed (the
+    distributions). The support filter cuts
+    the edge set before any node-keyed shuffle. The oriented edge set
+    feeds THREE join branches, so it is localCheckpoint-ed (the
     ``connected_components`` lineage-cut pattern at ``dedup.py``) —
     without it Catalyst re-derives the whole pair-build per branch and
     the fact table is scanned six times."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    left = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    right = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     pairs = (
-        left.join(right, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= TRIANGLE_MIN_SUPPORT)
         .select(F.col("pa").alias("u"), F.col("pb").alias("v"))

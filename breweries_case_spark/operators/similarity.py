@@ -756,12 +756,21 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat with Lloyd-refined centroids (``ivf_train_centroids``) —
     the trained-quantizer variant of q_sim_ivf; same probe/re-rank plan,
     data-adaptive cells. Rows-only; a unit test pins recall vs the exact
-    top-k at least as high as the seeded variant's."""
-    emb = _embeddings_double(spark, sf_dir)
-    cents = ivf_train_centroids(emb)
-    return ivf_topk(
-        emb, _query_vector(spark, sf_dir), exclude_vec_id=QUERY_VEC_ID, cents=cents
+    top-k at least as high as the seeded variant's.
+
+    r14 (optimization round 2): the embeddings frame is checkpointed
+    ONCE and shared by the seed collect, all three Lloyd assign passes,
+    the query-vector lookup and the final probe scan — before, every
+    Lloyd iteration re-read the parquet and re-cast the 64-dim array
+    (guide §1.3: materialize what an iterative loop re-reads; at scale
+    the trained quantizer reads a stored narrow table, and this is the
+    in-run equivalent)."""
+    emb = _embeddings_double(spark, sf_dir).localCheckpoint()
+    qv = list(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first().v
     )
+    cents = ivf_train_centroids(emb)
+    return ivf_topk(emb, qv, exclude_vec_id=QUERY_VEC_ID, cents=cents)
 
 
 def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,8 +942,10 @@ def q_sim_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the stored stats table — and shard) → two k-row aggregates → one
     k-row join; nothing shuffles more than IVF_CENTROIDS rows. Oracle:
     fully closed-form (cells and loads re-derived in SQL from the same
-    seed-centroid definition)."""
-    emb = _embeddings_double(spark, sf_dir)
+    seed-centroid definition). r14: the embeddings frame is checkpointed
+    once — the seed collect, both assignment passes and the total count
+    read it instead of four parquet scan+cast passes (guide §1.3)."""
+    emb = _embeddings_double(spark, sf_dir).localCheckpoint()
     is_shard = F.col("vec_id") % IVF_SHARD_MOD == 0
     corpus = emb.filter(~is_shard)
     cents = _ivf_centroids(corpus)

@@ -102,6 +102,13 @@ FLOOR_RESETS = {
     "q_bpe_vocab_persist": 1787045000,
     "q_bpe_oov_report": 1787045000,
     "q_bpe_drift_report": 1787045000,
+    # r14 optimization round: triangle edge build = one orderkey
+    # exchange + in-row combinations (was distinct + self-join); IVF
+    # trained/maintain read ONE checkpointed embeddings frame instead of
+    # re-scanning parquet per Lloyd iteration / assignment pass
+    "q_graph_triangles": 1787046500,
+    "q_sim_ivf_trained": 1787046500,
+    "q_sim_ivf_maintain": 1787046500,
 }
 
 
