@@ -242,11 +242,18 @@ def broadcast_if_small(
     ``F.broadcast`` does NOT degrade at runtime, so a shard-derived key
     set that outgrew the driver would fail the job outright instead of
     falling back to a shuffle. Hint only when a cheap count of the
-    (already materialized — callers checkpoint the parent) frame fits;
-    above the gate return the frame unhinted and let the shuffle
-    semi-join plan run. Used by every incremental maintainer's
-    shard-key probe prune (dedup text, multimodal image/video)."""
-    return F.broadcast(df) if df.count() <= max_rows else df
+    frame fits; above the gate return the frame unhinted and let the
+    shuffle semi-join plan run. Used by every incremental maintainer's
+    shard-key probe prune (dedup text, multimodal image/video).
+
+    r14 (optimization round 2): the frame is lazily checkpointed before
+    the gate count — callers checkpoint the PARENT, but the frame passed
+    here is usually a derived select/distinct, which the old code
+    computed twice (once for the count job, once again inside the
+    consuming join). The count now materializes the checkpoint and the
+    join reads it back, whichever side of the gate wins (guide §1.3)."""
+    mat = df.localCheckpoint(eager=False)
+    return F.broadcast(mat) if mat.count() <= max_rows else mat
 
 
 def containment_pairs(
