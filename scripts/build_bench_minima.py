@@ -97,18 +97,18 @@ FLOOR_RESETS = {
     # pair-count state table (only round 1 explodes the full corpus;
     # later rounds shuffle the changed-doc delta + the vocabulary-bounded
     # table) — per-round topology changed for every id that trains
-    "q_bpe_train_k": 1787045000,
-    "q_bpe_encode": 1787045000,
-    "q_bpe_vocab_persist": 1787045000,
-    "q_bpe_oov_report": 1787045000,
-    "q_bpe_drift_report": 1787045000,
+    "q_bpe_train_k": 1787043302,
+    "q_bpe_encode": 1787043302,
+    "q_bpe_vocab_persist": 1787043302,
+    "q_bpe_oov_report": 1787043302,
+    "q_bpe_drift_report": 1787043302,
     # r14 optimization round: triangle edge build = one orderkey
     # exchange + in-row combinations (was distinct + self-join); IVF
     # trained/maintain read ONE checkpointed embeddings frame instead of
     # re-scanning parquet per Lloyd iteration / assignment pass
-    "q_graph_triangles": 1787046500,
-    "q_sim_ivf_trained": 1787046500,
-    "q_sim_ivf_maintain": 1787046500,
+    "q_graph_triangles": 1787044193,
+    "q_sim_ivf_trained": 1787044193,
+    "q_sim_ivf_maintain": 1787044193,
 }
 
 
